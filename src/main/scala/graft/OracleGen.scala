@@ -1,0 +1,162 @@
+package graft
+
+import graft.operators.Indicators
+
+/** Programmatic generators for the DuckDB oracle SQL in
+  * [[SparkEntry.oracleSql]].
+  *
+  * The driver hash-compares our parquet output to DuckDB's result for
+  * the same SQL. Double columns only match reliably if both engines
+  * perform the SAME IEEE-754 operations in the SAME order, so:
+  *
+  *  - rolling means are emitted as the same left-associated lag-chain
+  *    the Spark side builds (`Indicators.rollingMean`);
+  *  - EMA/MACD use a recursive CTE computing the identical recursion
+  *    `alpha*x + (1-alpha)*e` (same operand order as
+  *    [[graft.functions.Ema]]);
+  *  - order-sensitive reductions over many rows (SUM/AVG of doubles)
+  *    go through exact DECIMAL accumulation then one cast to DOUBLE
+  *    (see the q_agg_* oracle strings in SparkEntry).
+  *
+  * Generating the SQL from the same parameters as the Spark pipeline
+  * keeps the two sides structurally in sync.
+  */
+object OracleGen {
+
+  /** Left-associated lag-chain rolling mean — SQL twin of
+    * [[Indicators.rollingMean]].
+    */
+  def lagChainMean(col: String, n: Int, w: String): String = {
+    val terms = ((n - 1) to 1 by -1).map(k => s"lag($col, $k) OVER $w") :+ col
+    terms.mkString("(", " + ", s") / $n.0")
+  }
+
+  private def alphaSql(span: Int): (String, String) =
+    (s"(2.0/${span + 1}.0)", s"(1.0 - 2.0/${span + 1}.0)")
+
+  /** The events table viewed as a per-symbol price series:
+    * symbol = user_id (int64), ts = epoch-microseconds (int64 — DuckDB's
+    * parquet reader keeps µs precision; Spark side truncates its ns read
+    * with `ts DIV 1000` to match), close = value.
+    */
+  val eventsBase: String =
+    """base AS (
+      |  SELECT user_id AS symbol, epoch_us(ts) AS ts, value AS close,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+      |  FROM events
+      |)""".stripMargin
+
+  private val W = "(PARTITION BY symbol ORDER BY ts)"
+
+  /** CTE layers computing delta/gain/loss then MA5/MA20/RSI-14 with the
+    * reference quirks Q1–Q3 (see Indicators.scala).
+    */
+  val maRsiLayers: String = {
+    val ma5 = lagChainMean("close", 5, "w")
+    val ma20 = lagChainMean("close", 20, "w")
+    val ag = lagChainMean("gain", 14, "w")
+    val al = lagChainMean("lossv", 14, "w")
+    s"""d AS (
+       |  SELECT *, COALESCE(close - lag(close, 1) OVER w, 0.0) AS delta
+       |  FROM base WINDOW w AS $W
+       |),
+       |g AS (
+       |  SELECT *,
+       |    CASE WHEN delta > 0.0 THEN delta ELSE 0.0 END AS gain,
+       |    CASE WHEN delta < 0.0 THEN -delta ELSE 0.0 END AS lossv
+       |  FROM d
+       |),
+       |m AS (
+       |  SELECT *,
+       |    $ma5 AS ma5,
+       |    $ma20 AS ma20,
+       |    $ag AS avg_gain,
+       |    $al AS avg_loss
+       |  FROM g WINDOW w AS $W
+       |),
+       |r AS (
+       |  SELECT *,
+       |    100.0 - (100.0 / (1.0 + CASE WHEN avg_loss = 0.0 THEN 0.0 ELSE avg_gain / avg_loss END)) AS rsi
+       |  FROM m
+       |)""".stripMargin
+  }
+
+  /** Recursive CTE computing EMA12/EMA26 and the MACD signal EMA in one
+    * pass — the exact recursion of [[graft.functions.Ema]]:
+    * seed e_1 = x_1 (assignment), s_1 = e12_1 - e26_1 = 0.0;
+    * e_t = alpha*x_t + (1-alpha)*e_{t-1}.
+    */
+  val macdRec: String = {
+    val (a12, b12) = alphaSql(12)
+    val (a26, b26) = alphaSql(26)
+    val (a9, b9) = alphaSql(9)
+    val e12 = s"$a12*b.close + $b12*r.ema12"
+    val e26 = s"$a26*b.close + $b26*r.ema26"
+    s"""rec AS (
+       |  SELECT symbol, ts, rn, close AS ema12, close AS ema26, 0.0 AS sig
+       |  FROM base WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.symbol, b.ts, b.rn,
+       |    $e12,
+       |    $e26,
+       |    $a9*(($e12) - ($e26)) + $b9*r.sig
+       |  FROM base b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+       |),
+       |mc AS (
+       |  SELECT symbol, ts, ema12 - ema26 AS macd_line, sig AS macd_signal,
+       |         (ema12 - ema26) - sig AS macd_histogram
+       |  FROM rec
+       |)""".stripMargin
+  }
+
+  /** Suggestion + reason CASE chains (first-match, NULL conditions fall
+    * through to the default — np.select semantics, stock_analysis.py:194-224).
+    */
+  val suggestionCase: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val c1 = "(ma5 > ma20 AND rsi < 70.0 AND macd_line > macd_signal)"
+    val c2 = "(ma5 > ma20 AND rsi >= 70.0)"
+    val c3 = "(ma5 < ma20 AND rsi <= 30.0 AND macd_line > macd_signal)"
+    val c4 = "(ma5 < ma20 AND macd_line <= macd_signal)"
+    s"""CASE WHEN $c1 THEN 'BUY' WHEN $c2 THEN 'HOLD/SELL'
+       |     WHEN $c3 THEN 'WATCH/BUY' WHEN $c4 THEN 'SELL/AVOID'
+       |     ELSE 'HOLD' END AS suggestion,
+       |CASE WHEN $c1 THEN '${esc(Indicators.ReasonBuy)}'
+       |     WHEN $c2 THEN '${esc(Indicators.ReasonHoldSell)}'
+       |     WHEN $c3 THEN '${esc(Indicators.ReasonWatchBuy)}'
+       |     WHEN $c4 THEN '${esc(Indicators.ReasonSellAvoid)}'
+       |     ELSE '${esc(Indicators.ReasonHold)}' END AS reason""".stripMargin
+  }
+
+  val qIndMa: String =
+    s"""WITH $eventsBase
+       |SELECT symbol, ts, close,
+       |  ${lagChainMean("close", 5, "w")} AS ma5,
+       |  ${lagChainMean("close", 20, "w")} AS ma20
+       |FROM base WINDOW w AS $W
+       |ORDER BY symbol, ts""".stripMargin
+
+  val qIndRsi: String =
+    s"""WITH $eventsBase,
+       |$maRsiLayers
+       |SELECT symbol, ts, close, rsi
+       |FROM r
+       |ORDER BY symbol, ts""".stripMargin
+
+  val qIndMacd: String =
+    s"""WITH RECURSIVE $eventsBase,
+       |$macdRec
+       |SELECT symbol, ts, macd_line, macd_signal, macd_histogram
+       |FROM mc
+       |ORDER BY symbol, ts""".stripMargin
+
+  val qIndFull: String =
+    s"""WITH RECURSIVE $eventsBase,
+       |$maRsiLayers,
+       |$macdRec
+       |SELECT r.symbol, r.ts, r.close, r.ma5, r.ma20, r.rsi,
+       |  mc.macd_line, mc.macd_signal, mc.macd_histogram,
+       |  $suggestionCase
+       |FROM r JOIN mc ON r.symbol = mc.symbol AND r.ts = mc.ts
+       |ORDER BY symbol, ts""".stripMargin
+}

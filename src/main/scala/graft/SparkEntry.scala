@@ -1,13 +1,78 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Indicators
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or an
+  * LLM-pipeline extension), expressed Spark-first; each `oracleSql`
+  * entry is the equivalent ANSI SQL the driver runs in DuckDB over the
+  * same parquet tables. Column names and FP operation order are kept
+  * identical on both sides (see OracleGen) so the driver's hash compare
+  * is exact.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** events as a per-symbol price series (the reference's OHLCV stream
+    * stand-in, FIXTURES.md role mapping): symbol=user_id, ts=epoch-µs,
+    * close=value. (symbol, ts) is unique in the fixtures.
+    *
+    * ts: Spark reads the parquet TIMESTAMP(NANOS) column as an int64 of
+    * nanoseconds (Tables.events); DuckDB's parquet reader only keeps µs
+    * precision, so both sides truncate to epoch-microseconds
+    * (`ts DIV 1000` here, `epoch_us(ts)` in the oracle) for an exact
+    * integer match.
+    */
+  private def bars(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id").as("symbol"),
+        expr("ts DIV 1000").as("ts"), col("value").as("close"))
+
+  private def enriched(s: SparkSession, dir: String): DataFrame =
+    Indicators.enrich(bars(s, dir), col("symbol"), Seq(col("ts")), col("close"))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's whole analytical surface in one statement:
+    * per-symbol ordered MA5/MA20, RSI-14, MACD(12,26,9), suggestion.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    enriched(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- flagship indicator pipeline (SURVEY §2.4-2.5, A4-A6, W1-W4) ---
+    "q_ind_ma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("symbol")).orderBy(col("ts"))
+      bars(s, dir)
+        .withColumn("ma5", Indicators.rollingMean(col("close"), 5, w))
+        .withColumn("ma20", Indicators.rollingMean(col("close"), 20, w))
+        .orderBy("symbol", "ts")
+    }),
+    "q_ind_rsi" -> ((s, dir) =>
+      enriched(s, dir).select("symbol", "ts", "close", "rsi")
+        .orderBy("symbol", "ts")),
+    "q_ind_macd" -> ((s, dir) =>
+      enriched(s, dir)
+        .select("symbol", "ts", "macd_line", "macd_signal", "macd_histogram")
+        .orderBy("symbol", "ts")),
+    "q_ind_full" -> ((s, dir) =>
+      enriched(s, dir)
+        .select("symbol", "ts", "close", "ma5", "ma20", "rsi",
+          "macd_line", "macd_signal", "macd_histogram", "suggestion", "reason")
+        .orderBy("symbol", "ts")),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_ind_ma" -> OracleGen.qIndMa,
+    "q_ind_rsi" -> OracleGen.qIndRsi,
+    "q_ind_macd" -> OracleGen.qIndMacd,
+    "q_ind_full" -> OracleGen.qIndFull,
+  )
 }
