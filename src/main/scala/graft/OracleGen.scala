@@ -51,14 +51,17 @@ object OracleGen {
   /** CTE layers computing delta/gain/loss then MA5/MA20/RSI-14 with the
     * reference quirks Q1–Q3 (see Indicators.scala).
     */
+  // NOTE: window names are unique per CTE (wd/wm) — under WITH RECURSIVE
+  // DuckDB scopes named WINDOW clauses globally and rejects a duplicate
+  // `WINDOW w` across CTEs ("window w is already defined").
   val maRsiLayers: String = {
-    val ma5 = lagChainMean("close", 5, "w")
-    val ma20 = lagChainMean("close", 20, "w")
-    val ag = lagChainMean("gain", 14, "w")
-    val al = lagChainMean("lossv", 14, "w")
+    val ma5 = lagChainMean("close", 5, "wm")
+    val ma20 = lagChainMean("close", 20, "wm")
+    val ag = lagChainMean("gain", 14, "wm")
+    val al = lagChainMean("lossv", 14, "wm")
     s"""d AS (
-       |  SELECT *, COALESCE(close - lag(close, 1) OVER w, 0.0) AS delta
-       |  FROM base WINDOW w AS $W
+       |  SELECT *, COALESCE(close - lag(close, 1) OVER wd, 0.0) AS delta
+       |  FROM base WINDOW wd AS $W
        |),
        |g AS (
        |  SELECT *,
@@ -72,7 +75,7 @@ object OracleGen {
        |    $ma20 AS ma20,
        |    $ag AS avg_gain,
        |    $al AS avg_loss
-       |  FROM g WINDOW w AS $W
+       |  FROM g WINDOW wm AS $W
        |),
        |r AS (
        |  SELECT *,
@@ -93,7 +96,8 @@ object OracleGen {
     val e12 = s"$a12*b.close + $b12*r.ema12"
     val e26 = s"$a26*b.close + $b26*r.ema26"
     s"""rec AS (
-       |  SELECT symbol, ts, rn, close AS ema12, close AS ema26, 0.0 AS sig
+       |  SELECT symbol, ts, rn, close AS ema12, close AS ema26,
+       |         CAST(0.0 AS DOUBLE) AS sig
        |  FROM base WHERE rn = 1
        |  UNION ALL
        |  SELECT b.symbol, b.ts, b.rn,
@@ -158,5 +162,5 @@ object OracleGen {
        |  mc.macd_line, mc.macd_signal, mc.macd_histogram,
        |  $suggestionCase
        |FROM r JOIN mc ON r.symbol = mc.symbol AND r.ts = mc.ts
-       |ORDER BY symbol, ts""".stripMargin
+       |ORDER BY r.symbol, r.ts""".stripMargin
 }

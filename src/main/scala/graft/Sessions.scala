@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession construction for the harness mains and tests.
+  *
+  * All engine-relevant confs live here, at session construction — no
+  * loader or operator mutates session state:
+  *  - shuffle partitions sized to the local core count (not the 200
+  *    default) so sf-scale local runs don't fragment; on a real cluster
+  *    this would be AQE-advised / `spark.sql.shuffle.partitions` tuned
+  *    to executor count;
+  *  - UTC session timezone (all reference date math is naive
+  *    `yyyy-MM-dd`);
+  *  - `nanosAsLong` so the events fixture's TIMESTAMP(NANOS) column
+  *    reads as exact int64 nanoseconds (see [[Tables.events]]).
+  */
+object Sessions {
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def fromEnv(): SparkSession =
+    local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+}

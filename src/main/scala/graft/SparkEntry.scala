@@ -26,13 +26,24 @@ object SparkEntry {
     * (`ts DIV 1000` here, `epoch_us(ts)` in the oracle) for an exact
     * integer match.
     */
-  private def bars(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bars(s: SparkSession, dir: String): DataFrame = {
+    // The driver invokes entry/queries with ITS session, so the events
+    // nanos conf can't be assumed from the builder — ensure it here, at
+    // the entry boundary (not inside Tables loaders).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.events(s, dir)
       .select(col("user_id").as("symbol"),
         expr("ts DIV 1000").as("ts"), col("value").as("close"))
+  }
 
   private def enriched(s: SparkSession, dir: String): DataFrame =
     Indicators.enrich(bars(s, dir), col("symbol"), Seq(col("ts")), col("close"))
+
+  private def rsiOnly(s: SparkSession, dir: String): DataFrame =
+    Indicators.addRsi(bars(s, dir), col("symbol"), Seq(col("ts")), col("close"))
+
+  private def macdOnly(s: SparkSession, dir: String): DataFrame =
+    Indicators.addMacd(bars(s, dir), col("symbol"), Seq(col("ts")), col("close"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's whole analytical surface in one statement:
@@ -53,10 +64,10 @@ object SparkEntry {
         .orderBy("symbol", "ts")
     }),
     "q_ind_rsi" -> ((s, dir) =>
-      enriched(s, dir).select("symbol", "ts", "close", "rsi")
+      rsiOnly(s, dir).select("symbol", "ts", "close", "rsi")
         .orderBy("symbol", "ts")),
     "q_ind_macd" -> ((s, dir) =>
-      enriched(s, dir)
+      macdOnly(s, dir)
         .select("symbol", "ts", "macd_line", "macd_signal", "macd_histogram")
         .orderBy("symbol", "ts")),
     "q_ind_full" -> ((s, dir) =>

@@ -28,16 +28,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** `events.ts` is a parquet TIMESTAMP(NANOS) column, which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as an
-    * int64 of epoch-nanoseconds (`spark.sql.legacy.parquet.nanosAsLong`)
-    * — exact, total-ordered, and reproducible in the DuckDB oracle as
-    * `epoch_ns(ts)`. Callers needing a real timestamp can
-    * `(ts / 1000).cast("timestamp")` (µs precision).
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]) unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` is set, in which case it
+    * reads as an int64 of epoch-nanoseconds — exact, total-ordered, and
+    * reproducible in the DuckDB oracle as `epoch_ns(ts)`. Callers needing
+    * a real timestamp can `(ts / 1000).cast("timestamp")` (µs precision).
+    *
+    * The conf is REQUIRED and must be set at session construction (see
+    * `Sessions.configure` / `SparkEntry.bars`) — this loader deliberately
+    * does not mutate session state.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-  }
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -80,11 +80,25 @@ object Ema {
   /** pandas-style span smoothing factor: alpha = 2 / (span + 1). */
   def alphaForSpan(span: Int): Double = 2.0 / (span + 1.0)
 
-  /** `ema(x, span)` as a Column, for use with `.over(window)` where the
-    * window has `partitionBy(...).orderBy(...)` (the running frame is
-    * implied by the function).
+  /** `ema(x, span) OVER (PARTITION BY part ORDER BY ord ROWS UNBOUNDED
+    * PRECEDING)` as a complete windowed Column.
+    *
+    * The `WindowExpression` is constructed directly rather than via
+    * `Column.over`: Spark 4.x's classic Column-node converter wraps any
+    * `AggregateFunction` (including an `AggregateWindowFunction`) in an
+    * `AggregateExpression` on the `.over` path, after which CheckAnalysis
+    * rejects the plan with WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE. Building
+    * the Catalyst node explicitly keeps the window function directly
+    * under its `WindowExpression`, which analyzes and runs.
     */
-  def emaSpan(x: Column, span: Int): Column =
-    Bridge.column(
-      Ema(Bridge.expression(x.cast("double")), Literal(alphaForSpan(span))))
+  def emaSpan(x: Column, span: Int,
+      partitionBy: Seq[Column], orderBy: Seq[Column]): Column = {
+    val spec = WindowSpecDefinition(
+      partitionBy.map(Bridge.expression),
+      orderBy.map(c => SortOrder(Bridge.expression(c), Ascending)),
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    Bridge.column(WindowExpression(
+      Ema(Bridge.expression(x.cast("double")), Literal(alphaForSpan(span))),
+      spec))
+  }
 }

@@ -66,51 +66,47 @@ object Indicators {
   val ReasonHold =
     "Xu hướng trung tính. Đề xuất: GIỮ - Chờ tín hiệu rõ ràng hơn."
 
-  /** Append `ma5, ma20, rsi, macd_line, macd_signal, macd_histogram,
-    * suggestion, reason` to `df`.
-    *
-    * @param symbol the grouping key column (reference: stock symbol)
-    * @param order  ordering columns within a symbol (reference: date;
-    *               pass a unique tiebreaker for determinism)
-    * @param close  the price series column
-    */
-  def enrich(df: DataFrame, symbol: Column, order: Seq[Column], close: Column): DataFrame = {
+  /** Moving-average stage: append `ma5, ma20` (Q2). */
+  def addMa(df: DataFrame, symbol: Column, order: Seq[Column], close: Column): DataFrame = {
     val w = Window.partitionBy(symbol).orderBy(order: _*)
-    // Running frame for the EMA recursion, stated explicitly: the
-    // analyzer's frame-resolution otherwise assigns the default RANGE
-    // frame before adopting a custom WindowFunction's declared frame.
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    // --- moving averages (Q2) ---
-    val withMa = df
-      .withColumn("ma5", rollingMean(close, 5, w))
+    df.withColumn("ma5", rollingMean(close, 5, w))
       .withColumn("ma20", rollingMean(close, 20, w))
+  }
 
-    // --- RSI-14 (Q1, Q3) ---
+  /** RSI-14 stage: append `rsi` (Q1, Q3). */
+  def addRsi(df: DataFrame, symbol: Column, order: Seq[Column], close: Column): DataFrame = {
+    val w = Window.partitionBy(symbol).orderBy(order: _*)
     val delta = coalesce(close - lag(close, 1).over(w), lit(0.0))
-    val withGl = withMa
+    val withAvgGl = df
       .withColumn("_gain", when(delta > 0.0, delta).otherwise(lit(0.0)))
       .withColumn("_loss", when(delta < 0.0, -delta).otherwise(lit(0.0)))
-    val withAvgGl = withGl
       .withColumn("_avg_gain", rollingMean(col("_gain"), 14, w))
       .withColumn("_avg_loss", rollingMean(col("_loss"), 14, w))
     val rs = when(col("_avg_loss") === 0.0, lit(0.0))
       .otherwise(col("_avg_gain") / col("_avg_loss"))
-    val withRsi = withAvgGl
+    withAvgGl
       .withColumn("rsi", lit(100.0) - (lit(100.0) / (lit(1.0) + rs)))
       .drop("_gain", "_loss", "_avg_gain", "_avg_loss")
+  }
 
-    // --- MACD(12,26,9) (Q4) ---
-    // Nested window expressions: Catalyst plans a second/third WindowExec
-    // but the child's (hash-partitioned by symbol, sorted) distribution
-    // already satisfies the requirement — no extra shuffle or sort.
-    val withMacd = withRsi
-      .withColumn("macd_line",
-        Ema.emaSpan(close, 12).over(wRun) - Ema.emaSpan(close, 26).over(wRun))
-      .withColumn("macd_signal", Ema.emaSpan(col("macd_line"), 9).over(wRun))
+  /** MACD(12,26,9) stage: append `macd_line, macd_signal, macd_histogram`
+    * (Q4). Nested window expressions: Catalyst plans a second/third
+    * WindowExec but the child's (hash-partitioned by symbol, sorted)
+    * distribution already satisfies the requirement — no extra shuffle
+    * or sort.
+    */
+  def addMacd(df: DataFrame, symbol: Column, order: Seq[Column], close: Column): DataFrame =
+    df.withColumn("macd_line",
+        Ema.emaSpan(close, 12, Seq(symbol), order) -
+          Ema.emaSpan(close, 26, Seq(symbol), order))
+      .withColumn("macd_signal",
+        Ema.emaSpan(col("macd_line"), 9, Seq(symbol), order))
       .withColumn("macd_histogram", col("macd_line") - col("macd_signal"))
 
-    // --- decision layer (Q5, Q6) — stock_analysis.py:194-224 ---
+  /** Decision stage: append `suggestion, reason` from the indicator
+    * columns (Q5, Q6) — stock_analysis.py:194-224.
+    */
+  def addSuggestion(df: DataFrame): DataFrame = {
     val c1 = col("ma5") > col("ma20") && col("rsi") < 70.0 &&
       col("macd_line") > col("macd_signal")
     val c2 = col("ma5") > col("ma20") && col("rsi") >= 70.0
@@ -119,12 +115,24 @@ object Indicators {
     val c4 = col("ma5") < col("ma20") &&
       col("macd_line") <= col("macd_signal")
 
-    withMacd
-      .withColumn("suggestion",
+    df.withColumn("suggestion",
         when(c1, "BUY").when(c2, "HOLD/SELL").when(c3, "WATCH/BUY")
           .when(c4, "SELL/AVOID").otherwise("HOLD"))
       .withColumn("reason",
         when(c1, ReasonBuy).when(c2, ReasonHoldSell).when(c3, ReasonWatchBuy)
           .when(c4, ReasonSellAvoid).otherwise(ReasonHold))
   }
+
+  /** Full pipeline: append `ma5, ma20, rsi, macd_line, macd_signal,
+    * macd_histogram, suggestion, reason` to `df`.
+    *
+    * @param symbol the grouping key column (reference: stock symbol)
+    * @param order  ordering columns within a symbol (reference: date;
+    *               pass a unique tiebreaker for determinism)
+    * @param close  the price series column
+    */
+  def enrich(df: DataFrame, symbol: Column, order: Seq[Column], close: Column): DataFrame =
+    addSuggestion(
+      addMacd(addRsi(addMa(df, symbol, order, close), symbol, order, close),
+        symbol, order, close))
 }
