@@ -53,7 +53,8 @@ object SparkEntry {
     enriched(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val indicator: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- flagship indicator pipeline (SURVEY §2.4-2.5, A4-A6, W1-W4) ---
     "q_ind_ma" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -75,7 +76,9 @@ object SparkEntry {
         .select("symbol", "ts", "close", "ma5", "ma20", "rsi",
           "macd_line", "macd_signal", "macd_histogram", "suggestion", "reason")
         .orderBy("symbol", "ts")),
-  )
+    )
+    indicator ++ BatchQueries.queries
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -85,5 +88,5 @@ object SparkEntry {
     "q_ind_rsi" -> OracleGen.qIndRsi,
     "q_ind_macd" -> OracleGen.qIndMacd,
     "q_ind_full" -> OracleGen.qIndFull,
-  )
+  ) ++ BatchQueries.oracleSql
 }
