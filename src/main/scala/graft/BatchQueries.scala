@@ -128,6 +128,32 @@ object BatchQueries {
         .select("o_orderkey", "o_totalprice", "c_name")
         .orderBy("o_orderkey")),
 
+    // F1-F3/P2-P4 JSON round trip: serialize per-symbol bar docs with
+    // to_json, decode with CAST→from_json→explode→field projection (the
+    // streaming parse shape), land exactly back on the source rows —
+    // oracle is the identity query. Doubles survive exactly (Jackson
+    // shortest-round-trip in both directions).
+    "q_parse_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val docSchema = StructType(Seq(
+        StructField("symbol", LongType),
+        StructField("bars", ArrayType(StructType(Seq(
+          StructField("ts", LongType),
+          StructField("close", DoubleType)))))))
+      val docs = SparkEntry.bars(s, d)
+        .groupBy("symbol")
+        .agg(sort_array(collect_list(struct(col("ts"), col("close"))))
+          .as("bars"))
+        .select(to_json(struct(col("symbol"), col("bars"))).as("value"))
+      docs
+        .select(from_json(col("value").cast("string"), docSchema).as("data"))
+        .select(col("data.symbol").as("symbol"),
+          explode(col("data.bars")).as("bar"))
+        .select(col("symbol"), col("bar.ts").as("ts"),
+          col("bar.close").as("close"))
+        .orderBy("symbol", "ts")
+    }),
+
     // Star-schema rollup through two broadcast joins + exact agg.
     "q_join_star" -> ((s, d) =>
       Tables.customer(s, d)
@@ -188,6 +214,9 @@ object BatchQueries {
         |    (PARTITION BY symbol ORDER BY close DESC, ts) AS rn
         |  FROM b
         |) WHERE rn <= 3 ORDER BY symbol, rn""".stripMargin,
+    "q_parse_roundtrip" ->
+      """SELECT user_id AS symbol, epoch_us(ts) AS ts, value AS close
+        |FROM events ORDER BY symbol, ts""".stripMargin,
     "q_join_bcast" ->
       """SELECT o_orderkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Indicators
+
+/** The reference engine's streaming entry point, Spark-first
+  * (/root/reference/spark/stock_analysis.py:43-54, 262-338):
+  * Kafka source → [[Parse.parse]] → per-micro-batch indicator pipeline →
+  * Kafka-shaped `(key, value)` records → sink, with processing-time
+  * trigger, update output mode, checkpointing, bounded offsets per
+  * trigger, restart-on-error, and a graceful-shutdown hook (T1-T7).
+  *
+  * The indicator math runs inside `foreachBatch` for exact reference
+  * parity (its windows are batch-scoped — quirk Q7), but as a NATIVE
+  * distributed window pipeline over the batch DataFrame — no driver
+  * collect, no pandas. Executors compute everything; the driver only
+  * coordinates offsets. At 100 TB/day the per-trigger work is bounded
+  * by `maxOffsetsPerTrigger` and scales out with Kafka partitions
+  * (one scan task per partition-range slice).
+  */
+object StreamingPipeline {
+
+  /** The 17 output columns — stock_analysis.py:244-261. */
+  val outputColumns: Seq[String] = Seq(
+    "symbol", "current_price", "time", "open", "high", "low", "close",
+    "volume", "date_str", "ma5", "ma20", "rsi",
+    "macd_line", "macd_signal", "macd_histogram", "suggestion", "reason")
+
+  /** Kafka streaming source with the reference's options
+    * (stock_analysis.py:43-54). Not exercised in tests (no broker in
+    * the container) — the transform chain is source-agnostic and tests
+    * drive it from MemoryStream.
+    */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String,
+      topic: String, maxOffsetsPerTrigger: Long = 20000L): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)                           // S1
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger) // T5
+      .option("failOnDataLoss", "false")                    // T6
+      .load()
+
+  /** Batch-scoped analytics (reference parity, Q7): enrich the parsed
+    * bars of ONE micro-batch over (symbol, timestamp).
+    */
+  def enrichBatch(parsed: DataFrame): DataFrame =
+    Indicators.enrich(parsed, col("symbol"),
+      Seq(col("timestamp"), col("time")), col("close"))
+
+  /** Kafka-shaped output records: key = symbol, value = to_json(struct
+    * of the 17 output columns) — stock_analysis.py:262-283 (S2/F6).
+    */
+  def toKafkaRecords(enriched: DataFrame): DataFrame =
+    enriched.select(
+      col("symbol").cast("string").as("key"),
+      to_json(struct(outputColumns.map(col): _*)).as("value"))
+
+  /** Start the full pipeline: parsed stream → foreachBatch(enrich →
+    * serialize → `sink`). The empty-batch guard (P10,
+    * stock_analysis.py:101) short-circuits idle triggers.
+    */
+  def start(parsed: DataFrame, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 minutes"),
+      queryName: String = "graft-indicators")(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    parsed.writeStream
+      .queryName(queryName)
+      .outputMode("update")                                 // T2
+      .trigger(trigger)                                     // T1
+      .option("checkpointLocation", checkpointDir)          // T4
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>  // T3
+        if (!batch.isEmpty) {                               // P10
+          sink(toKafkaRecords(enrichBatch(batch)), batchId)
+        }
+      }
+      .start()
+
+  /** Sink writing the (key, value) records to a Kafka topic —
+    * stock_analysis.py:278-283. Usable as the `sink` argument of
+    * [[start]].
+    */
+  def kafkaSink(bootstrapServers: String, topic: String)(
+      records: DataFrame, batchId: Long): Unit =
+    records.write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
+
+  /** Graceful shutdown (T7): stop the query on JVM termination —
+    * stock_analysis.py:306-321.
+    */
+  def stopOnShutdown(query: StreamingQuery): Unit =
+    sys.addShutdownHook {
+      if (query.isActive) query.stop()
+    }
+
+  /** Restart-on-error loop (T6): rebuild and re-await the query up to
+    * `maxRestarts` times — stock_analysis.py:324-338. The checkpoint
+    * makes restarts resume from committed offsets.
+    */
+  def awaitWithRestart(mkQuery: () => StreamingQuery,
+      maxRestarts: Int = 1): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try {
+        mkQuery().awaitTermination()
+        done = true
+      } catch {
+        case e: Throwable if attempts < maxRestarts =>
+          attempts += 1
+          System.err.println(
+            s"[graft-streaming] query failed (${e.getMessage}); restart $attempts/$maxRestarts")
+        case e: Throwable => throw e
+      }
+    }
+  }
+}

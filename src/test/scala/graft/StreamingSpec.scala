@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Parse, StreamingPipeline}
+
+/** End-to-end structured-streaming specs: MemoryStream of history-doc
+  * JSON → parse → foreachBatch indicator pipeline → Kafka-shaped
+  * (key, value) records, with trigger + checkpoint — the reference's
+  * whole entry point minus the broker (SURVEY §2.9 T1-T7).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def doc(symbol: String, price: Double, bars: Seq[(String, Double)]): String = {
+    val hist = bars.map { case (time, close) =>
+      s"""{"time":"$time","open":${close - 0.5},"high":${close + 1.0},""" +
+        s""""low":${close - 1.0},"close":$close,"volume":1000.0}"""
+    }.mkString("[", ",", "]")
+    s"""{"symbol":"$symbol","current_price":$price,"historical_data":$hist}"""
+  }
+
+  private val days = (1 to 25).map(i => f"2024-01-$i%02d")
+
+  test("parse flattens a history doc with derived time columns") {
+    val raw = Seq(doc("AAA", 12.5, days.take(3).map((_, 10.0)))).toDF("value")
+    val out = Parse.parse(raw)
+    assert(out.columns.toSeq === Seq("symbol", "current_price", "time",
+      "open", "high", "low", "close", "volume", "timestamp", "date_str"))
+    val rows = out.orderBy("time").collect()
+    assert(rows.length === 3)
+    assert(rows.head.getAs[String]("symbol") === "AAA")
+    assert(rows.head.getAs[String]("date_str") === "2024-01-01")
+    assert(rows.head.getAs[java.sql.Timestamp]("timestamp") != null)
+  }
+
+  test("malformed and schema-mismatched JSON null out, not crash") {
+    val raw = Seq("not json at all", """{"unrelated": 1}""").toDF("value")
+    val out = Parse.parse(raw).collect()
+    assert(out.isEmpty) // explode of null array drops the rows
+  }
+
+  test("full streaming pipeline: MemoryStream → trigger+checkpoint → 17-col Kafka records") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val checkpoint = Files.createTempDirectory("graft-ckpt").toString
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+    val parsed = Parse.parse(stream.toDF().select(col("value")))
+    val query = StreamingPipeline.start(parsed, checkpoint,
+        trigger = Trigger.ProcessingTime(0L), queryName = "graft-test") {
+      (records: DataFrame, _: Long) =>
+        collected ++= records.as[(String, String)].collect()
+    }
+    try {
+      stream.addData(
+        doc("AAA", 12.5, days.map((_, 10.0))),
+        doc("BBB", 99.0, days.zipWithIndex.map { case (d, i) => (d, 50.0 + i) }))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    assert(collected.map(_._1).toSet === Set("AAA", "BBB"))
+    assert(collected.size === 50)
+
+    // the serialized value must round-trip with the full 17-col schema
+    val values = collected.map(_._2).toSeq.toDF("value")
+    val ddl = "STRUCT<" + StreamingPipeline.outputColumns.map {
+      case c @ ("symbol" | "time" | "date_str" | "suggestion" | "reason") => s"$c: STRING"
+      case c => s"$c: DOUBLE"
+    }.mkString(", ") + ">"
+    val reparsed = values.select(
+        from_json(col("value"),
+          org.apache.spark.sql.types.DataType.fromDDL(ddl)).as("data"))
+      .select(col("data.*"))
+    assert(reparsed.columns.toSeq === StreamingPipeline.outputColumns)
+    val bbb = reparsed.filter(col("symbol") === "BBB").orderBy("date_str")
+    // monotone rise → RSI 0 from row 13 (quirk Q1), MA5 from row 4
+    val rsis = bbb.select("rsi").collect()
+    assert(rsis.take(13).forall(_.isNullAt(0)))
+    assert(rsis.drop(13).forall(_.getDouble(0) == 0.0))
+    val ma5 = bbb.select("ma5").collect()
+    assert(ma5.take(4).forall(_.isNullAt(0)))
+    assert(ma5(4).getDouble(0) === 52.0) // (50+51+52+53+54)/5
+    // checkpoint actually materialized (T4)
+    assert(new java.io.File(s"$checkpoint/offsets").list().nonEmpty)
+  }
+
+  test("empty-batch guard: idle trigger does not invoke the sink (P10)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val checkpoint = Files.createTempDirectory("graft-ckpt-empty").toString
+    var invocations = 0
+    val query = StreamingPipeline.start(
+        Parse.parse(stream.toDF().select(col("value"))), checkpoint,
+        trigger = Trigger.ProcessingTime(0L), queryName = "graft-empty") {
+      (_: DataFrame, _: Long) => invocations += 1
+    }
+    try query.processAllAvailable()
+    finally query.stop()
+    assert(invocations === 0)
+  }
+
+  test("restart-on-error rebuilds the query (T6)") {
+    var builds = 0
+    StreamingPipeline.awaitWithRestart({ () =>
+      builds += 1
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[String]
+      val q = StreamingPipeline.start(
+          Parse.parse(stream.toDF().select(col("value"))),
+          Files.createTempDirectory(s"graft-ckpt-r$builds").toString,
+          trigger = Trigger.ProcessingTime(0L),
+          queryName = s"graft-restart-$builds") { (_, _) => () }
+      if (builds == 1) {
+        q.stop(); throw new RuntimeException("injected failure")
+      }
+      q.stop()
+      q
+    }, maxRestarts = 1)
+    assert(builds === 2)
+  }
+}
