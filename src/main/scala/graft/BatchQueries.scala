@@ -113,7 +113,9 @@ object BatchQueries {
       val w = Window.partitionBy(col("symbol"))
         .orderBy(col("close").desc, col("ts"))
       SparkEntry.bars(s, d)
-        .withColumn("rn", row_number().over(w))
+        // cast: Spark row_number is int32, DuckDB's is int64 — keep the
+        // dumped schema identical for the driver's hash compare
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("symbol", "ts", "close", "rn")
         .orderBy("symbol", "rn")

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextStats}
+
+/** LLM-training-data pipeline queries over the `documents` fixture:
+  * text statistics, language-ID, fingerprinting, exact dedup, and
+  * MinHash-LSH near-dedup — each with an exact DuckDB oracle (the
+  * near-dup oracle is the brute-force pair join, which the LSH path
+  * must reproduce exactly: candidates are verified with exact Jaccard,
+  * so precision is exact and the band parameters are chosen so recall
+  * at the threshold is deterministic-complete on separated data).
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> ((s, d) =>
+      TextStats.addStats(docs(s, d), col("text"))
+        .select("doc_id", "n_chars", "n_tokens", "avg_token_len",
+          "punct_ratio", "stopword_cnt")
+        .orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, d) =>
+      TextStats.addLangId(docs(s, d), col("text"))
+        .select(("doc_id" +: TextStats.stopwordProfiles.map(p => s"score_${p._1}") :+ "lang_pred").map(col): _*)
+        .orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDedup(
+          docs(s, d).withColumn("fp", TextStats.fingerprint(col("text"))),
+          col("fp"), col("doc_id"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")),
+
+    "q_dedup_near_pairs" -> ((s, d) =>
+      Dedup.nearDupPairs(docs(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_a", "doc_b")),
+
+    "q_dedup_near" -> ((s, d) =>
+      Dedup.nearDedup(docs(s, d), col("doc_id"), col("text"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+  )
+
+  private val langScoresSql: String =
+    TextStats.stopwordProfiles.map { case (lang, words) =>
+      s"""len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b')) AS score_$lang"""
+    }.mkString(",\n  ")
+
+  private val langPredSql: String = {
+    val langs = TextStats.stopwordProfiles.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+      val cond = langs.drop(i + 1)
+        .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+
+  private val fpSql =
+    """md5(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  /** Brute-force shingle CTEs shared by the near-dup oracles. */
+  private val shingleCte =
+    """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS sh
+      |  FROM t
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split_regex(text, '\s+')) AS n_tokens,
+        |  CAST(length(text) - (len(string_split_regex(text, '\s+')) - 1) AS DOUBLE)
+        |    / len(string_split_regex(text, '\s+')) AS avg_token_len,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|that)\b')) AS stopword_cnt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""SELECT doc_id, ${TextStats.stopwordProfiles.map(p => s"score_${p._1}").mkString(", ")},
+         |  $langPredSql AS lang_pred
+         |FROM (
+         |  SELECT doc_id,
+         |  $langScoresSql
+         |  FROM documents
+         |) ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"SELECT doc_id, $fpSql AS fp FROM documents ORDER BY doc_id",
+    "q_dedup_exact" ->
+      s"""SELECT doc_id, fp FROM (
+         |  SELECT doc_id, $fpSql AS fp,
+         |    row_number() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn
+         |  FROM documents
+         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_near_pairs" ->
+      s"""WITH $shingleCte
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_near" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT DISTINCT doc_b FROM pairs WHERE jaccard >= 0.8)
+         |ORDER BY doc_id""".stripMargin,
+  )
+}

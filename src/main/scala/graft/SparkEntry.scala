@@ -77,7 +77,7 @@ object SparkEntry {
           "macd_line", "macd_signal", "macd_histogram", "suggestion", "reason")
         .orderBy("symbol", "ts")),
     )
-    indicator ++ BatchQueries.queries
+    indicator ++ BatchQueries.queries ++ LlmQueries.queries
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,5 +88,5 @@ object SparkEntry {
     "q_ind_rsi" -> OracleGen.qIndRsi,
     "q_ind_macd" -> OracleGen.qIndMacd,
     "q_ind_full" -> OracleGen.qIndFull,
-  ) ++ BatchQueries.oracleSql
+  ) ++ BatchQueries.oracleSql ++ LlmQueries.oracleSql
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token statistics, quality ratios, stopword-profile language ID, and
+  * content fingerprinting — all pure narrow column expressions (no
+  * UDFs, fully codegen'd), so they run embedded in the scan stage at
+  * any scale with zero shuffles.
+  */
+object TextStats {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Stopword profiles for the language-ID heuristic. Small,
+    * high-frequency function words per language; zh uses romanized
+    * particles as a stand-in (fixture texts are synthetic latin word
+    * soup, so the interesting property is exact deterministic scoring,
+    * not linguistic accuracy).
+    */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "ich"),
+    "es" -> Seq("el", "la", "que", "de", "y", "en", "un", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "que"))
+
+  /** Count of whole-word matches of any of `words` in `text`. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit("\\b(" + words.mkString("|") + ")\\b")).cast("long")
+
+  /** Append `n_chars, n_tokens, avg_token_len, punct_ratio,
+    * stopword_cnt` to `df`.
+    */
+  def addStats(df: DataFrame, text: Column): DataFrame = {
+    val nChars = length(text).cast("long")
+    val nTokens = size(tokens(text)).cast("long")
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTokens)
+      // single-space-joined tokens: chars minus separators over count —
+      // one FP division, deterministic across engines
+      .withColumn("avg_token_len",
+        (nChars - (nTokens - lit(1L))).cast("double") / nTokens)
+      .withColumn("punct_ratio",
+        regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / nChars)
+      .withColumn("stopword_cnt",
+        stopwordCount(text, stopwordProfiles.head._2))
+  }
+
+  /** Append per-language stopword scores `score_<lang>` and the argmax
+    * `lang_pred` (ties break toward the earlier profile — a fixed,
+    * documented order, mirrored exactly in the oracle SQL).
+    */
+  def addLangId(df: DataFrame, text: Column): DataFrame = {
+    val scored = stopwordProfiles.foldLeft(df) { case (acc, (lang, words)) =>
+      acc.withColumn(s"score_$lang", stopwordCount(lower(text), words))
+    }
+    val langs = stopwordProfiles.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((lang, i), elseBranch) =>
+        val rest = langs.drop(i + 1)
+        val isMax = rest.map(o => col(s"score_$lang") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(isMax, lit(lang)).otherwise(elseBranch)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Canonical content fingerprint: md5 of the case-folded,
+    * whitespace-collapsed text. Stable across engines (md5 is md5),
+    * usable as an exact-dedup key at any scale.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

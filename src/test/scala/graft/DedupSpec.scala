@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextStats}
+
+/** Goldens for the dedup + text-analysis operators on synthetic docs
+  * with known duplicate structure.
+  */
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 10
+  private val docs = Seq(
+    (0L, base.trim),
+    (1L, base.trim),                                   // exact duplicate of 0
+    // near-dup of 0/1: the repeated base has 9 distinct cyclic 3-gram
+    // shingles; one appended word adds exactly one → jaccard 9/10 = 0.9
+    (2L, (base + "extra").trim),
+    (3L, "completely different content about spark window functions and shuffles"),
+    (4L, ("spark " * 50).trim),                        // pathological repetition
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the smallest id per fingerprint") {
+    val kept = Dedup.exactDedup(
+        docs.withColumn("fp", TextStats.fingerprint(col("text"))),
+        col("fp"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 2L, 3L, 4L)) // 1 dropped as dup of 0
+  }
+
+  test("exactDedup is case/whitespace-normalizing via the fingerprint") {
+    val df = Seq((0L, "Hello  World"), (1L, "hello world"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(
+        df.withColumn("fp", TextStats.fingerprint(col("text"))),
+        col("fp"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 2L))
+  }
+
+  test("shingles: distinct word 3-grams, empty below 3 tokens") {
+    val out = Seq((0L, "a b c d"), (1L, "a b"), (2L, "x x x x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .orderBy("doc_id")
+      .as[(Long, Seq[String])].collect()
+    assert(out(0)._2.toSet === Set("a b c", "b c d"))
+    assert(out(1)._2.isEmpty)
+    assert(out(2)._2.toSeq === Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("nearDupPairs finds exact+near duplicates, not unrelated docs") {
+    val pairs = Dedup.nearDupPairs(docs, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))  // identical → jaccard 1.0
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("nearDupPairs jaccard values are exact") {
+    val j = Dedup.nearDupPairs(docs, col("doc_id"), col("text"))
+      .filter(col("doc_a") === 0 && col("doc_b") === 1)
+      .select("jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("nearDedup keeps smallest representative of each cluster") {
+    val kept = Dedup.nearDedup(docs, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 3L, 4L))
+  }
+
+  test("minhash signature is deterministic and partitioning-invariant") {
+    val sig = (n: Int) => docs.repartition(n)
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 32).as("sig"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(sig(1) === sig(5))
+  }
+
+  test("language-ID picks the profile with the most stopword hits") {
+    val df = Seq(
+      (0L, "the cat of the house and the dog is that"),
+      (1L, "der hund und die katze ist nicht ein der"),
+      (2L, "el perro y la casa que de los un"),
+      (3L, "le chien et les maisons des est une que"),
+    ).toDF("doc_id", "text")
+    val out = TextStats.addLangId(df, col("text"))
+      .select("doc_id", "lang_pred").orderBy("doc_id")
+      .as[(Long, String)].collect().map(_._2)
+    assert(out.toSeq === Seq("en", "de", "es", "fr"))
+  }
+
+  test("text stats goldens") {
+    val r = TextStats.addStats(Seq((0L, "ab cd, ef!")).toDF("doc_id", "text"),
+        col("text"))
+      .select("n_chars", "n_tokens", "avg_token_len", "punct_ratio")
+      .head()
+    assert(r.getLong(0) === 10L)
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 8.0 / 3.0)
+    assert(r.getDouble(3) === 2.0 / 10.0)
+  }
+}
