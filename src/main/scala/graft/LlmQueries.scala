@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextStats}
+import graft.operators.{Dedup, Similarity, TextStats}
 
 /** LLM-training-data pipeline queries over the `documents` fixture:
   * text statistics, language-ID, fingerprinting, exact dedup, and
@@ -50,6 +50,23 @@ object LlmQueries {
       Dedup.nearDedup(docs(s, d), col("doc_id"), col("text"))
         .select("doc_id")
         .orderBy("doc_id")),
+
+    // Exact cosine top-5 for query vectors 0..4 over the whole corpus —
+    // ranks only (FP sums are engine-order-sensitive; ranks are stable
+    // because neighbor cosines are well separated in the fixture).
+    "q_sim_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .orderBy("query_id", "rank")),
+
+    // LSH-bucketed approximate variant (the scale path). Approximate ⇒
+    // no SQL oracle; the driver records a rows-only check and
+    // SimilaritySpec asserts recall against the exact path.
+    "q_sim_lsh" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), Seq(0L, 1L, 2L, 3L, 4L), 5,
+          dim = 64)
+        .orderBy("query_id", "rank")),
   )
 
   private val langScoresSql: String =
@@ -123,5 +140,21 @@ object LlmQueries {
          |WHERE doc_id NOT IN (
          |  SELECT DISTINCT doc_b FROM pairs WHERE jaccard >= 0.8)
          |ORDER BY doc_id""".stripMargin,
+    "q_sim_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.qv, e.v)
+        |      / (sqrt(list_dot_product(q.qv, q.qv))
+        |         * sqrt(list_dot_product(e.v, e.v))) AS c
+        |  FROM q JOIN e ON e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM s
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q_sim_lsh: no oracle (approximate path) — rows-only check.
   )
 }

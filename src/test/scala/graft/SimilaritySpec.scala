@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Goldens for ANN search: exact brute force on planted geometry, and
+  * LSH recall on planted near-duplicates (where ANN must work) plus
+  * pruning behavior on the near-random fixture (where it must prune).
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 64
+  private def vec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)(r.nextGaussian().toFloat)
+  }
+  private def perturb(v: Array[Float], eps: Float, seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    v.map(x => x + eps * r.nextGaussian().toFloat)
+  }
+
+  // ids 0..4: independent random; 100+i: near-copy of i (cos ≈ 0.995)
+  private val planted = {
+    val bases = (0 to 4).map(i => (i.toLong, vec(i)))
+    val copies = bases.map { case (i, v) => (100L + i, perturb(v, 0.05f, 1000 + i.toInt)) }
+    val noise = (10 to 59).map(i => (i.toLong, vec(i * 7 + 1)))
+    (bases ++ copies ++ noise).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK: the planted near-copy is rank 1 for every query") {
+    val out = Similarity.bruteForceTopK(planted, col("vec_id"),
+        col("embedding"), Seq(0L, 1L, 2L, 3L, 4L), 3)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 100L, 1L -> 101L, 2L -> 102L, 3L -> 103L, 4L -> 104L))
+  }
+
+  test("cosine is symmetric and 1.0 on identical vectors") {
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(1.0, 2.0, 3.0)))
+      .toDF("id", "v")
+    val c = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(Similarity.cosine(col("a.v"), col("b.v"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-15)
+  }
+
+  test("lshTopK: planted near-duplicates are recalled at rank 1") {
+    val out = Similarity.lshTopK(planted, col("vec_id"), col("embedding"),
+        Seq(0L, 1L, 2L, 3L, 4L), 3, dim)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 100L, 1L -> 101L, 2L -> 102L, 3L -> 103L, 4L -> 104L))
+  }
+
+  test("lshTopK prunes: candidate work on the fixture is a fraction of brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    // count candidate pairs the LSH join produces (pre-ranking) by
+    // running with k = corpus size and counting rows per query
+    val cand = Similarity.lshTopK(emb, col("vec_id"), col("embedding"),
+        Seq(0L, 1L, 2L), n.toInt, dim)
+      .groupBy("query_id").count().select("count").as[Long].collect()
+    assert(cand.nonEmpty)
+    // each query must examine well under half the corpus
+    assert(cand.forall(_ < n / 2), s"candidates per query: ${cand.toSeq} of $n")
+  }
+
+  test("lsh results are deterministic across partitionings") {
+    val run = (p: Int) => Similarity.lshTopK(planted.repartition(p),
+        col("vec_id"), col("embedding"), Seq(0L, 1L, 2L), 5, dim)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(run(1) === run(6))
+  }
+}
