@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextStats}
+import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
 
 /** LLM-training-data pipeline queries over the `documents` fixture:
   * text statistics, language-ID, fingerprinting, exact dedup, and
@@ -67,6 +67,20 @@ object LlmQueries {
           col("vec_id"), col("embedding"), Seq(0L, 1L, 2L, 3L, 4L), 5,
           dim = 64)
         .orderBy("query_id", "rank")),
+
+    // Multimodal plumbing: text payloads viewed as opaque binary media,
+    // pushed through the typed per-partition feature-extraction path;
+    // n_bytes (payload size) is oracle-checkable, the stub features are
+    // covered by MultimodalSpec goldens.
+    "q_multimodal" -> ((s, d) => {
+      val media = Multimodal.asMedia(
+        docs(s, d).select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("content")), "txt")
+      Multimodal.extractFeatures(media)
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("n_bytes"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val langScoresSql: String =
@@ -156,5 +170,8 @@ object LlmQueries {
         |  FROM s
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // q_sim_lsh: no oracle (approximate path) — rows-only check.
+    "q_multimodal" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
