@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** Deduplication operators for a large-scale training-data pipeline.
   *
@@ -28,33 +29,46 @@ object Dedup {
       .filter(col("_rn") === 1)
       .drop("_rn")
 
-  /** Distinct word n-gram shingles of `text` (empty array below n
-    * tokens).
+  /** Distinct word n-gram shingles of a token array, built by zipping
+    * n shifted slices of the array (`zip_with` + `concat`).
+    *
+    * PERF NOTE — why not `transform(sequence(...), i =>
+    * element_at(toks, i+j))`: expressions referenced inside a
+    * higher-order-function lambda are re-evaluated PER ELEMENT (no CSE
+    * across lambda invocations), and `CollapseProject` happily inlines
+    * an upstream `split` into the lambda — observed as O(tokens²)
+    * re-splitting that pinned one core for minutes at sf0.1. With
+    * shifted slices the token source is referenced only ~n times per
+    * ROW, and the per-element lambda touches nothing but its own
+    * arguments.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, "\\s+")
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - n), i =>
-          concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))))
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    val len = size(toks) - (n - 1)
+    val slices = (1 to n).map(j => slice(toks, lit(j), len))
+    val joined = slices.reduceLeft((acc, s) =>
+      zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+    when(size(toks) >= n, array_distinct(joined))
       .otherwise(array().cast("array<string>"))
   }
 
-  /** k-minhash signature of a shingle array: for seed j,
-    * min over shingles of xxhash64(j, shingle). Fixed seeds ⇒
-    * deterministic across runs and partitionings.
+  /** Shingles directly from text (tokenized on whitespace). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(split(text, "\\s+"), n)
+
+  /** k-minhash signature of a shingle array — single-pass custom
+    * expression, see [[graft.functions.MinHashSignature]]. Fixed
+    * constants ⇒ deterministic across runs and partitionings.
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map(j =>
-      array_min(transform(shingleCol, s => xxhash64(lit(j), s)))): _*)
+    Bridge.column(
+      graft.functions.MinHashSignature(Bridge.expression(shingleCol), k))
 
-  /** LSH band keys: b bands of r contiguous signature rows, each
-    * hashed to one long. k must equal b*r.
+  /** b LSH band keys over the k-minhash signature — computed inside the
+    * same single pass ([[graft.functions.MinHashBands]]).
     */
-  def bandKeys(sigCol: Column, b: Int, r: Int): Column =
-    array((0 until b).map(j =>
-      xxhash64((lit(j) +: (0 until r).map(i =>
-        element_at(sigCol, j * r + i + 1))): _*)): _*)
+  def minhashBands(shingleCol: Column, k: Int, b: Int): Column =
+    Bridge.column(
+      graft.functions.MinHashBands(Bridge.expression(shingleCol), k, b))
 
   /** Near-duplicate pairs with exact Jaccard >= `threshold`.
     *
@@ -68,10 +82,11 @@ object Dedup {
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
-    val withSh = df.select(id.as("_id"), shingles(text, shingleN).as("_sh"))
+    val withSh = df
+      .select(id.as("_id"), split(text, "\\s+").as("_toks"))
+      .select(col("_id"), shinglesFromTokens(col("_toks"), shingleN).as("_sh"))
     val withBands = withSh
-      .withColumn("_bands", bandKeys(minhashSignature(col("_sh"), k), bands, r))
+      .withColumn("_bands", minhashBands(col("_sh"), k, bands))
       .select(col("_id"), col("_sh"),
         posexplode(col("_bands")).as(Seq("_band", "_bh")))
 
