@@ -156,6 +156,27 @@ object BatchQueries {
         .orderBy("symbol", "ts")
     }),
 
+    // E5 skew handling: two-phase salted aggregation — result must be
+    // EXACTLY the plain group-by (the oracle is the unsalted SQL), so
+    // this checks algebraic-decomposition correctness, not plausibility.
+    "q_skew_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedCountSum(
+          events(s, d), col("user_id"), col("value"))
+        .select(col("_key").as("symbol"), col("cnt"), col("sum_cents"))
+        .orderBy("symbol")),
+
+    // U2 randomSplit (stock_analysis.py:126-134): seeded 5-way split;
+    // split sizes are partitioning-dependent → rows-only check (the
+    // rebuild deliberately does NOT use this for correctness-bearing
+    // work — see SURVEY Q7).
+    "q_random_split" -> ((s, d) => {
+      val splits = SparkEntry.bars(s, d)
+        .randomSplit(Array.fill(5)(0.2), seed = 42L)
+      splits.zipWithIndex.map { case (part, i) =>
+        part.agg(count(lit(1)).as("cnt")).select(lit(i.toLong).as("split_id"), col("cnt"))
+      }.reduce(_ unionByName _).orderBy("split_id")
+    }),
+
     // Star-schema rollup through two broadcast joins + exact agg.
     "q_join_star" -> ((s, d) =>
       Tables.customer(s, d)
@@ -219,6 +240,11 @@ object BatchQueries {
     "q_parse_roundtrip" ->
       """SELECT user_id AS symbol, epoch_us(ts) AS ts, value AS close
         |FROM events ORDER BY symbol, ts""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT user_id AS symbol, count(*) AS cnt,
+        |  SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY symbol""".stripMargin,
+    // q_random_split: no oracle (partitioning-dependent) — rows-only.
     "q_join_bcast" ->
       """SELECT o_orderkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -68,6 +68,22 @@ object LlmQueries {
           dim = 64)
         .orderBy("query_id", "rank")),
 
+    // SimHash near-dup pairs (Hamming-banded, exact bit_count verify).
+    // Hash values are engine-internal → rows-only check; DedupSpec
+    // pins the semantics with goldens.
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(docs(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_a", "doc_b")),
+
+    // Embedding-cosine near-dup over documents' companion embeddings:
+    // LSH-bucketed self-join + exact cosine (approximate recall →
+    // rows-only; SimilaritySpec pins planted-pair behavior).
+    "q_cos_near_dup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), threshold = 0.3, dim = 64)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")),
+
     // Multimodal plumbing: text payloads viewed as opaque binary media,
     // pushed through the typed per-partition feature-extraction path;
     // n_bytes (payload size) is oracle-checkable, the stub features are

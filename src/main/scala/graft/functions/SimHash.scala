@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 64-bit SimHash of an `array<string>` feature column (charikar
+  * sign-random-projection over the implicit feature hash space):
+  * each feature votes ±1 on every bit of its XXH64 hash; the result
+  * sets the bits with positive vote sums. Near-duplicate texts differ
+  * in few features ⇒ few vote flips ⇒ small Hamming distance.
+  *
+  * Same design rationale as [[MinHashBase]]: one tight JVM pass per
+  * row (features hashed once, 64 counters updated inline) instead of
+  * 64 interpreted higher-order-function passes; CodegenFallback costs
+  * one call per row. Pure function of the input ⇒ deterministic
+  * across partitionings.
+  */
+case class SimHash(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "simhash"
+  override def dataType: DataType = LongType
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}

@@ -110,6 +110,48 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** 64-bit SimHash of a shingle array (single-pass custom expression,
+    * [[graft.functions.SimHash]]).
+    */
+  def simhash(shingleCol: Column): Column =
+    Bridge.column(graft.functions.SimHash(Bridge.expression(shingleCol)))
+
+  /** Near-duplicate pairs by SimHash Hamming distance <= `maxHamming`.
+    *
+    * Candidates come from banding the 64-bit hash into `bands` chunks
+    * and equi-joining on (band, chunk): by pigeonhole, any pair within
+    * Hamming distance < bands shares at least one exact chunk, so with
+    * the default 4 bands recall is COMPLETE for maxHamming <= 3 (and
+    * probabilistic above). Verification is an exact bit_count(xor).
+    * Same no-all-pairs shape as the MinHash path: the only join key is
+    * the 16-bit chunk.
+    */
+  def simhashNearDupPairs(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    val withSim = df
+      .select(id.as("_id"), split(text, "\\s+").as("_toks"))
+      .select(col("_id"),
+        simhash(shinglesFromTokens(col("_toks"), shingleN)).as("_sim"))
+    val chunks = withSim.select(col("_id"), col("_sim"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("_sim"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("_band", "_chunk")))
+    val left = chunks.select(col("_band"), col("_chunk"),
+      col("_id").as("_ida"), col("_sim").as("_sima"))
+    val right = chunks.select(col("_band"), col("_chunk"),
+      col("_id").as("_idb"), col("_sim").as("_simb"))
+    left.join(right, Seq("_band", "_chunk"))
+      .filter(col("_ida") < col("_idb"))
+      .dropDuplicates("_ida", "_idb")
+      .withColumn("hamming",
+        bit_count(col("_sima").bitwiseXOR(col("_simb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),
+        col("hamming"))
+  }
+
   /** Greedy near-dedup: drop every document that appears as the larger
     * id of a near-duplicate pair; keep the rest.
     */

@@ -44,6 +44,16 @@ object StreamingPipeline {
       .option("failOnDataLoss", "false")                    // T6
       .load()
 
+  /** Streaming exact dedup (extension E1 — fixes reference quirk Q8:
+    * each DAG run re-sends full history and nothing dedups). Stateful
+    * `dropDuplicatesWithinWatermark` on the natural key: state is
+    * bounded by the watermark horizon, so it runs forever at any rate;
+    * re-sent (symbol, time) bars inside the horizon are dropped.
+    */
+  def dedupStream(parsed: DataFrame, watermark: String = "24 hours"): DataFrame =
+    parsed.withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark("symbol", "time")
+
   /** Batch-scoped analytics (reference parity, Q7): enrich the parsed
     * bars of ONE micro-batch over (symbol, timestamp).
     */

@@ -82,6 +82,39 @@ class DedupSpec extends AnyFunSuite {
     assert(sig(1) === sig(5))
   }
 
+  // SimHash needs MANY features for its vote margins to concentrate
+  // (flip probability per bit ~ changed/sqrt(total)); the tiny `docs`
+  // above (9 shingles) flip ~half their margin-1 bits on a single edit.
+  // These docs mirror the fixture regime: ~300 distinct shingles.
+  private val bigDocs = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.fill(500)(rnd.alphanumeric.take(6).mkString)
+    def fresh() = Array.fill(300)(vocab(rnd.nextInt(vocab.length)))
+    val d0 = fresh()
+    val d2 = d0.clone(); for (i <- Seq(50, 150, 250)) d2(i) = "changed" + i
+    Seq((0L, d0.mkString(" ")), (1L, d0.mkString(" ")),
+      (2L, d2.mkString(" ")), (3L, fresh().mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  test("simhash: identical docs hash identically; near-dups within small hamming") {
+    val sims = bigDocs.select(col("doc_id"),
+        Dedup.simhash(Dedup.shingles(col("text"), 3)).as("sim"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    assert(sims(0L) === sims(1L)) // identical text → identical hash
+    val near = java.lang.Long.bitCount(sims(0L) ^ sims(2L))
+    val far = java.lang.Long.bitCount(sims(0L) ^ sims(3L))
+    assert(near <= 3, s"near-dup hamming $near")
+    assert(far > 10, s"unrelated hamming $far")
+  }
+
+  test("simhashNearDupPairs finds the planted cluster, skips unrelated") {
+    val pairs = Dedup.simhashNearDupPairs(bigDocs, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("language-ID picks the profile with the most stopword hits") {
     val df = Seq(
       (0L, "the cat of the house and the dog is that"),

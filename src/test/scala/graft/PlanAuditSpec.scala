@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make these queries scale
+  * are asserted, not assumed — a future change that silently introduces
+  * a cartesian product, drops a broadcast, loses filter pushdown, or
+  * adds a shuffle to the window pipeline fails here.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("no query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filter(q => plan(q).contains("CartesianProduct"))
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(plan("q_join_bcast").contains("BroadcastHashJoin"))
+    // two dims → two broadcast joins, zero shuffle joins
+    val star = plan("q_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(star).size === 2)
+    assert(!star.contains("SortMergeJoin"))
+  }
+
+  test("brute-force ANN broadcasts the QUERY side, scans the corpus once") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"))
+  }
+
+  test("LSH joins are equi-joins on band/bucket keys (hash-joinable)") {
+    assert(!plan("q_dedup_near_pairs").contains("NestedLoop"))
+    assert(!plan("q_sim_lsh").contains("NestedLoop"))
+    assert(!plan("q_simhash_pairs").contains("NestedLoop"))
+  }
+
+  test("equality filter pushes into the parquet scan with column pruning") {
+    val p = plan("q_filter_eq")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]"),
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"), "unused wide column not pruned")
+  }
+
+  test("limit+sort plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_limit_sort").contains("TakeOrderedAndProject"))
+  }
+
+  test("indicator pipeline shuffles ONCE on symbol (all windows share it)") {
+    val p = plan("q_ind_full")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected 1 symbol shuffle, got $hashExchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("all MA lag frames land in ONE Window operator (shared sort)") {
+    val p = plan("q_ind_ma")
+    assert("\\+- Window ".r.findAllIn(p).size === 1, p)
+  }
+
+  test("whole-stage codegen covers the indicator arithmetic (final AQE plan)") {
+    val df = SparkEntry.queries("q_ind_ma")(spark, dir)
+    df.collect() // execute THIS plan so AQE finalizes it (count() derives a new one)
+    val p = df.queryExecution.executedPlan.toString
+    // AQE simple strings mark WholeStageCodegen spans with "*(n)"
+    assert(p.contains("isFinalPlan=true") && "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p.take(400))
+  }
+}

@@ -70,6 +70,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cand.forall(_ < n / 2), s"candidates per query: ${cand.toSeq} of $n")
   }
 
+  test("cosineNearDupPairs finds planted near-copies, no all-pairs blowup") {
+    val pairs = Similarity.cosineNearDupPairs(planted, col("vec_id"),
+        col("embedding"), threshold = 0.9, dim = dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((0 to 4).forall(i => pairs.contains((i.toLong, 100L + i))))
+    // random noise vectors must not pair at 0.9
+    assert(pairs.forall { case (a, b) => b == a + 100 })
+  }
+
   test("lsh results are deterministic across partitionings") {
     val run = (p: Int) => Similarity.lshTopK(planted.repartition(p),
         col("vec_id"), col("embedding"), Seq(0L, 1L, 2L), 5, dim)

@@ -107,6 +107,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(invocations === 0)
   }
 
+  test("streaming dedup drops re-sent bars across micro-batches (E1/Q8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val checkpoint = Files.createTempDirectory("graft-ckpt-dedup").toString
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val deduped = StreamingPipeline.dedupStream(
+      Parse.parse(stream.toDF().select(col("value"))))
+    val query = deduped.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emitted += batch.count()
+        ()
+      }
+      .start()
+    try {
+      stream.addData(doc("AAA", 10.0, days.take(5).map((_, 10.0))))
+      query.processAllAvailable()
+      // the reference's DAG re-sends the identical history every run
+      stream.addData(doc("AAA", 10.0, days.take(5).map((_, 10.0))))
+      query.processAllAvailable()
+      stream.addData(doc("AAA", 10.0, days.slice(5, 7).map((_, 11.0))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val counts = emitted.filter(_ > 0)
+    assert(counts.head === 5)            // first batch: all new
+    assert(counts.sum === 7)             // resend contributed nothing
+  }
+
   test("restart-on-error rebuilds the query (T6)") {
     var builds = 0
     StreamingPipeline.awaitWithRestart({ () =>
