@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{Ema, MinHashBands, MinHashSignature, SimHash}
+
+/** SQL surface for graft's custom expressions.
+  *
+  * Two registration paths:
+  *  - builder-time: `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `.withExtensions(new GraftExtensions)`) — the standard drop-in
+  *    library mechanism;
+  *  - live session: `GraftFunctions.register(spark)` for sessions that
+  *    already exist (tests, notebooks).
+  *
+  * After either, plain SQL works:
+  * {{{
+  *   SELECT ema(close, 2.0/13.0) OVER
+  *     (PARTITION BY symbol ORDER BY ts
+  *      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  *   FROM bars
+  * }}}
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
+
+  /** name → (usage doc, builder). */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("ema",
+      "ema(x, alpha) - recursive exponential moving average window function",
+      c => Ema(c(0), c(1))),
+    ("simhash",
+      "simhash(array<string>) - 64-bit SimHash of a feature array",
+      c => SimHash(c(0))),
+    ("minhash_signature",
+      "minhash_signature(array<string>, k) - k-component MinHash signature",
+      c => MinHashSignature(c(0), intArg(c(1), "minhash_signature k"))),
+    ("minhash_bands",
+      "minhash_bands(array<string>, k, b) - b LSH band keys over a k-MinHash",
+      c => MinHashBands(c(0), intArg(c(1), "minhash_bands k"),
+        intArg(c(2), "minhash_bands b"))))
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, usage), builder))
+    }
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

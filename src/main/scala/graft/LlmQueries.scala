@@ -22,7 +22,7 @@ object LlmQueries {
     "q_text_stats" -> ((s, d) =>
       TextStats.addStats(docs(s, d), col("text"))
         .select("doc_id", "n_chars", "n_tokens", "avg_token_len",
-          "punct_ratio", "stopword_cnt")
+          "punct_ratio", "stopword_cnt", "n_subtokens")
         .orderBy("doc_id")),
 
     "q_lang_id" -> ((s, d) =>
@@ -142,7 +142,8 @@ object LlmQueries {
         |    / len(string_split_regex(text, '\s+')) AS avg_token_len,
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
         |    / length(text) AS punct_ratio,
-        |  len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|that)\b')) AS stopword_cnt
+        |  len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|that)\b')) AS stopword_cnt,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_subtokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""SELECT doc_id, ${TextStats.stopwordProfiles.map(p => s"score_${p._1}").mkString(", ")},

@@ -37,13 +37,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class Ema(input: Expression, alpha: Expression)
     extends AggregateWindowFunction
-    with BinaryLike[Expression] {
+    with BinaryLike[Expression]
+    with ImplicitCastInputTypes {
 
   override def left: Expression = input
   override def right: Expression = alpha
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "ema"
+  // coerce SQL-literal alphas (e.g. `2.0/13.0` is DECIMAL(8,6)) and
+  // non-double inputs — required for the registered SQL surface
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
 
   private lazy val ema =
     AttributeReference("ema", DoubleType, nullable = true)()

@@ -46,6 +46,11 @@ object TextStats {
         regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / nChars)
       .withColumn("stopword_cnt",
         stopwordCount(text, stopwordProfiles.head._2))
+      // BPE-ish subword count: letter runs, single digits, punctuation
+      // marks — the pre-tokenization pattern BPE vocabularies split on
+      // (simplified to a dialect-portable regex)
+      .withColumn("n_subtokens",
+        regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long"))
   }
 
   /** Append per-language stopword scores `score_<lang>` and the argmax

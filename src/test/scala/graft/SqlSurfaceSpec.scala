@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Ema
+
+/** The registered SQL surface: graft's custom expressions must be
+  * callable from plain `spark.sql` text.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("ema() works as a SQL window function") {
+    Seq(("A", 0L, 10.0), ("A", 1L, 11.0), ("A", 2L, 12.0))
+      .toDF("symbol", "ts", "close").createOrReplaceTempView("bars_sql")
+    // 2.0D/13.0D: decimal literals would fold at DECIMAL(8,6) precision
+    val out = spark.sql(
+      """SELECT ema(close, 2.0D/13.0D) OVER
+        |  (PARTITION BY symbol ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        |FROM bars_sql ORDER BY ts""".stripMargin)
+      .as[Double].collect()
+    val a = Ema.alphaForSpan(12)
+    assert(out(0) === 10.0)
+    assert(out(1) === a * 11.0 + (1 - a) * 10.0)
+    assert(out(2) === a * 12.0 + (1 - a) * out(1))
+  }
+
+  test("simhash()/minhash SQL functions run and agree with the DSL") {
+    Seq((0L, "a b c d e f g"), (1L, "a b c d e f g"), (2L, "x y z w v u t"))
+      .toDF("doc_id", "text").createOrReplaceTempView("docs_sql")
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |  simhash(split(text, '\\s+')) AS sh,
+        |  minhash_signature(split(text, '\\s+'), 8) AS sig,
+        |  minhash_bands(split(text, '\\s+'), 8, 4) AS bands
+        |FROM docs_sql ORDER BY doc_id""".stripMargin).collect()
+    assert(sql(0).getLong(1) === sql(1).getLong(1))   // identical docs
+    assert(sql(0).getLong(1) !== sql(2).getLong(1))
+    assert(sql(0).getSeq[Long](2).length === 8)
+    assert(sql(0).getSeq[Long](3).length === 4)
+    assert(sql(0).getSeq[Long](3) === sql(1).getSeq[Long](3))
+  }
+
+  test("misuse: non-literal k yields a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('a'), doc_id) FROM (SELECT 1L AS doc_id)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
