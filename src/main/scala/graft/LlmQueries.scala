@@ -84,6 +84,14 @@ object LlmQueries {
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")),
 
+    // IVF variant (the other scale path): deterministic k-means coarse
+    // quantizer, nprobe cluster probing, exact rerank. Approximate →
+    // rows-only; SimilaritySpec pins planted recall.
+    "q_sim_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .orderBy("query_id", "rank")),
+
     // Multimodal plumbing: text payloads viewed as opaque binary media,
     // pushed through the typed per-partition feature-extraction path;
     // n_bytes (payload size) is oracle-checkable, the stub features are

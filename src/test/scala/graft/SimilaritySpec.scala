@@ -79,6 +79,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => b == a + 100 })
   }
 
+  test("ivfTopK: planted near-duplicates are recalled at rank 1") {
+    val out = Similarity.ivfTopK(planted, col("vec_id"), col("embedding"),
+        Seq(0L, 1L, 2L, 3L, 4L), 3, c = 8, nprobe = 2)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 100L, 1L -> 101L, 2L -> 102L, 3L -> 103L, 4L -> 104L))
+  }
+
+  test("ivf index is deterministic across partitionings") {
+    val run = (p: Int) => Similarity.ivfTopK(planted.repartition(p),
+        col("vec_id"), col("embedding"), Seq(0L, 1L, 2L), 5, c = 8, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(run(1) === run(6))
+  }
+
   test("lsh results are deterministic across partitionings") {
     val run = (p: Int) => Similarity.lshTopK(planted.repartition(p),
         col("vec_id"), col("embedding"), Seq(0L, 1L, 2L), 5, dim)
