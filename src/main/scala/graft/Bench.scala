@@ -22,6 +22,10 @@ object Bench {
       case c => c.toString
     } + "\""
 
+    // absorb JIT/codegen/session warmup so the first timed query isn't
+    // charged ~4s of one-time cost
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -89,7 +89,8 @@ object LlmQueries {
     // rows-only; SimilaritySpec pins planted recall.
     "q_sim_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d),
-          col("vec_id"), col("embedding"), Seq(0L, 1L, 2L, 3L, 4L), 5)
+          col("vec_id"), col("embedding"), Seq(0L, 1L, 2L, 3L, 4L), 5,
+          iterations = 1)
         .orderBy("query_id", "rank")),
 
     // Multimodal plumbing: text payloads viewed as opaque binary media,

@@ -29,27 +29,20 @@ object Dedup {
       .filter(col("_rn") === 1)
       .drop("_rn")
 
-  /** Distinct word n-gram shingles of a token array, built by zipping
-    * n shifted slices of the array (`zip_with` + `concat`).
+  /** Distinct word n-gram shingles of a token array — single-pass
+    * custom expression ([[graft.functions.Shingles]]).
     *
-    * PERF NOTE — why not `transform(sequence(...), i =>
-    * element_at(toks, i+j))`: expressions referenced inside a
-    * higher-order-function lambda are re-evaluated PER ELEMENT (no CSE
-    * across lambda invocations), and `CollapseProject` happily inlines
-    * an upstream `split` into the lambda — observed as O(tokens²)
-    * re-splitting that pinned one core for minutes at sf0.1. With
-    * shifted slices the token source is referenced only ~n times per
-    * ROW, and the per-element lambda touches nothing but its own
-    * arguments.
+    * PERF HISTORY (why not built-ins): `transform(sequence(...), i =>
+    * element_at(toks, i+j))` re-evaluates expressions referenced inside
+    * the lambda PER ELEMENT (no CSE), and `CollapseProject` inlines an
+    * upstream `split` into the lambda — observed as O(tokens²)
+    * re-splitting that pinned one core for minutes at sf0.1. The
+    * zip_with-over-shifted-slices form fixed the asymptotics but still
+    * paid interpreted per-element lambda evaluation; the custom node
+    * is one JVM pass per row.
     */
-  def shinglesFromTokens(toks: Column, n: Int): Column = {
-    val len = size(toks) - (n - 1)
-    val slices = (1 to n).map(j => slice(toks, lit(j), len))
-    val joined = slices.reduceLeft((acc, s) =>
-      zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
-    when(size(toks) >= n, array_distinct(joined))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    Bridge.column(graft.functions.Shingles(Bridge.expression(toks), n))
 
   /** Shingles directly from text (tokenized on whitespace). */
   def shingles(text: Column, n: Int): Column =
