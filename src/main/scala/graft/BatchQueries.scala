@@ -177,6 +177,42 @@ object BatchQueries {
       }.reduce(_ unionByName _).orderBy("split_id")
     }),
 
+    // ROLLUP grouping sets (beyond-reference completeness): subtotal
+    // rows carry NULL group keys in both engines; NULLS FIRST ordering
+    // stated explicitly (Spark defaults NULLS FIRST for ASC, DuckDB
+    // NULLS LAST — the oracle says NULLS FIRST too).
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // RANGE window frame (value-based, not row-based): events in the
+    // trailing hour per row — integer count, exact on both engines.
+    "q_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("symbol")).orderBy(col("ts"))
+        .rangeBetween(-3600000000L, 0L) // 1h in µs
+      SparkEntry.bars(s, d)
+        .withColumn("cnt_1h", count(lit(1)).over(w).cast("long"))
+        .select("symbol", "ts", "cnt_1h")
+        .orderBy("symbol", "ts")
+    }),
+
+    // Ranking family: rank / dense_rank / ntile over per-symbol close
+    // ordering (ts tiebreaker makes every rank deterministic).
+    "q_rank_fns" -> ((s, d) => {
+      val w = Window.partitionBy(col("symbol"))
+        .orderBy(col("close").desc, col("ts"))
+      SparkEntry.bars(s, d)
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .select("symbol", "ts", "rnk", "drnk", "quartile")
+        .orderBy("symbol", "ts")
+    }),
+
     // Star-schema rollup through two broadcast joins + exact agg.
     "q_join_star" -> ((s, d) =>
       Tables.customer(s, d)
@@ -245,6 +281,27 @@ object BatchQueries {
         |  SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
         |FROM events GROUP BY user_id ORDER BY symbol""".stripMargin,
     // q_random_split: no oracle (partitioning-dependent) — rows-only.
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_range_frame" ->
+      """SELECT user_id AS symbol, epoch_us(ts) AS ts,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS cnt_1h
+        |FROM events ORDER BY symbol, ts""".stripMargin,
+    "q_rank_fns" ->
+      """WITH b AS (
+        |  SELECT user_id AS symbol, epoch_us(ts) AS ts, value AS close
+        |  FROM events
+        |)
+        |SELECT symbol, ts,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile
+        |FROM b WINDOW w AS (PARTITION BY symbol ORDER BY close DESC, ts)
+        |ORDER BY symbol, ts""".stripMargin,
     "q_join_bcast" ->
       """SELECT o_orderkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey
