@@ -76,6 +76,25 @@ object SparkEntry {
         .select("symbol", "ts", "close", "ma5", "ma20", "rsi",
           "macd_line", "macd_signal", "macd_histogram", "suggestion", "reason")
         .orderBy("symbol", "ts")),
+
+    // The stateful streaming engine run in batch mode — MUST match the
+    // same oracle as q_ind_full (the flatMapGroupsWithState fold and
+    // the window pipeline are FP-bit-equal by construction), which
+    // puts the streaming state machine under the DuckDB gate too.
+    "q_ind_stateful" -> ((s, dir) => {
+      import graft.streaming.{Bar, StatefulIndicators}
+      import StatefulIndicators._
+      val ds = bars(s, dir)
+        .select(col("symbol").cast("string").as("symbol"), col("ts"),
+          col("close"))
+        .as[Bar](barEnc)
+      StatefulIndicators.enrich(ds).toDF()
+        .select(col("symbol").cast("long").as("symbol"), col("ts"),
+          col("close"), col("ma5"), col("ma20"), col("rsi"),
+          col("macd_line"), col("macd_signal"), col("macd_histogram"),
+          col("suggestion"), col("reason"))
+        .orderBy("symbol", "ts")
+    }),
     )
     indicator ++ BatchQueries.queries ++ LlmQueries.queries
   }
@@ -88,5 +107,6 @@ object SparkEntry {
     "q_ind_rsi" -> OracleGen.qIndRsi,
     "q_ind_macd" -> OracleGen.qIndMacd,
     "q_ind_full" -> OracleGen.qIndFull,
+    "q_ind_stateful" -> OracleGen.qIndFull,
   ) ++ BatchQueries.oracleSql ++ LlmQueries.oracleSql
 }
