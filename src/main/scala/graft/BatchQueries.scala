@@ -200,6 +200,19 @@ object BatchQueries {
         .orderBy("symbol", "ts")
     }),
 
+    // first_value/last_value analytics with explicit full-partition
+    // frames (the defaults differ subtly per engine; the frame is
+    // stated on both sides).
+    "q_first_last" -> ((s, d) => {
+      val wFull = Window.partitionBy(col("symbol")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      SparkEntry.bars(s, d)
+        .withColumn("first_close", first(col("close")).over(wFull))
+        .withColumn("last_close", last(col("close")).over(wFull))
+        .select("symbol", "ts", "close", "first_close", "last_close")
+        .orderBy("symbol", "ts")
+    }),
+
     // Ranking family: rank / dense_rank / ntile over per-symbol close
     // ordering (ts tiebreaker makes every rank deterministic).
     "q_rank_fns" -> ((s, d) => {
@@ -291,6 +304,14 @@ object BatchQueries {
         |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS cnt_1h
         |FROM events ORDER BY symbol, ts""".stripMargin,
+    "q_first_last" ->
+      """SELECT user_id AS symbol, epoch_us(ts) AS ts, value AS close,
+        |  first_value(value) OVER w AS first_close,
+        |  last_value(value) OVER w AS last_close
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY symbol, ts""".stripMargin,
     "q_rank_fns" ->
       """WITH b AS (
         |  SELECT user_id AS symbol, epoch_us(ts) AS ts, value AS close
