@@ -30,6 +30,22 @@ object LlmQueries {
         .select(("doc_id" +: TextStats.stopwordProfiles.map(p => s"score_${p._1}") :+ "lang_pred").map(col): _*)
         .orderBy("doc_id")),
 
+    // Composite quality score over the stat columns — one small fixed
+    // FP expression, mirrored exactly in the oracle.
+    "q_quality" -> ((s, d) =>
+      TextStats.addStats(docs(s, d), col("text"))
+        .withColumn("quality", TextStats.qualityScore)
+        .select("doc_id", "quality")
+        .orderBy("doc_id")),
+
+    // Char-bigram n-gram language-ID variant (exact-parity scoring,
+    // like the stopword profile).
+    "q_lang_ngram" -> ((s, d) =>
+      TextStats.addCharNgramLangId(docs(s, d), col("text"))
+        .select(("doc_id" +: TextStats.charNgramProfiles.map(p => s"ngram_${p._1}")
+          :+ "lang_pred_ngram").map(col): _*)
+        .orderBy("doc_id")),
+
     "q_fingerprint" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
@@ -162,6 +178,37 @@ object LlmQueries {
          |  $langScoresSql
          |  FROM documents
          |) ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |      / length(text) AS punct_ratio,
+        |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|that)\b')) AS stopword_cnt
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4)
+        |  + ((1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3)
+        |  + (least(CAST(stopword_cnt AS DOUBLE) * 10.0 / n_tokens, 1.0) * 0.3) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_lang_ngram" -> {
+      val scores = TextStats.charNgramProfiles.map { case (lang, grams) =>
+        s"""len(regexp_extract_all(lower(text), '(${grams.mkString("|")})')) AS ngram_$lang"""
+      }.mkString(",\n  ")
+      val langs = TextStats.charNgramProfiles.map(_._1)
+      val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+        val cond = langs.drop(i + 1)
+          .map(o => s"ngram_$lang >= ngram_$o").mkString(" AND ")
+        s"WHEN $cond THEN '$lang'"
+      }.mkString(" ")
+      s"""SELECT doc_id, ${langs.map(l => s"ngram_$l").mkString(", ")},
+         |  CASE $cases ELSE '${langs.last}' END AS lang_pred_ngram
+         |FROM (SELECT doc_id,
+         |  $scores
+         |  FROM documents
+         |) ORDER BY doc_id""".stripMargin
+    },
     "q_fingerprint" ->
       s"SELECT doc_id, $fpSql AS fp FROM documents ORDER BY doc_id",
     "q_dedup_exact" ->

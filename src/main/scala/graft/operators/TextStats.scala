@@ -72,6 +72,48 @@ object TextStats {
     scored.withColumn("lang_pred", pred)
   }
 
+  /** Composite quality score in [0,1] from the stat columns (requires
+    * [[addStats]] upstream): long-enough docs with low punctuation
+    * noise and a natural stopword rate score high. Weights are fixed
+    * and the arithmetic is a small fixed FP expression — mirrored
+    * exactly in the oracle SQL.
+    */
+  def qualityScore: Column = {
+    val lengthTerm = least(col("n_tokens").cast("double") / lit(100.0), lit(1.0))
+    val punctTerm = lit(1.0) - least(col("punct_ratio") * lit(5.0), lit(1.0))
+    val stopTerm = least(col("stopword_cnt").cast("double") * lit(10.0) /
+      col("n_tokens"), lit(1.0))
+    (lengthTerm * lit(0.4)) + (punctTerm * lit(0.3)) + (stopTerm * lit(0.3))
+  }
+
+  /** Character-bigram profiles for the n-gram language-ID variant —
+    * high-frequency bigrams per language (regex-portable, RE2 + Java).
+    */
+  val charNgramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "in", "er", "an"),
+    "de" -> Seq("en", "er", "ch", "de", "ei"),
+    "es" -> Seq("de", "en", "el", "la", "os"),
+    "fr" -> Seq("es", "le", "de", "en", "on"))
+
+  /** Append `ngram_<lang>` char-bigram counts and the argmax
+    * `lang_pred_ngram` (same fixed tie-break order as [[addLangId]]).
+    */
+  def addCharNgramLangId(df: DataFrame, text: Column): DataFrame = {
+    val scored = charNgramProfiles.foldLeft(df) { case (acc, (lang, grams)) =>
+      acc.withColumn(s"ngram_$lang",
+        regexp_count(lower(text), lit("(" + grams.mkString("|") + ")"))
+          .cast("long"))
+    }
+    val langs = charNgramProfiles.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((lang, i), elseBranch) =>
+        val isMax = langs.drop(i + 1)
+          .map(o => col(s"ngram_$lang") >= col(s"ngram_$o")).reduce(_ && _)
+        when(isMax, lit(lang)).otherwise(elseBranch)
+    }
+    scored.withColumn("lang_pred_ngram", pred)
+  }
+
   /** Canonical content fingerprint: md5 of the case-folded,
     * whitespace-collapsed text. Stable across engines (md5 is md5),
     * usable as an exact-dedup key at any scale.
