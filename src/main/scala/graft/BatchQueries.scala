@@ -289,14 +289,18 @@ object BatchQueries {
     "q_parse_roundtrip" ->
       """SELECT user_id AS symbol, epoch_us(ts) AS ts, value AS close
         |FROM events ORDER BY symbol, ts""".stripMargin,
+    // CAST(SUM(...) AS BIGINT): DuckDB's SUM(BIGINT) returns HUGEINT
+    // (int128), which lands as float64 in the driver's compare frame and
+    // fails the dtype-sensitive hash despite cell-identical values.
     "q_skew_agg" ->
       """SELECT user_id AS symbol, count(*) AS cnt,
-        |  SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY user_id ORDER BY symbol""".stripMargin,
     // q_random_split: no oracle (partitioning-dependent) — rows-only.
+    // CAST(SUM(...) AS BIGINT): same HUGEINT dtype artifact as q_skew_agg.
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        |  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_range_frame" ->
