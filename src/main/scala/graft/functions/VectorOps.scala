@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Single-pass vector math for the similarity-search family.
+  *
+  * Why custom expressions: the higher-order-function composition
+  * (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) evaluates an
+  * interpreted lambda PER ELEMENT, and every column that references a
+  * derived dot product re-evaluates the whole chain (Catalyst does not
+  * CSE across expression references). The sign-LSH bucketing needed
+  * tables x bits separate dot-product columns per row — measured at
+  * ~28% of the whole bench (VERDICT round 2). These nodes do the same
+  * arithmetic in one tight JVM loop per ROW, in the SAME float
+  * operation order as the sequential HOF fold, so results are
+  * bit-identical to the previous composition and deterministic across
+  * partitionings.
+  *
+  * CodegenFallback is deliberate (same argument as [[MinHashBase]]):
+  * one virtual call per row, with O(dim) — or O(tables·bits·dim) —
+  * tight-loop work inside, is negligible against the loop body; the
+  * boundary cost is measured in BenchOne (see SCALE.md).
+  */
+
+/** `dot_product(a, b)` — ordered-fold dot product of two
+  * `array<double>` columns (sequential sum from index 0, the exact FP
+  * order of `aggregate(zip_with(...))`).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "dot_product"
+  override def dataType: DataType = DoubleType
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot products of a vector against a constant row matrix — all rows
+  * in one pass: `mat_vec_dots(v)(i) = dot(v, rows(i))`. Used for IVF
+  * centroid scoring (c dots + argmax read the input vector once
+  * instead of c interpreted lambda passes).
+  *
+  * `rows` is Seq-of-Seq for structural equality in the plan tree; a
+  * flattened primitive copy is built lazily per task for the loop.
+  */
+case class MatVecDots(child: Expression, rows: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "mat_vec_dots"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private val nRows = rows.length
+  private val dim = if (rows.isEmpty) 0 else rows.head.length
+  @transient private lazy val flat: Array[Double] = rows.flatten.toArray
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Double](nRows)
+    var r = 0
+    while (r < nRows) {
+      val base = r * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += v.getDouble(i) * flat(base + i)
+        i += 1
+      }
+      out(r) = s
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecDots =
+    copy(child = newChild)
+}
+
+/** All `tables` sign-LSH bucket keys of a vector in one pass:
+  * key(t) = fold over bits b of `key*2 + (dot(v, plane(t)(b)) >= 0)`.
+  *
+  * Hyperplanes are regenerated from `(dim, bits, tables, seed)` inside
+  * the expression (same fixed-seed Gaussian stream as
+  * `Similarity.hyperplanes`), so the plan tree carries four scalars
+  * instead of tables x bits x dim literals, and executors rebuild the
+  * planes locally — no closure shipping, bit-stable everywhere.
+  */
+case class SignLshBuckets(child: Expression, dim: Int, bits: Int,
+    tables: Int, seed: Long) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "sign_lsh_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // row-major (table, bit, component) — identical stream order to
+  // Similarity.hyperplanes(dim, bits, tables, seed)
+  @transient private lazy val flat: Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables * bits * dim)(rnd.nextGaussian())
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += v.getDouble(i) * flat(base + i)
+          i += 1
+        }
+        key = key * 2 + (if (s >= 0.0) 1L else 0L)
+        b += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
+    copy(child = newChild)
+}
