@@ -6,10 +6,18 @@ package graft
   * A query that throws is reported in an `errors` map (name → message)
   * and EXCLUDED from `queries`/`value` — a failure must never masquerade
   * as a timing (round-1 verdict finding #3).
+  *
+  * Robustness (round-2 verdict finding #4):
+  *  - each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and
+  *    reports the MEDIAN — single-shot numbers on a noisy box varied
+  *    28–85s across identical code, making regressions undetectable;
+  *  - the JSON line is also written to `BENCH.json`, so the driver
+  *    never has to fish it out of interleaved sbt/log4j output.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = Sessions.fromEnv()
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -29,10 +37,17 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        var r = 0
+        while (r < reps) {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          samples += (System.nanoTime() - t0) / 1e9
+          r += 1
+        }
+        val sorted = samples.sorted
+        timings(name) = sorted(sorted.size / 2)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
@@ -41,7 +56,13 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"reps":$reps,"sf":${jstr(sfDir)}}"""
+    println(line)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // stdout line is authoritative
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
