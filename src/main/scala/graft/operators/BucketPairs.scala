@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-bounded intra-bucket pair generation — the candidate stage
+  * shared by every banded-LSH family member (MinHash bands, SimHash
+  * chunks, sign-LSH cosine buckets).
+  *
+  * The naive form is a self-equi-join on the bucket key: correct, but a
+  * degenerate bucket (N identical documents — boilerplate pages, empty
+  * docs) funnels all N rows to ONE reducer which then enumerates all
+  * N²/2 pairs in a single task. The total candidate work is inherently
+  * quadratic in the bucket size (the OUTPUT is every pair), but it does
+  * not have to land on one task.
+  *
+  * Salting scheme (upper-triangle replication): each bucket of size m
+  * is split into s = ceil(m / cap) sub-buckets by a deterministic hash
+  * of the id. A pair whose members land in sub-buckets (u_a, u_b) with
+  * u_a <= u_b is generated exactly once, in cell (i=u_a, j=u_b):
+  *
+  *  - "A" role: a row with sub-bucket u is replicated to cells (u, j)
+  *    for j = u..s-1;
+  *  - "B" role: the same row is replicated to cells (i, u) for
+  *    i = 0..u;
+  *  - the join key becomes (bucket key, i, j), so each cell holds
+  *    ~2·m/s rows — bounded per-task input and memory — and the m²/2
+  *    pair enumeration spreads over s·(s+1)/2 tasks.
+  *
+  * A cell joins a pair in only one role assignment, so no pair is
+  * double-counted within a bucket; ids are then canonicalized
+  * (id_a < id_b, payloads swapped along) because the covering cell
+  * fixes WHICH member takes the A role, not the id order. For buckets
+  * with m <= cap, s = 1 and the plan degenerates to the plain
+  * self-join (one cell (0,0)).
+  *
+  * The per-bucket size lookup is a group-by + join on the SAME bucket
+  * key the candidate join uses, so the extra stage is co-partitioned
+  * with work we were doing anyway — and it never broadcasts, so the
+  * hot-bucket count can be unbounded (at 100 TB a heavy-hitter list
+  * might not fit on the driver).
+  */
+private[graft] object BucketPairs {
+
+  /** All unordered intra-bucket pairs with bounded per-task input.
+    *
+    * @param rows    one row per (bucket, item): `keys ++ id ++ payload`
+    * @param keys    bucket key column names (the equi-join key)
+    * @param id      unique item id column name (pairs have id_a < id_b)
+    * @param payload payload column names, carried to both sides with
+    *                `_a`/`_b` suffixes (swapped along with the ids)
+    * @param cap     target max sub-bucket size (rows per join cell side)
+    * @return columns: s"${id}_a", s"${id}_b", payload with _a/_b
+    *         suffixes — one row per (pair, covering bucket); callers
+    *         dedup across buckets as before
+    */
+  def boundedPairs(rows: DataFrame, keys: Seq[String], id: String,
+      payload: Seq[String], cap: Int = 1000): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val sizes = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_pm"))
+    val salted = rows.join(sizes, keys)
+      .withColumn("_ps",
+        ceil(col("_pm").cast("double") / lit(cap.toDouble)).cast("int"))
+      .withColumn("_pu", pmod(xxhash64(col(id)), col("_ps")).cast("int"))
+      .drop("_pm")
+
+    val aCols = (id +: payload).map(c => col(c).as(s"${c}_a"))
+    val bCols = (id +: payload).map(c => col(c).as(s"${c}_b"))
+    val aSide = salted
+      .withColumn("_pj", explode(sequence(col("_pu"), col("_ps") - 1)))
+      .select(keys.map(col) ++ Seq(col("_pu").as("_pi"), col("_pj")) ++ aCols: _*)
+    val bSide = salted
+      .withColumn("_pi", explode(sequence(lit(0), col("_pu"))))
+      .select(keys.map(col) ++ Seq(col("_pi"), col("_pu").as("_pj")) ++ bCols: _*)
+
+    val ida = col(s"${id}_a")
+    val idb = col(s"${id}_b")
+    val joined = aSide.join(bSide, keys ++ Seq("_pi", "_pj"))
+      .filter(ida =!= idb)
+    // canonicalize to id_a < id_b (the cell fixes roles, not id order)
+    val ordered = ida < idb
+    val canon = Seq(
+      when(ordered, ida).otherwise(idb).as(s"${id}_a"),
+      when(ordered, idb).otherwise(ida).as(s"${id}_b")) ++
+      payload.flatMap(c => Seq(
+        when(ordered, col(s"${c}_a")).otherwise(col(s"${c}_b")).as(s"${c}_a"),
+        when(ordered, col(s"${c}_b")).otherwise(col(s"${c}_a")).as(s"${c}_b")))
+    joined.select(canon: _*)
+  }
+}

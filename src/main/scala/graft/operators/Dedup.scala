@@ -73,7 +73,7 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, bucketCap: Int = 1000): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val withSh = df
       .select(id.as("_id"), split(text, "\\s+").as("_toks"))
@@ -83,23 +83,21 @@ object Dedup {
       .select(col("_id"), col("_sh"),
         posexplode(col("_bands")).as(Seq("_band", "_bh")))
 
-    // candidates: same band index + band hash; dedup before the
-    // (relatively expensive) exact verification
-    val left = withBands.select(col("_band"), col("_bh"),
-      col("_id").as("_ida"), col("_sh").as("_sha"))
-    val right = withBands.select(col("_band"), col("_bh"),
-      col("_id").as("_idb"), col("_sh").as("_shb"))
-    val candidates = left.join(right, Seq("_band", "_bh"))
-      .filter(col("_ida") < col("_idb"))
-      .select(col("_ida"), col("_idb"), col("_sha"), col("_shb"))
-      .dropDuplicates("_ida", "_idb")
+    // candidates: same band index + band hash, generated with bounded
+    // per-task input (degenerate bands — N identical docs — split into
+    // sub-buckets, see BucketPairs); dedup before the (relatively
+    // expensive) exact verification
+    val candidates = BucketPairs
+      .boundedPairs(withBands, Seq("_band", "_bh"), "_id", Seq("_sh"),
+        bucketCap)
+      .dropDuplicates("_id_a", "_id_b")
 
     candidates
       .withColumn("jaccard",
-        size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
-          size(array_union(col("_sha"), col("_shb"))))
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
+          size(array_union(col("_sh_a"), col("_sh_b"))))
       .filter(col("jaccard") >= threshold)
-      .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),
+      .select(col("_id_a").as("doc_a"), col("_id_b").as("doc_b"),
         col("jaccard"))
   }
 
@@ -120,7 +118,8 @@ object Dedup {
     * the 16-bit chunk.
     */
   def simhashNearDupPairs(df: DataFrame, id: Column, text: Column,
-      shingleN: Int = 3, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      shingleN: Int = 3, maxHamming: Int = 3, bands: Int = 4,
+      bucketCap: Int = 1000): DataFrame = {
     val width = 64 / bands
     val mask = (1L << width) - 1L
     val withSim = df
@@ -131,17 +130,14 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         shiftright(col("_sim"), b * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("_band", "_chunk")))
-    val left = chunks.select(col("_band"), col("_chunk"),
-      col("_id").as("_ida"), col("_sim").as("_sima"))
-    val right = chunks.select(col("_band"), col("_chunk"),
-      col("_id").as("_idb"), col("_sim").as("_simb"))
-    left.join(right, Seq("_band", "_chunk"))
-      .filter(col("_ida") < col("_idb"))
-      .dropDuplicates("_ida", "_idb")
+    BucketPairs
+      .boundedPairs(chunks, Seq("_band", "_chunk"), "_id", Seq("_sim"),
+        bucketCap)
+      .dropDuplicates("_id_a", "_id_b")
       .withColumn("hamming",
-        bit_count(col("_sima").bitwiseXOR(col("_simb"))).cast("long"))
+        bit_count(col("_sim_a").bitwiseXOR(col("_sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),
+      .select(col("_id_a").as("doc_a"), col("_id_b").as("doc_b"),
         col("hamming"))
   }
 
@@ -150,8 +146,9 @@ object Dedup {
     */
   def nearDedup(df: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
-    val losers = nearDupPairs(df, id, text, shingleN, k, bands, threshold)
+      threshold: Double = 0.8, bucketCap: Int = 1000): DataFrame = {
+    val losers = nearDupPairs(df, id, text, shingleN, k, bands, threshold,
+        bucketCap)
       .select(col("doc_b").as("_loser")).distinct()
     df.join(losers, id === col("_loser"), "left_anti")
   }

@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Skew
+import graft.operators.{Dedup, Skew}
 
 /** Salted two-phase aggregation must equal the plain aggregation
-  * exactly, including under pathological skew.
+  * exactly, including under pathological skew; banded-LSH candidate
+  * generation must survive degenerate buckets with bounded per-task
+  * input (BucketPairs salting).
   */
 class SkewSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -31,5 +33,48 @@ class SkewSpec extends AnyFunSuite {
     val at = (s: Int) => Skew.saltedCountSum(df, col("k"), col("v"), salt = s)
       .orderBy("_key").collect().map(_.toSeq).toSeq
     assert(at(2) === at(64))
+  }
+
+  // --- BucketPairs: hot-band salting for the LSH dedup family ---
+
+  test("nearDupPairs on 1k IDENTICAL docs: all pairs, bucket cap forced") {
+    // every band key degenerates to ONE bucket of 1000 rows; with
+    // bucketCap=50 the candidate join runs over 20 sub-buckets per
+    // band (~50-row cells) instead of one 1000-row reducer
+    val n = 1000
+    val docs = Seq.tabulate(n)(i =>
+      (i.toLong, "the same boilerplate page body repeated verbatim " +
+        "across every single crawled document in the corpus"))
+      .toDF("doc_id", "text").repartition(8)
+    val pairs = Dedup.nearDupPairs(docs, col("doc_id"), col("text"),
+      bucketCap = 50)
+    assert(pairs.count() === n.toLong * (n - 1) / 2)
+    // identical docs: every jaccard is exactly 1.0
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() === 0)
+  }
+
+  test("bucket salting does not change the pair set (cap 7 == cap huge)") {
+    // mixed corpus: some unique docs, one 40-copy hot group
+    val docs = (Seq.tabulate(60)(i =>
+        (i.toLong, s"unique document number $i with words w$i x$i y$i z$i")) ++
+      Seq.tabulate(40)(i =>
+        (1000L + i, "hot duplicated body shared by forty documents")))
+      .toDF("doc_id", "text").repartition(8)
+    val run = (cap: Int) => Dedup.nearDupPairs(docs, col("doc_id"),
+        col("text"), bucketCap = cap)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(run(7) === run(1000000))
+  }
+
+  test("simhash pair set is salting-invariant too") {
+    val docs = (Seq.tabulate(30)(i =>
+        (i.toLong, s"unique document number $i with words w$i x$i y$i z$i")) ++
+      Seq.tabulate(25)(i =>
+        (1000L + i, "hot duplicated body shared by many documents")))
+      .toDF("doc_id", "text").repartition(8)
+    val run = (cap: Int) => Dedup.simhashNearDupPairs(docs, col("doc_id"),
+        col("text"), bucketCap = cap)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(run(5) === run(1000000))
   }
 }
