@@ -95,6 +95,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(1) === run(6))
   }
 
+  test("lshTopK EQUALS bruteForceTopK on a strong-neighbor corpus") {
+    // Every true top-5 neighbor is a near-copy at cos >= 0.99: per the
+    // sign-LSH recall formula (Similarity.lshTopK scaladoc), a
+    // neighbor at cos 0.99 (theta ~ 0.14 rad) survives a 6-bit band
+    // with p ~ 0.76, so across 8 tables the miss probability is
+    // ~1e-5 per neighbor — and the fixture is fully seeded, so the
+    // outcome is deterministic. The approximate path must therefore
+    // reproduce the exact path VERBATIM: same neighbors, same ranks.
+    val bases = (0 to 4).map(i => (i.toLong, vec(i)))
+    val copies = bases.flatMap { case (i, v) =>
+      (1 to 5).map(j =>
+        (100L + 10 * i + j, perturb(v, 0.02f * j, 2000 + 10 * i.toInt + j)))
+    }
+    val noise = (10 to 59).map(i => (i.toLong, vec(i * 13 + 5)))
+    val corpus = (bases ++ copies ++ noise)
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteForceTopK(corpus, col("vec_id"),
+        col("embedding"), queries, 5)
+      .orderBy("query_id", "rank").as[(Long, Long, Long)].collect().toSeq
+    val approx = Similarity.lshTopK(corpus, col("vec_id"),
+        col("embedding"), queries, 5, dim)
+      .orderBy("query_id", "rank").as[(Long, Long, Long)].collect().toSeq
+    // sanity: the exact top-5 really is the planted copy set
+    val exactSets = exact.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.map(_._2).toSet }
+    queries.foreach { q =>
+      assert(exactSets(q) === (1 to 5).map(j => 100L + 10 * q + j).toSet)
+    }
+    assert(approx === exact)
+  }
+
   test("lsh results are deterministic across partitionings") {
     val run = (p: Int) => Similarity.lshTopK(planted.repartition(p),
         col("vec_id"), col("embedding"), Seq(0L, 1L, 2L), 5, dim)
