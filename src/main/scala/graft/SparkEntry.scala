@@ -95,6 +95,24 @@ object SparkEntry {
           col("suggestion"), col("reason"))
         .orderBy("symbol", "ts")
     }),
+
+    // The zero-buffering full-history scan path (secondary sort +
+    // lazy per-partition state machine) under the same oracle — see
+    // StatefulIndicators.enrichSortedScan.
+    "q_ind_scan" -> ((s, dir) => {
+      import graft.streaming.{Bar, StatefulIndicators}
+      import StatefulIndicators._
+      val ds = bars(s, dir)
+        .select(col("symbol").cast("string").as("symbol"), col("ts"),
+          col("close"))
+        .as[Bar](barEnc)
+      StatefulIndicators.enrichSortedScan(ds).toDF()
+        .select(col("symbol").cast("long").as("symbol"), col("ts"),
+          col("close"), col("ma5"), col("ma20"), col("rsi"),
+          col("macd_line"), col("macd_signal"), col("macd_histogram"),
+          col("suggestion"), col("reason"))
+        .orderBy("symbol", "ts")
+    }),
     )
     indicator ++ BatchQueries.queries ++ LlmQueries.queries
   }
@@ -108,5 +126,6 @@ object SparkEntry {
     "q_ind_macd" -> OracleGen.qIndMacd,
     "q_ind_full" -> OracleGen.qIndFull,
     "q_ind_stateful" -> OracleGen.qIndFull,
+    "q_ind_scan" -> OracleGen.qIndFull,
   ) ++ BatchQueries.oracleSql ++ LlmQueries.oracleSql
 }

@@ -105,6 +105,12 @@ object StatefulIndicators {
       line, sig, hist, sug, reason))
   }
 
+  /** MEMORY BOUND: materializes one group to sort it by ts (arrival
+    * order within a micro-batch is arbitrary). In streaming this is
+    * bounded by the micro-batch slice of one symbol (cap with
+    * maxOffsetsPerTrigger); for FULL-HISTORY batch reprocessing use
+    * [[enrichSortedScan]], which buffers nothing.
+    */
   private def processGroup(symbol: String, rows: Iterator[Bar],
       state: GroupState[IndicatorState]): Iterator[EnrichedBar] = {
     var st = state.getOption.getOrElse(empty)
@@ -124,4 +130,35 @@ object StatefulIndicators {
     bars.groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         processGroup _)
+
+  /** Batch-mode enrichment with NO per-group materialization: one
+    * shuffle on symbol, a secondary sort (symbol, ts) WITHIN
+    * partitions (Spark's external sort — spills, never OOMs), then the
+    * same [[step]] state machine streamed lazily over each partition's
+    * iterator, resetting at symbol boundaries. A monster symbol whose
+    * full history would not fit on-heap as a Seq streams through in
+    * O(1) state (~35 doubles) — this is the 100 TB reprocessing path;
+    * [[enrich]] remains the streaming path (its per-group buffer is
+    * bounded by the micro-batch).
+    *
+    * Output is bar-for-bar FP-identical to [[enrich]] and to the batch
+    * window pipeline (same `step`, same order) — q_ind_scan puts this
+    * path under the same DuckDB oracle as q_ind_full.
+    */
+  def enrichSortedScan(bars: Dataset[Bar]): Dataset[EnrichedBar] = {
+    import org.apache.spark.sql.functions.col
+    bars
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var st = empty
+        it.map { bar =>
+          if (cur == null || bar.symbol != cur) { cur = bar.symbol; st = empty }
+          val (next, enriched) = step(st, bar)
+          st = next
+          enriched
+        }
+      }(enrichedEnc)
+  }
 }

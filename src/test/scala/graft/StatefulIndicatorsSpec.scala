@@ -58,6 +58,32 @@ class StatefulIndicatorsSpec extends AnyFunSuite {
     assert(normalize(out) === batchReference)
   }
 
+  test("enrichSortedScan == enrich (zero-buffer scan path, multi-symbol)") {
+    val scan = StatefulIndicators.enrichSortedScan(bars.toDS()).collect().toSeq
+    assert(normalize(scan) === batchReference)
+  }
+
+  test("enrichSortedScan streams one 50k-bar monster symbol without buffering") {
+    // one symbol's entire history through the lazy per-partition state
+    // machine: O(1) state, no per-group Seq — and bar-for-bar equal to
+    // the driver-side step() fold
+    val r = new scala.util.Random(7)
+    val monster = (0 until 50000).map(i =>
+      Bar("MONSTER", i.toLong, 100.0 + r.nextGaussian() * 4.0))
+    val out = StatefulIndicators.enrichSortedScan(monster.toDS())
+      .collect().toSeq.sortBy(_.ts)
+    val expected = monster.foldLeft(
+      (graft.streaming.IndicatorState(Nil, Nil, Nil, None, None, None, None),
+        List.newBuilder[graft.streaming.EnrichedBar])) {
+      case ((st, acc), bar) =>
+        val (next, row) = StatefulIndicators.step(st, bar)
+        acc += row
+        (next, acc)
+    }._2.result()
+    assert(out.size === 50000)
+    assert(out === expected)
+  }
+
   test("chunking invariance: any split of the stream gives identical rows") {
     val whole = StatefulIndicators.enrich(bars.toDS()).collect().toSeq
     // simulate per-batch state carry by folding step() over chunks
