@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -17,15 +17,30 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Here each shingle is hashed ONCE (XXH64 over its UTF8 bytes) and the
   * k components are affine rehashes `A_j·h + B_j` (odd SplitMix64
   * constants, a standard minwise family) folded in a tight JVM loop —
-  * O(shingles · k) long ops, one virtual call per ROW, not per element.
+  * O(shingles · k) long ops, one call per ROW, not per element.
   *
-  * CodegenFallback is deliberate: the per-row boundary is negligible
-  * (one call per row); the inner loop is already JVM-tight. Evaluation
-  * is a pure function of the input array + constants: deterministic
-  * across runs, partitionings, and cluster layouts.
+  * Codegen: the generated code calls [[compute]] directly through a
+  * bound reference, so the surrounding stage keeps whole-stage codegen
+  * with no interpreted eval-island (a CodegenFallback would wrap the
+  * row and virtual-dispatch `eval` per row). Evaluation is a pure
+  * function of the input array + constants: deterministic across runs,
+  * partitionings, and cluster layouts.
   */
-abstract class MinHashBase extends UnaryExpression with CodegenFallback {
+abstract class MinHashBase extends UnaryExpression {
   def k: Int
+
+  /** Scala-side kernel, invoked from both interpreted and generated
+    * code paths.
+    */
+  def compute(arr: ArrayData): ArrayData
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashBase].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   @transient protected lazy val (aConsts, bConsts) = {
     val rnd = new java.util.SplittableRandom(0x6d696e68617368L) // "minhash"
@@ -60,8 +75,8 @@ abstract class MinHashBase extends UnaryExpression with CodegenFallback {
 /** `minhash_signature(shingles)` → array<long> of k components. */
 case class MinHashSignature(child: Expression, k: Int) extends MinHashBase {
   override def prettyName: String = "minhash_signature"
-  protected override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(signature(input.asInstanceOf[ArrayData]))
+  override def compute(arr: ArrayData): ArrayData =
+    new GenericArrayData(signature(arr))
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
@@ -76,8 +91,8 @@ case class MinHashBands(child: Expression, k: Int, bands: Int) extends MinHashBa
   private val r = k / bands
   override def prettyName: String = "minhash_bands"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val sig = signature(input.asInstanceOf[ArrayData])
+  override def compute(arr: ArrayData): ArrayData = {
+    val sig = signature(arr)
     val keys = new Array[Long](bands)
     var b = 0
     while (b < bands) {

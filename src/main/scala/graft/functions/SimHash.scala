@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -13,16 +13,23 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * Same design rationale as [[MinHashBase]]: one tight JVM pass per
   * row (features hashed once, 64 counters updated inline) instead of
-  * 64 interpreted higher-order-function passes; CodegenFallback costs
-  * one call per row. Pure function of the input ⇒ deterministic
-  * across partitionings.
+  * 64 interpreted higher-order-function passes; generated code calls
+  * [[compute]] directly so the stage keeps whole-stage codegen. Pure
+  * function of the input ⇒ deterministic across partitionings.
   */
-case class SimHash(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash"
   override def dataType: DataType = LongType
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0

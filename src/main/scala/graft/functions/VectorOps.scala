@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
@@ -19,10 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * bit-identical to the previous composition and deterministic across
   * partitionings.
   *
-  * CodegenFallback is deliberate (same argument as [[MinHashBase]]):
-  * one virtual call per row, with O(dim) — or O(tables·bits·dim) —
-  * tight-loop work inside, is negligible against the loop body; the
-  * boundary cost is measured in BenchOne (see SCALE.md).
+  * Codegen (same pattern as [[MinHashBase]]): generated code calls the
+  * `compute` kernel directly through a bound reference, so the stage
+  * keeps whole-stage codegen with no interpreted eval-island.
   */
 
 /** `dot_product(a, b)` — ordered-fold dot product of two
@@ -30,13 +29,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * order of `aggregate(zip_with(...))`).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def prettyName: String = "dot_product"
   override def dataType: DataType = DoubleType
 
-  protected override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotp", this, classOf[DotProduct].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  def compute(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
@@ -61,7 +66,7 @@ case class DotProduct(left: Expression, right: Expression)
   * flattened primitive copy is built lazily per task for the loop.
   */
 case class MatVecDots(child: Expression, rows: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def prettyName: String = "mat_vec_dots"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -69,8 +74,15 @@ case class MatVecDots(child: Expression, rows: Seq[Seq[Double]])
   private val dim = if (rows.isEmpty) 0 else rows.head.length
   @transient private lazy val flat: Array[Double] = rows.flatten.toArray
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matvec", this, classOf[MatVecDots].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(v: ArrayData): ArrayData = {
     val n = math.min(v.numElements(), dim)
     val out = new Array[Double](nRows)
     var r = 0
@@ -102,7 +114,7 @@ case class MatVecDots(child: Expression, rows: Seq[Seq[Double]])
   * planes locally — no closure shipping, bit-stable everywhere.
   */
 case class SignLshBuckets(child: Expression, dim: Int, bits: Int,
-    tables: Int, seed: Long) extends UnaryExpression with CodegenFallback {
+    tables: Int, seed: Long) extends UnaryExpression {
   override def prettyName: String = "sign_lsh_buckets"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -113,8 +125,15 @@ case class SignLshBuckets(child: Expression, dim: Int, bits: Int,
     Array.fill(tables * bits * dim)(rnd.nextGaussian())
   }
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signlsh", this, classOf[SignLshBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(v: ArrayData): ArrayData = {
     val n = math.min(v.numElements(), dim)
     val keys = new Array[Long](tables)
     var t = 0
