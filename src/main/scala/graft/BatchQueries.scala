@@ -226,6 +226,90 @@ object BatchQueries {
         .orderBy("symbol", "ts")
     }),
 
+    // As-of join (beyond-reference: the operator the reference's
+    // produce-time current_price denormalization sidesteps, SURVEY
+    // §2.3): for each click, the latest error value of the same user
+    // at or before it. Union+window implementation — one shuffle, no
+    // range join; the oracle is DuckDB's native ASOF LEFT JOIN, a
+    // genuinely independent formulation.
+    "q_asof_join" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts", expr("ts DIV 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("err_value"))
+      graft.operators.AsOfJoin
+        .asof(clicks, errors, "user_id", "ts", "err_value", "last_err_value")
+        .orderBy("event_id")
+    }),
+
+    // Left-semi join: orders having at least one lineitem — no
+    // lineitem columns materialize, the join only filters.
+    "q_join_semi" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // Left-anti join: customers with no big-ticket order (the price
+    // predicate keeps the result non-empty at every fixture scale —
+    // every customer has SOME order).
+    "q_join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // INTERSECT / EXCEPT (distinct set semantics on both engines).
+    "q_intersect" -> ((s, d) => {
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersect(ev.filter(col("event_type") === "error").select("user_id"))
+        .orderBy("user_id")
+    }),
+    // (the value predicate keeps EXCEPT non-empty: with no filter
+    // every user has every event type in the fixtures)
+    "q_except" -> ((s, d) => {
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "click" && col("value") > 95)
+        .select("user_id")
+        .except(ev.filter(col("event_type") === "error" && col("value") > 95)
+          .select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // Distinct aggregate: exact per-group count(DISTINCT) — Spark
+    // plans the two-phase expand+aggregate, still one logical pass.
+    "q_count_distinct" -> ((s, d) =>
+      events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("uniq_users"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")),
+
+    // CUBE grouping sets (complements q_rollup): all four grouping
+    // combinations, NULL subtotal keys, exact integer-cents sum.
+    "q_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Approximate sketches (HLL count-distinct + quantile digest):
+    // engine-internal sketch values → rows-only check (Spark and
+    // DuckDB use different sketches by design); the exact companions
+    // are q_count_distinct and the oracle-gated aggregations.
+    "q_approx_stats" -> ((s, d) =>
+      events(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000))
+            .as("approx_median"))
+        .orderBy("event_type")),
+
     // Star-schema rollup through two broadcast joins + exact agg.
     "q_join_star" -> ((s, d) =>
       Tables.customer(s, d)
@@ -327,6 +411,51 @@ object BatchQueries {
         |  ntile(4) OVER w AS quartile
         |FROM b WINDOW w AS (PARTITION BY symbol ORDER BY close DESC, ts)
         |ORDER BY symbol, ts""".stripMargin,
+    // independent formulation: DuckDB's native ASOF LEFT JOIN vs the
+    // engine's union+window implementation
+    "q_asof_join" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS ts,
+        |    max_by(value, event_id) AS err_value
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        |),
+        |l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT l.event_id, l.user_id, l.ts, r.err_value AS last_err_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+    "q_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click' AND value > 95
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 95
+        |ORDER BY user_id""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS uniq_users,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // q_approx_stats: no oracle (different sketches by design) — rows-only.
     "q_join_bcast" ->
       """SELECT o_orderkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey
