@@ -310,6 +310,37 @@ object BatchQueries {
             .as("approx_median"))
         .orderBy("event_type")),
 
+    // Event-time tumbling window aggregation (the batch form of the
+    // Structured Streaming windowed agg — same window() operator):
+    // 1-hour epoch-aligned buckets per event type. The oracle computes
+    // the bucket with integer arithmetic, independent of either
+    // engine's bucketing implementation.
+    "q_window_tumbling" -> ((s, d) =>
+      events(s, d)
+        .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("tsm"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .select(unix_micros(col("w.start")).as("bucket_us"),
+          col("event_type"), col("cnt"), col("sum_cents"))
+        .orderBy("bucket_us", "event_type")),
+
+    // Event-time session window (gap-based): sessions close when the
+    // next event is MORE than 1 day after the previous one (Spark's
+    // merge is inclusive — diff == gap still merges, pinned in
+    // EventWindowSpec — so the oracle's gaps-and-islands break uses
+    // strict >). Oracle is an independent formulation: lag-diff →
+    // running break-sum → group.
+    "q_window_session" -> ((s, d) =>
+      events(s, d)
+        .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(session_window(col("tsm"), "1 day").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"),
+          max(expr("ts DIV 1000")).as("last_ts"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start"),
+          col("cnt"), col("last_ts"))
+        .orderBy("user_id", "session_start")),
+
     // Star-schema rollup through two broadcast joins + exact agg.
     "q_join_star" -> ((s, d) =>
       Tables.customer(s, d)
@@ -456,6 +487,28 @@ object BatchQueries {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     // q_approx_stats: no oracle (different sketches by design) — rows-only.
+    "q_window_tumbling" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+        |  event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+    "q_window_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         > 86400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |),
+        |s AS (
+        |  SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS cnt,
+        |  max(ts) AS last_ts
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_join_bcast" ->
       """SELECT o_orderkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey
