@@ -54,6 +54,26 @@ object StreamingPipeline {
     parsed.withWatermark("timestamp", watermark)
       .dropDuplicatesWithinWatermark("symbol", "time")
 
+  /** Watermarked event-time tumbling aggregation (extension E2 —
+    * reference has NO stream-time semantics, SURVEY T8): per
+    * (bucket, symbol) count/sum in APPEND mode. A window only emits
+    * once the watermark passes its end, and rows arriving later than
+    * the watermark are dropped — state is bounded by the watermark
+    * horizon, so the query runs forever at any rate. Batch analogue
+    * (same window() operator) is oracle-gated as q_window_tumbling.
+    *
+    * Input needs `event_time: timestamp`, `symbol`, `close`.
+    */
+  def windowedCounts(bars: DataFrame, watermark: String = "1 minute",
+      bucket: String = "1 minute"): DataFrame =
+    bars
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), bucket).as("w"), col("symbol"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("close") * 100).cast("long")).as("sum_cents"))
+      .select(unix_micros(col("w.start")).as("bucket_us"), col("symbol"),
+        col("cnt"), col("sum_cents"))
+
   /** Batch-scoped analytics (reference parity, Q7): enrich the parsed
     * bars of ONE micro-batch over (symbol, timestamp).
     */

@@ -71,6 +71,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("isFinalPlan=true") && "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p.take(400))
   }
 
+  test("as-of join plans ZERO join operators — union + one window shuffle") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), s"as-of must not plan any join:\n${p.take(600)}")
+    assert(p.contains("Window"), "as-of carries values with a window pass")
+  }
+
+  test("window aggregations shuffle once on their grouping keys") {
+    // tumbling: scan → partial agg → ONE exchange → final agg (+ the
+    // output-determinism orderBy range exchange above it)
+    val p = plan("q_window_tumbling")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(600))
+  }
+
   test("sketch/vector expressions emit real codegen (no eval-island fallback)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.WholeStageCodegenExec

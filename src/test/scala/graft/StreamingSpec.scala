@@ -136,6 +136,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts.sum === 7)             // resend contributed nothing
   }
 
+  test("watermarked tumbling agg: windows close once, late data dropped (E2)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(String, Long, Double)]
+    val checkpoint = Files.createTempDirectory("graft-ckpt-wagg").toString
+    val min = 60L * 1000000L // 1 minute in µs
+    val bars = stream.toDF().toDF("symbol", "us", "close")
+      .withColumn("event_time", timestamp_micros(col("us")))
+    val query = StreamingPipeline.windowedCounts(bars)
+      .writeStream.format("memory").queryName("graft_wagg")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      // two buckets' worth, out of order within the batch
+      stream.addData(("AAA", min + 1, 2.0), ("AAA", 5L, 1.0), ("AAA", 10L, 4.0))
+      query.processAllAvailable()
+      // advance the watermark far past both buckets → they emit & close
+      stream.addData(("AAA", 10 * min, 9.0))
+      query.processAllAvailable()
+      // a LATE row for the long-closed first bucket → must be dropped
+      stream.addData(("AAA", 20L, 100.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("graft_wagg")
+      .select("bucket_us", "symbol", "cnt", "sum_cents")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out === Set(
+      (0L, "AAA", 2L, 500L),        // 1.0 + 4.0 → 500 cents; late 100.0 absent
+      (min, "AAA", 1L, 200L)))
+  }
+
   // NOTE: StreamingPipeline.kafkaSource/kafkaSink cannot be exercised in
   // this container — the spark-sql-kafka connector jar is not bundled in
   // /opt/spark/jars (separate artifact) so even plan-time resolution of
