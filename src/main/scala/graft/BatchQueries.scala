@@ -341,6 +341,49 @@ object BatchQueries {
           col("cnt"), col("last_ts"))
         .orderBy("user_id", "session_start")),
 
+    // Event-time SLIDING window aggregation (width 2h, slide 1h): each
+    // event lands in exactly width/slide = 2 epoch-aligned buckets —
+    // Spark's window() explodes the assignment; the oracle reproduces
+    // it with integer bucket arithmetic over an unnested {0,1} offset.
+    "q_window_sliding" -> ((s, d) =>
+      events(s, d)
+        .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("tsm"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .select(unix_micros(col("w.start")).as("bucket_us"),
+          col("event_type"), col("cnt"), col("sum_cents"))
+        .orderBy("bucket_us", "event_type")),
+
+    // GROUPING SETS — the general grouping-set form (ROLLUP/CUBE are
+    // covered separately), exercised through the SQL text interface
+    // (spark.sql over a temp view; the reference never calls spark.sql,
+    // SURVEY §2.10 — engine-completeness coverage).
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(1) AS cnt,
+          |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+          |FROM graft_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST,
+          |  l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // PIVOT — the wide snapshot-row shape (SURVEY §1.1's price
+    // snapshot): per-user event counts pivoted to one column per event
+    // type. The value list is EXPLICIT (no pre-scan collect — at scale
+    // the distinct-values inference pass is the anti-pattern);
+    // missing combinations are pinned to 0 on both sides.
+    "q_pivot" -> ((s, d) =>
+      events(s, d).groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("user_id")),
+
     // Star-schema rollup through two broadcast joins + exact agg.
     "q_join_star" -> ((s, d) =>
       Tables.customer(s, d)
@@ -509,6 +552,26 @@ object BatchQueries {
         |  max(ts) AS last_ts
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_window_sliding" ->
+      """SELECT ((epoch_us(ts) // 3600000000) - k) * 3600000000 AS bucket_us,
+        |  event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
+        |GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_join_bcast" ->
       """SELECT o_orderkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact n-gram Jaccard set-similarity self-join with global-frequency
+  * prefix filtering (the AllPairs/PPJoin candidate bound, Bayardo et
+  * al., WWW'07; Xiao et al., WWW'08).
+  *
+  * This is the EXACT companion to the approximate near-dup family
+  * (MinHash bands in [[Dedup.nearDupPairs]], SimHash chunks, sign-LSH):
+  * same no-all-pairs shape — the only wide join key is a single n-gram
+  * — but recall is provably 1.0 at the threshold instead of
+  * probabilistic.
+  *
+  * Prefix-filter guarantee: order every document's distinct n-grams by
+  * ascending global document frequency (ties by the gram itself — any
+  * TOTAL order shared by all documents works; rare-first minimizes
+  * posting-list sizes). If J(A,B) >= t then |A∩B| >= ceil(t·|A|), so A
+  * can exclude at most |A| − ceil(t·|A|) grams of any qualifying
+  * partner — meaning every pair with J >= t shares at least one gram
+  * inside both prefixes of length |x| − ceil(t·|x|) + 1. Candidates =
+  * equi-join on prefix grams; verification = exact intersection on the
+  * full gram arrays.
+  *
+  * 100 TB shape: the document-frequency pass is one map-side-combined
+  * aggregation on the gram; the prefix join is an equi-join whose
+  * per-key fan-out is bounded by rare-gram posting lists and
+  * additionally task-bounded through [[BucketPairs]] sub-bucket
+  * salting (stop-gram-like heads of the frequency distribution cannot
+  * funnel to one reducer); verification joins fetch each candidate's
+  * gram array by id — two hash joins linear in the candidate count.
+  * Nothing is ever broadcast or collected: the frequency relation
+  * flows through the same shuffle as the ranking window.
+  */
+object SetSimJoin {
+
+  /** Distinct character n-grams of `text` as strings, in input order.
+    * Empty array when the text is shorter than n (guards Spark's
+    * `sequence(1, k)` which would count DOWN for k < 1).
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), char_length(text) - (n - 1)),
+      i => text.substr(i, lit(n)))
+    array_distinct(
+      when(char_length(text) >= n, grams)
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** All pairs with exact character-n-gram Jaccard >= `threshold`.
+    *
+    * @param df        input relation
+    * @param id        unique row id (pairs are emitted with doc_a < doc_b)
+    * @param text      document text
+    * @param n         character n-gram width
+    * @param threshold Jaccard threshold in (0, 1]
+    * @param bucketCap max per-task rows for one prefix-gram posting cell
+    * @return (doc_a, doc_b, jaccard) — exact, complete at the threshold
+    */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.6, bucketCap: Int = 1000): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    val toks = df.select(id.as("_id"), charNgrams(text, n).as("_toks"))
+      .withColumn("_sz", size(col("_toks")))
+
+    val grams = toks.select(col("_id"), col("_sz"),
+      explode(col("_toks")).as("_tok"))
+    // global document frequency per gram (map-side combined)
+    val freq = grams.groupBy("_tok").agg(count(lit(1)).as("_df"))
+
+    // rare-first rank within each document; keep the filter prefix.
+    // The 1e-9 nudge keeps ceil(t·|x|) from rounding UP past an exact
+    // integer product (0.6·210 = 126 evaluates to 126.00000000000001 in
+    // binary FP) — erring toward a LONGER prefix only adds candidates,
+    // never loses a qualifying pair.
+    val byDoc = Window.partitionBy("_id").orderBy(col("_df"), col("_tok"))
+    val prefix = grams.join(freq, "_tok")
+      .withColumn("_rnk", row_number().over(byDoc))
+      .filter(col("_rnk") <=
+        col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1)
+      .select("_tok", "_id")
+
+    // candidates: docs sharing a prefix gram (skew-bounded, deduped
+    // across covering grams before the verification joins)
+    val cand = BucketPairs
+      .boundedPairs(prefix, Seq("_tok"), "_id", Seq.empty, bucketCap)
+      .dropDuplicates("_id_a", "_id_b")
+
+    // exact verification on the full gram arrays
+    val a = toks.select(col("_id").as("_id_a"), col("_toks").as("_t_a"),
+      col("_sz").as("_sz_a"))
+    val b = toks.select(col("_id").as("_id_b"), col("_toks").as("_t_b"),
+      col("_sz").as("_sz_b"))
+    cand.join(a, "_id_a").join(b, "_id_b")
+      .withColumn("_ovl", size(array_intersect(col("_t_a"), col("_t_b"))))
+      .withColumn("jaccard", col("_ovl").cast("double") /
+        (col("_sz_a") + col("_sz_b") - col("_ovl")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("_id_a").as("doc_a"), col("_id_b").as("doc_b"),
+        col("jaccard"))
+  }
+}

@@ -74,6 +74,18 @@ object StreamingPipeline {
       .select(unix_micros(col("w.start")).as("bucket_us"), col("symbol"),
         col("cnt"), col("sum_cents"))
 
+  /** Stream-static broadcast enrichment (SURVEY §2.3's normalized
+    * alternative to the reference's produce-time denormalization of
+    * current_price into every message): join the stream against a
+    * small static dimension. The dim is broadcast to every task — the
+    * stream side never shuffles and no state is kept, so the join
+    * works in append mode at any rate; Spark re-reads the static side
+    * per micro-batch, picking up dim updates between triggers.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Batch-scoped analytics (reference parity, Q7): enrich the parsed
     * bars of ONE micro-batch over (symbol, timestamp).
     */

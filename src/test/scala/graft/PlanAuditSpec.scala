@@ -37,6 +37,9 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan("q_dedup_near_pairs").contains("NestedLoop"))
     assert(!plan("q_sim_lsh").contains("NestedLoop"))
     assert(!plan("q_simhash_pairs").contains("NestedLoop"))
+    // the exact prefix-filtered join too: every join is an equi-join
+    // (gram candidates + id-keyed verification fetches)
+    assert(!plan("q_dedup_ngram").contains("NestedLoop"))
   }
 
   test("equality filter pushes into the parquet scan with column pruning") {

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SetSimJoin
+
+/** Exact n-gram Jaccard join: the prefix-filtered result must equal an
+  * independent brute-force computation (Scala-side, no Spark) on every
+  * corpus — completeness at the threshold is the operator's contract.
+  */
+class SetSimJoinSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def grams(text: String, n: Int = 3): Set[String] =
+    if (text.length < n) Set.empty
+    else (0 to text.length - n).map(i => text.substring(i, i + n)).toSet
+
+  private def bruteForce(docs: Seq[(Long, String)], t: Double)
+      : Set[(Long, Long, Double)] = {
+    val g = docs.map { case (id, txt) => id -> grams(txt) }
+    (for {
+      (ia, ga) <- g; (ib, gb) <- g if ia < ib
+      ovl = (ga intersect gb).size
+      un = ga.size + gb.size - ovl
+      if un > 0 && ovl.toDouble / un >= t
+    } yield (ia, ib, ovl.toDouble / un)).toSet
+  }
+
+  private def run(docs: Seq[(Long, String)], t: Double)
+      : Set[(Long, Long, Double)] =
+    SetSimJoin.ngramJaccardPairs(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        threshold = t)
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("planted near-dups found with exact Jaccard values") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      0L -> base,
+      1L -> base,                                // identical → J = 1.0
+      2L -> (base + " tonight"),                 // near-dup
+      3L -> "completely unrelated text about spark physical plans",
+      4L -> "zz")                                // shorter than n → empty set
+    val expected = bruteForce(docs, 0.6)
+    assert(expected.exists(p => p._3 === 1.0), "fixture must plant an exact dup")
+    assert(run(docs, 0.6) === expected)
+  }
+
+  test("matches brute force on a mixed corpus at several thresholds") {
+    // templated corpus: clusters of small edits + unrelated tails
+    val docs = (0L until 40L).map { i =>
+      val cluster = i % 4
+      val tail = if (i % 7 == 0) s" extra tail ${"pad " * (i.toInt % 3)}" else ""
+      i -> (s"document template number $cluster repeated content body " +
+        s"shared across the cluster variant ${i / 4}$tail")
+    }
+    for (t <- Seq(0.5, 0.75, 0.9))
+      assert(run(docs, t) === bruteForce(docs, t), s"threshold $t")
+  }
+
+  test("empty result when nothing qualifies; short docs never pair") {
+    val docs = Seq(0L -> "alpha beta gamma", 1L -> "delta epsilon zeta",
+      2L -> "ab", 3L -> "x")
+    assert(run(docs, 0.9) === Set.empty)
+  }
+}

@@ -168,6 +168,28 @@ class StreamingSpec extends AnyFunSuite {
       (min, "AAA", 1L, 200L)))
   }
 
+  test("stream-static broadcast join enriches without shuffling the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Double)]
+    val checkpoint = Files.createTempDirectory("graft-ckpt-dim").toString
+    val dim = Seq(("AAA", "tech"), ("BBB", "energy")).toDF("symbol", "sector")
+    val bars = stream.toDF().toDF("symbol", "close")
+    val query = StreamingPipeline.enrichWithStatic(bars, dim, "symbol")
+      .writeStream.format("memory").queryName("graft_dimjoin")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      stream.addData(("AAA", 1.0), ("CCC", 2.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("graft_dimjoin")
+      .select("symbol", "close", "sector")
+      .as[(String, Double, Option[String])].collect().toSet
+    // left join: unmatched stream rows survive with a null sector
+    assert(out === Set(("AAA", 1.0, Some("tech")), ("CCC", 2.0, None)))
+  }
+
   // NOTE: StreamingPipeline.kafkaSource/kafkaSink cannot be exercised in
   // this container — the spark-sql-kafka connector jar is not bundled in
   // /opt/spark/jars (separate artifact) so even plan-time resolution of
