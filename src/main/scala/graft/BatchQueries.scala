@@ -384,6 +384,92 @@ object BatchQueries {
         .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .orderBy("user_id")),
 
+    // FULL OUTER join of two disjoint-support aggregates — unmatched
+    // sides surface null counts (the one outer-join flavor the
+    // semi/anti/broadcast family doesn't cover).
+    "q_join_outer" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev
+        .filter(col("event_type") === "click" && col("value") > 95)
+        .groupBy("user_id").agg(count(lit(1)).as("clicks"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase" && col("value") > 95)
+        .groupBy("user_id").agg(count(lit(1)).as("purchases"))
+      clicks.join(purchases, Seq("user_id"), "full_outer")
+        .orderBy("user_id")
+    }),
+
+    // Correlated scalar subquery through the SQL interface — Catalyst
+    // decorrelates it to an aggregate + left outer join (no per-row
+    // re-execution; the naive interpretation would be O(n·m)).
+    "q_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice,
+          |  (SELECT count(1) FROM graft_lineitem l
+          |   WHERE l.l_orderkey = o.o_orderkey) AS n_items
+          |FROM graft_orders o ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // String function family (rich string ops are absent from the
+    // reference, SURVEY §2.10 — engine completeness): case mapping,
+    // substring, length, regex replace/extract, trim, concat_ws. All
+    // codegen'd narrow projections, zero shuffles.
+    "q_string_fns" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+          upper(col("p_name")).as("upper_name"),
+          substring(col("p_name"), 1, 5).as("first5"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("vowelless"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")),
+
+    // Null-handling functions: nullif / coalesce / IS NULL.
+    "q_null_fns" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("rf_or_null"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("?"))
+            .as("rf_filled"),
+          nullif(col("l_returnflag"), lit("N")).isNull.as("rf_is_null"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Math function family — restricted to the exact-on-both-engines
+    // set: abs/sign/floor/ceil/greatest/least are integer-exact, sqrt
+    // is IEEE-754 correctly rounded everywhere. (log/pow are NOT in
+    // the contract: libm vs StrictMath differ in final-ulp rounding.)
+    "q_math_fns" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+          abs(col("value") - 50).as("abs_dev"),
+          signum(col("value") - 50).cast("long").as("sgn"),
+          floor(col("value")).as("floor_v"),
+          ceil(col("value")).as("ceil_v"),
+          sqrt(col("value")).as("sqrt_v"),
+          greatest(col("value"), lit(50.0)).as("hi50"),
+          least(col("value"), lit(50.0)).as("lo50"))
+        .orderBy("event_id")),
+
+    // Array function family over exact integer cents (collect → sort →
+    // size/element_at/contains/slice+fold/distinct): one shuffle on the
+    // group key, everything else narrow. The left-fold sum5 order is
+    // pinned by the sorted array on both engines.
+    "q_array_fns" -> ((s, d) =>
+      events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("cents"))).as("cl"))
+        .select(col("user_id"),
+          size(col("cl")).cast("long").as("n"),
+          element_at(col("cl"), 1).as("lo"),
+          element_at(col("cl"), -1).as("hi"),
+          array_contains(col("cl"), lit(5000L)).as("has50"),
+          aggregate(slice(col("cl"), 1, 5), lit(0L), (acc, x) => acc + x)
+            .as("sum5"),
+          size(array_distinct(col("cl"))).cast("long").as("n_uniq"))
+        .orderBy("user_id")),
+
     // Star-schema rollup through two broadcast joins + exact agg.
     "q_join_star" -> ((s, d) =>
       Tables.customer(s, d)
@@ -572,6 +658,60 @@ object BatchQueries {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_join_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS clicks FROM events
+        |  WHERE event_type = 'click' AND value > 95 GROUP BY user_id
+        |),
+        |p AS (
+        |  SELECT user_id, count(*) AS purchases FROM events
+        |  WHERE event_type = 'purchase' AND value > 95 GROUP BY user_id
+        |)
+        |SELECT COALESCE(c.user_id, p.user_id) AS user_id, clicks, purchases
+        |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey) AS n_items
+        |FROM orders o ORDER BY o_orderkey""".stripMargin,
+    "q_string_fns" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS upper_name,
+        |  substr(p_name, 1, 5) AS first5,
+        |  length(p_name) AS name_len,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS vowelless,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  trim('  ' || p_name || '  ') AS trimmed,
+        |  concat_ws('-', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_null_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_returnflag, 'N') AS rf_or_null,
+        |  COALESCE(nullif(l_returnflag, 'N'), '?') AS rf_filled,
+        |  nullif(l_returnflag, 'N') IS NULL AS rf_is_null
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_math_fns" ->
+      """SELECT event_id,
+        |  abs(value - 50) AS abs_dev,
+        |  CAST(sign(value - 50) AS BIGINT) AS sgn,
+        |  CAST(floor(value) AS BIGINT) AS floor_v,
+        |  CAST(ceil(value) AS BIGINT) AS ceil_v,
+        |  sqrt(value) AS sqrt_v,
+        |  greatest(value, 50.0) AS hi50,
+        |  least(value, 50.0) AS lo50
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_array_fns" ->
+      """WITH a AS (
+        |  SELECT user_id,
+        |    list_sort(list(CAST(round(value * 100) AS BIGINT))) AS cl
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, len(cl) AS n, cl[1] AS lo, cl[-1] AS hi,
+        |  list_contains(cl, 5000) AS has50,
+        |  CAST(list_sum(cl[1:5]) AS BIGINT) AS sum5,
+        |  len(list_distinct(cl)) AS n_uniq
+        |FROM a ORDER BY user_id""".stripMargin,
     "q_join_bcast" ->
       """SELECT o_orderkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey

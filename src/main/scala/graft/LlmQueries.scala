@@ -84,14 +84,16 @@ object LlmQueries {
           dim = 64)
         .orderBy("query_id", "rank")),
 
-    // Exact character-n-gram Jaccard similarity join (prefix-filtered
-    // AllPairs/PPJoin — recall is provably complete at the threshold,
-    // unlike the probabilistic MinHash/SimHash paths) — the oracle is
-    // the brute-force pair join over the same trigram sets.
+    // Exact word-trigram Jaccard similarity join (prefix-filtered
+    // AllPairs/PPJoin): recall is provably complete at the threshold —
+    // the deterministic-exact ALGORITHM alternative to the
+    // probabilistic MinHash path over the same shingle space (run at a
+    // different threshold; the oracle is the same brute-force pair
+    // join the MinHash query is checked against).
     "q_dedup_ngram" -> ((s, d) =>
       graft.operators.SetSimJoin
-        .ngramJaccardPairs(docs(s, d), col("doc_id"), col("text"),
-          n = 3, threshold = 0.75)
+        .wordNgramJaccardPairs(docs(s, d), col("doc_id"), col("text"),
+          n = 3, threshold = 0.7)
         .orderBy("doc_a", "doc_b")),
 
     // SimHash near-dup pairs (Hamming-banded, exact bit_count verify).
@@ -237,27 +239,13 @@ object LlmQueries {
          |WHERE doc_id NOT IN (
          |  SELECT DISTINCT doc_b FROM pairs WHERE jaccard >= 0.8)
          |ORDER BY doc_id""".stripMargin,
-    // brute-force oracle over the SAME trigram definition (1-based
-    // substr, distinct, docs shorter than 3 chars → empty set); Spark's
-    // prefix-filtered join must reproduce it exactly
+    // brute-force oracle over the same trigram-shingle definition the
+    // MinHash near-dup oracle uses; the prefix-filtered exact join
+    // must reproduce it verbatim at its threshold
     "q_dedup_ngram" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(text) >= 3
-        |      THEN list_distinct([substr(text, i, 3)
-        |                          for i in range(1, length(text) - 1)])
-        |      ELSE [] END AS gr
-        |  FROM documents
-        |),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
-        |      / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr)))
-        |      AS jaccard
-        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-        |)
-        |SELECT doc_a, doc_b, jaccard FROM pairs
-        |WHERE jaccard >= 0.75 ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $shingleCte
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -10,11 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * This is the EXACT companion to the approximate near-dup family
   * (MinHash bands in [[Dedup.nearDupPairs]], SimHash chunks, sign-LSH):
-  * same no-all-pairs shape — the only wide join key is a single n-gram
-  * — but recall is provably 1.0 at the threshold instead of
+  * same no-all-pairs shape — the only wide join key is a single gram —
+  * but recall is provably 1.0 at the threshold instead of
   * probabilistic.
   *
-  * Prefix-filter guarantee: order every document's distinct n-grams by
+  * Prefix-filter guarantee: order every document's distinct grams by
   * ascending global document frequency (ties by the gram itself — any
   * TOTAL order shared by all documents works; rare-first minimizes
   * posting-list sizes). If J(A,B) >= t then |A∩B| >= ceil(t·|A|), so A
@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   * inside both prefixes of length |x| − ceil(t·|x|) + 1. Candidates =
   * equi-join on prefix grams; verification = exact intersection on the
   * full gram arrays.
+  *
+  * GRAM-SPACE CHOICE (measured, sf0.1): prefix filtering is only as
+  * selective as the gram space. Character trigrams of natural-language
+  * text overlap ~55% between UNRELATED documents (the alphabet is
+  * tiny), so at useful thresholds the filter passes nearly all pairs —
+  * the operator degenerated to ~all-pairs and 300 s at 5k docs. Word
+  * n-grams have near-zero baseline overlap (mean pair Jaccard 0.027 on
+  * the documents fixture), so [[wordNgramJaccardPairs]] is the
+  * production entry point; [[ngramJaccardPairs]] (char grams) remains
+  * for short-string/identifier corpora where characters are the right
+  * unit.
   *
   * 100 TB shape: the document-frequency pass is one map-side-combined
   * aggregation on the gram; the prefix join is an equi-join whose
@@ -49,26 +60,26 @@ object SetSimJoin {
         .otherwise(array().cast("array<string>")))
   }
 
-  /** All pairs with exact character-n-gram Jaccard >= `threshold`.
+  /** All pairs with exact Jaccard >= `threshold` over a precomputed
+    * distinct-gram array column (any orderable element type).
     *
     * @param df        input relation
     * @param id        unique row id (pairs are emitted with doc_a < doc_b)
-    * @param text      document text
-    * @param n         character n-gram width
+    * @param grams     distinct-gram array for the row
     * @param threshold Jaccard threshold in (0, 1]
     * @param bucketCap max per-task rows for one prefix-gram posting cell
     * @return (doc_a, doc_b, jaccard) — exact, complete at the threshold
     */
-  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, threshold: Double = 0.6, bucketCap: Int = 1000): DataFrame = {
+  def jaccardPairs(df: DataFrame, id: Column, grams: Column,
+      threshold: Double, bucketCap: Int = 1000): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
-    val toks = df.select(id.as("_id"), charNgrams(text, n).as("_toks"))
+    val toks = df.select(id.as("_id"), grams.as("_toks"))
       .withColumn("_sz", size(col("_toks")))
 
-    val grams = toks.select(col("_id"), col("_sz"),
+    val gramRows = toks.select(col("_id"), col("_sz"),
       explode(col("_toks")).as("_tok"))
     // global document frequency per gram (map-side combined)
-    val freq = grams.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    val freq = gramRows.groupBy("_tok").agg(count(lit(1)).as("_df"))
 
     // rare-first rank within each document; keep the filter prefix.
     // The 1e-9 nudge keeps ceil(t·|x|) from rounding UP past an exact
@@ -76,7 +87,7 @@ object SetSimJoin {
     // binary FP) — erring toward a LONGER prefix only adds candidates,
     // never loses a qualifying pair.
     val byDoc = Window.partitionBy("_id").orderBy(col("_df"), col("_tok"))
-    val prefix = grams.join(freq, "_tok")
+    val prefix = gramRows.join(freq, "_tok")
       .withColumn("_rnk", row_number().over(byDoc))
       .filter(col("_rnk") <=
         col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1)
@@ -101,4 +112,30 @@ object SetSimJoin {
       .select(col("_id_a").as("doc_a"), col("_id_b").as("doc_b"),
         col("jaccard"))
   }
+
+  /** Word n-gram Jaccard pairs — the production path for natural
+    * language (see gram-space note above). Grams are 64-bit hashes from
+    * the single-pass [[graft.functions.Shingles]] expression; Jaccard
+    * over hashes equals Jaccard over the underlying word n-grams up to
+    * 64-bit collisions (the same already-accepted equivalence the
+    * MinHash verification path relies on).
+    *
+    * n sets the selectivity/robustness trade: measured on the sf0.1
+    * synthetic fixture (5k docs, ~50-word vocabulary), n=2 yields 931
+    * distinct grams → 9.3M prefix candidates, n=3 yields 27k grams →
+    * 210k candidates (max posting list 9). Pick n so the gram space is
+    * large relative to the corpus; n=3 is the robust default for text.
+    */
+  def wordNgramJaccardPairs(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.7, bucketCap: Int = 1000): DataFrame =
+    jaccardPairs(df, id, Dedup.shingles(text, n), threshold, bucketCap)
+
+  /** Character n-gram Jaccard pairs — for short-string / identifier
+    * corpora. On natural-language text prefer
+    * [[wordNgramJaccardPairs]] (char grams have high baseline overlap
+    * and defeat the prefix filter).
+    */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.6, bucketCap: Int = 1000): DataFrame =
+    jaccardPairs(df, id, charNgrams(text, n), threshold, bucketCap)
 }

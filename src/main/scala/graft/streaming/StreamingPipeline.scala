@@ -86,6 +86,25 @@ object StreamingPipeline {
       key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Watermarked stream-stream inner join (extension — the stateful
+    * two-sided join the reference's single-topic pipeline never needs):
+    * each left event pairs with right events of the same key whose
+    * event time falls in [l_time − window, l_time]. Watermarks on BOTH
+    * sides plus the two-sided time-range predicate let Spark evict
+    * buffered rows once the watermark passes the range, so join state
+    * is bounded by rate × (watermark + window) regardless of how long
+    * the query runs — the property that makes the operator viable on
+    * an unbounded 100 TB/day stream.
+    *
+    * Left needs (symbol, l_time, …), right needs (symbol_r, r_time, …).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      watermark: String = "1 minute", window: String = "1 minute"): DataFrame =
+    left.withWatermark("l_time", watermark)
+      .join(right.withWatermark("r_time", watermark),
+        expr(s"symbol = symbol_r AND " +
+          s"r_time >= l_time - INTERVAL $window AND r_time <= l_time"))
+
   /** Batch-scoped analytics (reference parity, Q7): enrich the parsed
     * bars of ONE micro-batch over (symbol, timestamp).
     */

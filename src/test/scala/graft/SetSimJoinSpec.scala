@@ -60,6 +60,32 @@ class SetSimJoinSpec extends AnyFunSuite {
       assert(run(docs, t) === bruteForce(docs, t), s"threshold $t")
   }
 
+  private def wordGrams(text: String, n: Int): Set[Seq[String]] =
+    text.split("\\s+").toSeq.sliding(n).filter(_.size == n).map(_.toSeq).toSet
+
+  test("word-bigram path matches brute force (sizes and Jaccard values)") {
+    val docs = Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma delta epsilon zeta eta iota", // near-dup
+      2L -> "alpha beta gamma delta epsilon zeta eta theta", // exact dup
+      3L -> "totally different words in this one here now",
+      4L -> "single")                                        // < n words
+    val expected = (for {
+      (ia, ga) <- docs.map { case (i, t) => i -> wordGrams(t, 2) }
+      (ib, gb) <- docs.map { case (i, t) => i -> wordGrams(t, 2) }
+      if ia < ib
+      ovl = (ga intersect gb).size
+      un = ga.size + gb.size - ovl
+      if un > 0 && ovl.toDouble / un >= 0.6
+    } yield (ia, ib, ovl.toDouble / un)).toSet
+    val got = graft.operators.SetSimJoin
+      .wordNgramJaccardPairs(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), n = 2, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.exists(_._3 === 1.0), "fixture must plant an exact dup")
+    assert(got === expected)
+  }
+
   test("empty result when nothing qualifies; short docs never pair") {
     val docs = Seq(0L -> "alpha beta gamma", 1L -> "delta epsilon zeta",
       2L -> "ab", 3L -> "x")

@@ -190,6 +190,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Set(("AAA", 1.0, Some("tech")), ("CCC", 2.0, None)))
   }
 
+  test("stream-stream join pairs events within the time window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val lStream = MemoryStream[(String, Long, Double)]
+    val rStream = MemoryStream[(String, Long, Double)]
+    val checkpoint = Files.createTempDirectory("graft-ckpt-ssj").toString
+    val min = 60L * 1000000L // 1 minute in µs
+    val left = lStream.toDF().toDF("symbol", "us", "l_val")
+      .withColumn("l_time", timestamp_micros(col("us"))).drop("us")
+    val right = rStream.toDF().toDF("symbol_r", "us", "r_val")
+      .withColumn("r_time", timestamp_micros(col("us"))).drop("us")
+    val query = StreamingPipeline.streamStreamJoin(left, right)
+      .select("symbol", "l_val", "r_val")
+      .writeStream.format("memory").queryName("graft_ssj")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      // right events: one inside the 1-minute window of the left event,
+      // one too old, one in the future; plus a key that never matches
+      lStream.addData(("AAA", 10 * min, 1.0))
+      rStream.addData(("AAA", 10 * min - min / 2, 2.0), // in window
+        ("AAA", 8 * min, 3.0),                          // too old
+        ("AAA", 11 * min, 4.0),                         // after l_time
+        ("BBB", 10 * min, 5.0))                         // wrong key
+      query.processAllAvailable()
+      // advance both watermarks so the joinable region closes
+      lStream.addData(("ZZZ", 30 * min, 0.0))
+      rStream.addData(("ZZZ", 30 * min, 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("graft_ssj")
+      .as[(String, Double, Double)].collect().toSet
+    assert(out === Set(("AAA", 1.0, 2.0), ("ZZZ", 0.0, 0.0)))
+  }
+
   // NOTE: StreamingPipeline.kafkaSource/kafkaSink cannot be exercised in
   // this container — the spark-sql-kafka connector jar is not bundled in
   // /opt/spark/jars (separate artifact) so even plan-time resolution of
