@@ -88,6 +88,34 @@ object Multimodal {
       }
     }
 
+  /** STUB resize — deterministic fake of an image resize: average-pool
+    * the feature vector down to `outDim` buckets (bucket = floor
+    * (j·outDim / inDim)), preserving total mass up to the pool means.
+    * A real resampler (bilinear etc.) swaps in with the same
+    * signature.
+    */
+  private[graft] def resizeVec(v: Array[Float], outDim: Int): Array[Float] = {
+    val out = new Array[Float](outDim)
+    val cnt = new Array[Int](outDim)
+    var j = 0
+    while (j < v.length) {
+      val b = (j.toLong * outDim / v.length).toInt
+      out(b) += v(j); cnt(b) += 1
+      j += 1
+    }
+    var b = 0
+    while (b < outDim) { if (cnt(b) > 0) out(b) /= cnt(b); b += 1 }
+    out
+  }
+
+  /** Resize every feature vector (narrow per-partition map, no
+    * shuffle).
+    */
+  def resizeFeatures(ds: Dataset[MediaFeatures], outDim: Int): Dataset[MediaFeatures] =
+    ds.mapPartitions { rows =>
+      rows.map(f => f.copy(features = resizeVec(f.features, outDim)))
+    }
+
   /** View any (id, binary) DataFrame as a media Dataset with fake
     * metadata (for fixtures that carry text payloads).
     */

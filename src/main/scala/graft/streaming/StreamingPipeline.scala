@@ -86,6 +86,24 @@ object StreamingPipeline {
       key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Watermarked event-time SESSION window aggregation (gap-based —
+    * the stateful merging window, unlike the arithmetic tumbling
+    * bucket): events within `gap` of each other merge into one
+    * session; a session closes and emits once the watermark passes
+    * its end (last event + gap). State per key is one open session —
+    * bounded regardless of stream lifetime. Batch analogue is
+    * oracle-gated as q_window_session.
+    */
+  def sessionCounts(bars: DataFrame, watermark: String = "1 minute",
+      gap: String = "1 minute"): DataFrame =
+    bars
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap).as("w"), col("symbol"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("w.start")).as("session_start"),
+        unix_micros(col("w.end")).as("session_end"), col("symbol"),
+        col("cnt"))
+
   /** Watermarked stream-stream inner join (extension — the stateful
     * two-sided join the reference's single-topic pipeline never needs):
     * each left event pairs with right events of the same key whose

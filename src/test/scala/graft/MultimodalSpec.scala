@@ -56,6 +56,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(_._1 === 0L))
   }
 
+  test("resizeFeatures average-pools to the target width, no shuffle") {
+    val feats = Multimodal.extractFeatures(data.toDS(), featureDim = 16)
+    val resized = Multimodal.resizeFeatures(feats, outDim = 4)
+    // narrow map: no exchange in the plan
+    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
+    val out = resized.collect().sortBy(_.media_id)
+    assert(out.forall(_.features.length === 4))
+    // uniform histogram pools to uniform: 4 buckets of mean 16/256
+    assert(out(0).features.forall(f => math.abs(f - 16f / 256f) < 1e-7))
+    // all-zero-byte payload: mass stays in bucket 0 (mean of 4 buckets
+    // where only the first held 1.0)
+    assert(math.abs(out(1).features(0) - 0.25f) < 1e-7)
+    // exact pooling golden on a hand vector
+    assert(Multimodal.resizeVec(Array(1f, 3f, 5f, 7f), 2).toSeq === Seq(2f, 6f))
+  }
+
   test("mediaSchema matches the typed Dataset schema") {
     assert(data.toDS().toDF().schema === Multimodal.mediaSchema)
   }

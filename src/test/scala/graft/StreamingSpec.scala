@@ -190,6 +190,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Set(("AAA", 1.0, Some("tech")), ("CCC", 2.0, None)))
   }
 
+  test("session windows merge within gap, close after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long)]
+    val checkpoint = Files.createTempDirectory("graft-ckpt-sess").toString
+    val min = 60L * 1000000L // 1 minute in µs
+    val bars = stream.toDF().toDF("symbol", "us")
+      .withColumn("event_time", timestamp_micros(col("us")))
+    val query = StreamingPipeline.sessionCounts(bars)
+      .writeStream.format("memory").queryName("graft_sess")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      // two events 30s apart (merge: gap is 1 min), one 5 min later
+      stream.addData(("AAA", 0L), ("AAA", min / 2), ("AAA", 5 * min))
+      query.processAllAvailable()
+      // push the watermark far past both sessions → they emit & close
+      stream.addData(("AAA", 30 * min))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("graft_sess")
+      .select("session_start", "session_end", "symbol", "cnt")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(out === Set(
+      (0L, min / 2 + min, "AAA", 2L),      // merged pair; end = last+gap
+      (5 * min, 6 * min, "AAA", 1L)))
+  }
+
   test("stream-stream join pairs events within the time window only") {
     implicit val sqlCtx = spark.sqlContext
     val lStream = MemoryStream[(String, Long, Double)]
