@@ -91,12 +91,19 @@ object SetSimJoin {
       .withColumn("_rnk", row_number().over(byDoc))
       .filter(col("_rnk") <=
         col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1)
-      .select("_tok", "_id")
+      .select("_tok", "_id", "_sz")
 
-    // candidates: docs sharing a prefix gram (skew-bounded, deduped
-    // across covering grams before the verification joins)
+    // candidates: docs sharing a prefix gram (skew-bounded), pruned by
+    // the PPJoin length filter — J(A,B) >= t implies t <= |A∩B|/|A∪B|
+    // <= min(|A|,|B|)/max(|A|,|B|), so size-mismatched pairs can be
+    // dropped BEFORE the dedup shuffle and the verification joins
+    // (same conservative epsilon as the prefix bound) — then deduped
+    // across covering grams
     val cand = BucketPairs
-      .boundedPairs(prefix, Seq("_tok"), "_id", Seq.empty, bucketCap)
+      .boundedPairs(prefix, Seq("_tok"), "_id", Seq("_sz"), bucketCap)
+      .filter(col("_sz_a") >= lit(threshold) * col("_sz_b") - lit(1e-9) &&
+        col("_sz_b") >= lit(threshold) * col("_sz_a") - lit(1e-9))
+      .select("_id_a", "_id_b")
       .dropDuplicates("_id_a", "_id_b")
 
     // exact verification on the full gram arrays

@@ -87,6 +87,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(600))
   }
 
+  test("pivot and sliding-window aggs shuffle as expected") {
+    // pivot is two-phase by design: phase 1 aggregates (key, value)
+    // pairs (map-side combinable — the big reduction), phase 2 pivots
+    // |keys|·|values| tiny rows on the key. Explicit values ⇒ no
+    // distinct-inference pre-scan job.
+    assert("Exchange hashpartitioning".r.findAllIn(plan("q_pivot")).size === 2)
+    // sliding window: the 2× explode happens map-side, ONE exchange
+    assert("Exchange hashpartitioning".r
+      .findAllIn(plan("q_window_sliding")).size === 1)
+  }
+
+  test("scalar subquery decorrelates to an aggregate + join (no per-row subplan)") {
+    val p = plan("q_scalar_subquery")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(400))
+    assert(p.contains("Join"), "decorrelation plans a join")
+  }
+
   test("sketch/vector expressions emit real codegen (no eval-island fallback)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.WholeStageCodegenExec

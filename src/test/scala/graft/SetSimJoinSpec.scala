@@ -86,6 +86,29 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("result is invariant under repartitioning and bucketCap") {
+    val docs = (0L until 30L).map { i =>
+      i -> (s"shared template words for cluster ${i % 3} " +
+        s"body content piece ${i / 3} tail")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val base = graft.operators.SetSimJoin
+      .wordNgramJaccardPairs(df, col("doc_id"), col("text"),
+        n = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val repart = graft.operators.SetSimJoin
+      .wordNgramJaccardPairs(df.repartition(7), col("doc_id"), col("text"),
+        n = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val tinyCap = graft.operators.SetSimJoin
+      .wordNgramJaccardPairs(df, col("doc_id"), col("text"),
+        n = 2, threshold = 0.5, bucketCap = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(base.nonEmpty)
+    assert(repart === base)
+    assert(tinyCap === base)
+  }
+
   test("empty result when nothing qualifies; short docs never pair") {
     val docs = Seq(0L -> "alpha beta gamma", 1L -> "delta epsilon zeta",
       2L -> "ab", 3L -> "x")
