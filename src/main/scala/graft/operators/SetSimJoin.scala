@@ -73,8 +73,31 @@ object SetSimJoin {
   def jaccardPairs(df: DataFrame, id: Column, grams: Column,
       threshold: Double, bucketCap: Int = 1000): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
-    val toks = df.select(id.as("_id"), grams.as("_toks"))
+    // toks feeds three consumers (gram explode + both verification
+    // sides) and prefix feeds three more (BucketPairs' size lookup and
+    // both join roles). Without persistence each consumer re-derives
+    // its whole lineage — measured as 14 parquet scans, 6 window
+    // sorts, and 9 document-frequency aggregates in one final plan
+    // (AQE exchange reuse misses them: the consumers project
+    // differently, so the exchanges don't canonicalize equal).
+    // Persisting the two shared relations is the 100 TB answer too:
+    // the gram relation is O(corpus) on disk, re-shingling the corpus
+    // eight times is not.
+    import org.apache.spark.storage.StorageLevel
+    // sort once per row (amortized over every candidate pair touching
+    // the row) so long-gram verification can use the zero-allocation
+    // merge-scan kernel instead of a per-pair hash set
+    val rawToks = df.select(id.as("_id"), grams.as("_toks"))
+    val isLongGrams = rawToks.schema("_toks").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    val toks = (if (isLongGrams)
+        rawToks.withColumn("_toks", sort_array(col("_toks")))
+      else rawToks)
       .withColumn("_sz", size(col("_toks")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val gramRows = toks.select(col("_id"), col("_sz"),
       explode(col("_toks")).as("_tok"))
@@ -92,6 +115,7 @@ object SetSimJoin {
       .filter(col("_rnk") <=
         col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1)
       .select("_tok", "_id", "_sz")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // candidates: docs sharing a prefix gram (skew-bounded), pruned by
     // the PPJoin length filter — J(A,B) >= t implies t <= |A∩B|/|A∪B|
@@ -111,8 +135,15 @@ object SetSimJoin {
       col("_sz").as("_sz_a"))
     val b = toks.select(col("_id").as("_id_b"), col("_toks").as("_t_b"),
       col("_sz").as("_sz_b"))
+    val overlap =
+      if (isLongGrams)
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.SortedOverlapCount(
+            org.apache.spark.sql.graft.Bridge.expression(col("_t_a")),
+            org.apache.spark.sql.graft.Bridge.expression(col("_t_b"))))
+      else size(array_intersect(col("_t_a"), col("_t_b")))
     cand.join(a, "_id_a").join(b, "_id_b")
-      .withColumn("_ovl", size(array_intersect(col("_t_a"), col("_t_b"))))
+      .withColumn("_ovl", overlap)
       .withColumn("jaccard", col("_ovl").cast("double") /
         (col("_sz_a") + col("_sz_b") - col("_ovl")))
       .filter(col("jaccard") >= threshold)
