@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{Ema, MinHashBands, MinHashSignature, SimHash}
+import graft.functions.{DotProduct, Ema, MinHashBands, MinHashSignature,
+  Shingles, SimHash, SortedOverlapCount}
 
 /** SQL surface for graft's custom expressions.
   *
@@ -48,7 +49,16 @@ object GraftFunctions {
     ("minhash_bands",
       "minhash_bands(array<string>, k, b) - b LSH band keys over a k-MinHash",
       c => MinHashBands(c(0), intArg(c(1), "minhash_bands k"),
-        intArg(c(2), "minhash_bands b"))))
+        intArg(c(2), "minhash_bands b"))),
+    ("shingles",
+      "shingles(array<string>, n) - distinct hashed word n-gram shingles",
+      c => Shingles(c(0), intArg(c(1), "shingles n"))),
+    ("dot_product",
+      "dot_product(array<double>, array<double>) - ordered-fold dot product",
+      c => DotProduct(c(0), c(1))),
+    ("sorted_overlap",
+      "sorted_overlap(array<bigint>, array<bigint>) - intersection size of two sorted distinct arrays",
+      c => SortedOverlapCount(c(0), c(1))))
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach { case (name, usage, builder) =>

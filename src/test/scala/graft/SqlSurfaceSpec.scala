@@ -46,6 +46,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sql(0).getSeq[Long](3) === sql(1).getSeq[Long](3))
   }
 
+  test("shingles()/dot_product()/sorted_overlap() run from SQL text") {
+    val row = spark.sql(
+      """SELECT
+        |  size(shingles(split('a b c d', ' '), 2)) AS n_sh,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  sorted_overlap(array(1L, 3L, 5L), array(2L, 3L, 5L, 9L)) AS ovl
+        |""".stripMargin).collect().head
+    assert(row.getAs[Int]("n_sh") === 3)   // "a b","b c","c d"
+    assert(row.getAs[Double]("dp") === 11.0)
+    assert(row.getAs[Int]("ovl") === 2)    // {3, 5}
+  }
+
   test("misuse: non-literal k yields a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_signature(array('a'), doc_id) FROM (SELECT 1L AS doc_id)").collect()
