@@ -60,16 +60,24 @@ object GraftFunctions {
       "sorted_overlap(array<bigint>, array<bigint>) - intersection size of two sorted distinct arrays",
       c => SortedOverlapCount(c(0), c(1))))
 
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     all.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name, usage), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofKernels)
+  }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, _, builder) =>
       Bridge.registerFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RewriteHofKernels)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteHofKernels
+    }
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
