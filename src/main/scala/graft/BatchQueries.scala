@@ -470,6 +470,38 @@ object BatchQueries {
           size(array_distinct(col("cl"))).cast("long").as("n_uniq"))
         .orderBy("user_id")),
 
+    // Map function family: construct (map_from_entries over sorted
+    // entries → deterministic key order), size, key lookup, key list.
+    // Scalar outputs only — map columns themselves don't hash-compare
+    // across engines.
+    "q_map_fns" -> ((s, d) =>
+      events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(col("user_id"),
+          size(col("m")).cast("long").as("n_types"),
+          element_at(col("m"), "click").as("click_cnt"),
+          element_at(col("m"), "error").as("error_cnt"),
+          array_join(map_keys(col("m")), ",").as("types"))
+        .orderBy("user_id")),
+
+    // explode_outer: generator null-row semantics — users with an
+    // empty qualifying set keep one row with a null event_id (plain
+    // explode would drop them). Oracle is the equivalent left join.
+    "q_explode_outer" -> ((s, d) => {
+      val ev = events(s, d)
+      val users = ev.select("user_id").distinct()
+      val big = ev
+        .filter(col("value") > 99.8 && col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("event_id"))).as("ids"))
+      users.join(big, Seq("user_id"), "left")
+        .select(col("user_id"), explode_outer(col("ids")).as("event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Star-schema rollup through two broadcast joins + exact agg.
     "q_join_star" -> ((s, d) =>
       Tables.customer(s, d)
@@ -712,6 +744,25 @@ object BatchQueries {
         |  CAST(list_sum(cl[1:5]) AS BIGINT) AS sum5,
         |  len(list_distinct(cl)) AS n_uniq
         |FROM a ORDER BY user_id""".stripMargin,
+    "q_map_fns" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_types,
+        |  max(cnt) FILTER (WHERE event_type = 'click') AS click_cnt,
+        |  max(cnt) FILTER (WHERE event_type = 'error') AS error_cnt,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS types
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_explode_outer" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |b AS (
+        |  SELECT user_id, event_id FROM events
+        |  WHERE value > 99.8 AND event_type = 'click'
+        |)
+        |SELECT u.user_id, b.event_id
+        |FROM u LEFT JOIN b USING (user_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_join_bcast" ->
       """SELECT o_orderkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey

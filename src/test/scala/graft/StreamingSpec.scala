@@ -168,6 +168,29 @@ class StreamingSpec extends AnyFunSuite {
       (min, "AAA", 1L, 200L)))
   }
 
+  test("Trigger.AvailableNow drains everything then terminates itself") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val checkpoint = Files.createTempDirectory("graft-ckpt-avail").toString
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    stream.addData(doc("AAA", 10.0, days.take(3).map((_, 10.0))))
+    stream.addData(doc("BBB", 20.0, days.take(2).map((_, 20.0))))
+
+    val parsed = Parse.parse(stream.toDF().select(col("value")))
+    val query = StreamingPipeline.start(parsed, checkpoint,
+        trigger = Trigger.AvailableNow(), queryName = "graft-availnow") {
+      (records: DataFrame, _: Long) =>
+        collected ++= records.as[(String, String)].collect()
+    }
+    // AvailableNow = incremental-batch mode: processes ALL available
+    // input (respecting per-trigger limits across multiple batches),
+    // then stops the query on its own — no manual stop().
+    assert(query.awaitTermination(60000), "query should self-terminate")
+    assert(!query.isActive)
+    assert(collected.map(_._1).toSet === Set("AAA", "BBB"))
+    assert(collected.size === 5) // 3 + 2 bars
+  }
+
   test("stream-static broadcast join enriches without shuffling the stream") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, Double)]
