@@ -13,6 +13,17 @@ package graft
   *    28–85s across identical code, making regressions undetectable;
   *  - the JSON line is also written to `BENCH.json`, so the driver
   *    never has to fish it out of interleaved sbt/log4j output.
+  *
+  * Materialization (round-4 verdict finding #1): timing `df.count()`
+  * lets Catalyst rewrite the plan under `count(1)` — unreferenced
+  * projections, windows, and sorts are pruned, so a rank-window query
+  * collapses to a bare parquet scan count and the timing measures scan
+  * speed, not the declared work. Each rep therefore writes to Spark's
+  * built-in `noop` sink, which executes the full plan and serializes
+  * every output column while discarding rows at zero output cost —
+  * the same full-materialization semantics Verify's parquet write has.
+  * BenchPlanSpec pins this: the plan executed under the noop write
+  * retains its Window/Sort nodes where the count() plan drops them.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,7 +53,7 @@ object Bench {
         var r = 0
         while (r < reps) {
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           samples += (System.nanoTime() - t0) / 1e9
           r += 1
         }

@@ -82,8 +82,12 @@ object SetSimJoin {
     // differently, so the exchanges don't canonicalize equal).
     // Persisting the two shared relations is the 100 TB answer too:
     // the gram relation is O(corpus) on disk, re-shingling the corpus
-    // eight times is not.
-    import org.apache.spark.storage.StorageLevel
+    // eight times is not. Persistence is RDD-level (Bridge.persistRows)
+    // rather than Dataset.persist: blocks are private to this
+    // invocation and freed by the ContextCleaner when the returned
+    // frame is dropped, instead of accumulating in the CacheManager
+    // until an unpersist nobody can sequence around a lazy result.
+    import org.apache.spark.sql.graft.Bridge.persistRows
     // sort once per row (amortized over every candidate pair touching
     // the row) so long-gram verification can use the zero-allocation
     // merge-scan kernel instead of a per-pair hash set
@@ -93,11 +97,10 @@ object SetSimJoin {
         org.apache.spark.sql.types.LongType, _) => true
       case _ => false
     }
-    val toks = (if (isLongGrams)
+    val toks = persistRows((if (isLongGrams)
         rawToks.withColumn("_toks", sort_array(col("_toks")))
       else rawToks)
-      .withColumn("_sz", size(col("_toks")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("_sz", size(col("_toks"))))
 
     val gramRows = toks.select(col("_id"), col("_sz"),
       explode(col("_toks")).as("_tok"))
@@ -110,12 +113,11 @@ object SetSimJoin {
     // binary FP) — erring toward a LONGER prefix only adds candidates,
     // never loses a qualifying pair.
     val byDoc = Window.partitionBy("_id").orderBy(col("_df"), col("_tok"))
-    val prefix = gramRows.join(freq, "_tok")
+    val prefix = persistRows(gramRows.join(freq, "_tok")
       .withColumn("_rnk", row_number().over(byDoc))
       .filter(col("_rnk") <=
         col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1)
-      .select("_tok", "_id", "_sz")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select("_tok", "_id", "_sz"))
 
     // candidates: docs sharing a prefix gram (skew-bounded), pruned by
     // the PPJoin length filter — J(A,B) >= t implies t <= |A∩B|/|A∪B|

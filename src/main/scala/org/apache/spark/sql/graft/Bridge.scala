@@ -17,6 +17,33 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Persist `df`'s computed rows at the RDD layer, bypassing the
+    * `CacheManager`.
+    *
+    * `Dataset.persist` registers the plan in the session-global
+    * CacheManager: a second invocation building the same plan logs
+    * "Asked to cache already cached data" and silently REUSES the first
+    * invocation's blocks (so repeated benchmark reps measure cache
+    * reads), and entries accumulate until someone calls `unpersist` —
+    * awkward for an operator that returns a lazy result (round-4
+    * verdict finding #3). Persisting the materialized `InternalRow` RDD
+    * instead gives each invocation private blocks that the
+    * `ContextCleaner` frees automatically once the returned plan is
+    * garbage-collected, keeps the lineage intact (block loss on
+    * executor failure recomputes instead of failing the job — the
+    * reason this is NOT `localCheckpoint`, which truncates lineage),
+    * and stays fully lazy: nothing runs until the returned frame is
+    * consumed. The `_.copy()` is load-bearing — `toRdd` re-uses unsafe
+    * row buffers, so caching without a copy would alias every row to
+    * the last buffer state.
+    */
+  def persistRows(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
+  }
+
   /** Register a function builder on a LIVE session's function registry
     * (builder-time `SparkSessionExtensions` is the public path; this
     * covers already-constructed sessions).
