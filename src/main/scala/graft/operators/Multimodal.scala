@@ -18,12 +18,16 @@ case class MediaFeatures(media_id: Long, n_bytes: Long, features: Array[Float])
   * analogue of `mapInPandas`: one iterator per partition, no per-row
   * serialization boundary, executors stream batches).
   *
-  * STUB NOTE: real codecs (image/audio libs) are not available in this
-  * container, so `fakeDecode` is a clearly-marked deterministic stand-in
-  * (normalized byte histogram). Everything AROUND the decode — schema,
-  * encoders, per-partition batch shape, partition-count invariance,
-  * fixed feature width — is real and tested; swapping `fakeDecode` for
-  * a JNI/codec call changes no plumbing.
+  * DECODE PATHS: image formats the JDK itself can read (PNG, BMP, GIF,
+  * JPEG via `javax.imageio` in java.desktop — no external deps) get a
+  * REAL decode: pixels → luminance histogram → the fixed-width feature
+  * contract. Audio/video codecs are not available in this container,
+  * so those formats fall back to `fakeDecode`, a clearly-marked
+  * deterministic stand-in (normalized byte histogram). Everything
+  * AROUND the decode — schema, encoders, per-partition batch shape,
+  * partition-count invariance, fixed feature width — is identical on
+  * both paths; swapping `fakeDecode` for a JNI/codec call changes no
+  * plumbing.
   *
   * Scale: feature extraction is embarrassingly parallel (narrow map);
   * payload skew is handled upstream by `repartition` on a uniform key
@@ -58,12 +62,63 @@ object Multimodal {
     counts.map(_ / total)
   }
 
+  /** Image formats `javax.imageio` decodes out of the box. */
+  private val ImageFormats = Set("png", "bmp", "gif", "jpg", "jpeg")
+
+  /** REAL image decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG):
+    * decode to pixels, build an ITU-R BT.601 integer-luminance
+    * histogram (lum = (299·R + 587·G + 114·B) / 1000, truncating —
+    * deterministic across platforms), L1-normalize to the same
+    * fixed-width feature contract as [[fakeDecode]]. Returns None for
+    * bytes ImageIO cannot parse (caller falls back to the stub), so a
+    * corrupt payload degrades instead of failing the task.
+    */
+  private[graft] def imageDecode(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    try {
+      // no temp-file disk cache on executors
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0) None
+        else {
+          val hist = new Array[Float](dim)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y) // sRGB regardless of source model
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              hist(lum * dim / 256) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val total = w.toLong * h
+          Some(hist.map(_ / total.toFloat))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Format-dispatched decode: real ImageIO for JDK-supported image
+    * formats, [[fakeDecode]] for everything else (audio/video codecs
+    * are not in this container) and for unparseable image payloads.
+    */
+  private[graft] def decode(bytes: Array[Byte], format: String, dim: Int): Array[Float] = {
+    val fmt = if (format == null) "" else format.toLowerCase
+    if (ImageFormats.contains(fmt)) imageDecode(bytes, dim).getOrElse(fakeDecode(bytes, dim))
+    else fakeDecode(bytes, dim)
+  }
+
   /** Per-partition batched feature extraction over the typed Dataset. */
   def extractFeatures(ds: Dataset[MediaRow], featureDim: Int = 16): Dataset[MediaFeatures] =
     ds.mapPartitions { rows =>
       rows.map { r =>
         MediaFeatures(r.media_id, r.content.length.toLong,
-          fakeDecode(r.content, featureDim))
+          decode(r.content, r.meta.format, featureDim))
       }
     }
 

@@ -75,4 +75,53 @@ class MultimodalSpec extends AnyFunSuite {
   test("mediaSchema matches the typed Dataset schema") {
     assert(data.toDS().toDF().schema === Multimodal.mediaSchema)
   }
+
+  /** Encode a BufferedImage as PNG bytes (JDK ImageIO, no deps). */
+  private def pngBytes(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("REAL PNG decode: exact luminance histogram goldens") {
+    val dim = 16
+    // all-black 4x4: every pixel lum 0 → all mass in bucket 0
+    val black = Multimodal.imageDecode(pngBytes(4, 4)((_, _) => 0x000000), dim).get
+    assert(black(0) === 1.0f)
+    assert(black.drop(1).forall(_ === 0.0f))
+    // all-white: lum (255·299+255·587+255·114)/1000 = 255 → bucket 15
+    val white = Multimodal.imageDecode(pngBytes(4, 4)((_, _) => 0xffffff), dim).get
+    assert(white(15) === 1.0f)
+    // pure green (0,255,0): lum = 255·587/1000 = 149 → bucket 149·16/256 = 9
+    val green = Multimodal.imageDecode(pngBytes(2, 2)((_, _) => 0x00ff00), dim).get
+    assert(green(9) === 1.0f)
+    // half black / half white 2x2 → 0.5 in bucket 0, 0.5 in bucket 15
+    val halves = Multimodal.imageDecode(
+      pngBytes(2, 2)((x, _) => if (x == 0) 0x000000 else 0xffffff), dim).get
+    assert(halves(0) === 0.5f && halves(15) === 0.5f)
+  }
+
+  test("PNG payloads take the real decode through extractFeatures") {
+    val png = pngBytes(3, 3)((_, _) => 0xffffff)
+    val rows = Seq(MediaRow(10L, png, MediaMeta("png", 3, 3, 3)))
+    val out = Multimodal.extractFeatures(rows.toDS(), featureDim = 16).collect()
+    assert(out.head.n_bytes === png.length.toLong)
+    // real decode: white image → bucket 15; the byte-histogram stub
+    // could not produce this (PNG bytes are spread by compression)
+    assert(out.head.features(15) === 1.0f)
+    assert(Multimodal.fakeDecode(png, 16)(15) !== 1.0f)
+  }
+
+  test("unparseable image payloads degrade to the stub, not a failure") {
+    val junk = Array.tabulate(64)(_.toByte)
+    assert(Multimodal.imageDecode(junk, 16).isEmpty)
+    assert(Multimodal.decode(junk, "png", 16).toSeq ===
+      Multimodal.fakeDecode(junk, 16).toSeq)
+    // non-image formats go straight to the stub
+    assert(Multimodal.decode(junk, "wav", 16).toSeq ===
+      Multimodal.fakeDecode(junk, 16).toSeq)
+  }
 }
