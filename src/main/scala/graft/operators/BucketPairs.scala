@@ -27,12 +27,18 @@ import org.apache.spark.sql.functions._
   *    ~2·m/s rows — bounded per-task input and memory — and the m²/2
   *    pair enumeration spreads over s·(s+1)/2 tasks.
   *
-  * A cell joins a pair in only one role assignment, so no pair is
-  * double-counted within a bucket; ids are then canonicalized
-  * (id_a < id_b, payloads swapped along) because the covering cell
-  * fixes WHICH member takes the A role, not the id order. For buckets
-  * with m <= cap, s = 1 and the plan degenerates to the plain
-  * self-join (one cell (0,0)).
+  * An OFF-DIAGONAL cell (i < j) holds two disjoint sub-buckets in
+  * fixed roles, so each pair joins in exactly one role assignment. A
+  * DIAGONAL cell (i = j) holds ONE sub-bucket in both roles — a plain
+  * self-join that would produce both orderings — so diagonal cells
+  * keep only id_a < id_b (exactly-once pinned by
+  * BucketPairsProperties, which falsified the earlier uniform
+  * `id_a != id_b` filter: every same-sub-bucket pair was emitted
+  * twice, surviving only because callers dedup downstream). Ids are
+  * then canonicalized (id_a < id_b, payloads swapped along) because
+  * off-diagonal cells fix WHICH member takes the A role, not the id
+  * order. For buckets with m <= cap, s = 1 and the plan degenerates to
+  * the plain triangular self-join (one diagonal cell (0,0)).
   *
   * The per-bucket size lookup is a group-by + join on the SAME bucket
   * key the candidate join uses, so the extra stage is co-partitioned
@@ -76,7 +82,7 @@ private[graft] object BucketPairs {
     val ida = col(s"${id}_a")
     val idb = col(s"${id}_b")
     val joined = aSide.join(bSide, keys ++ Seq("_pi", "_pj"))
-      .filter(ida =!= idb)
+      .filter(when(col("_pi") === col("_pj"), ida < idb).otherwise(ida =!= idb))
     // canonicalize to id_a < id_b (the cell fixes roles, not id order)
     val ordered = ida < idb
     val canon = Seq(
