@@ -171,11 +171,27 @@ object StreamingPipeline {
 
   /** Graceful shutdown (T7): stop the query on JVM termination —
     * stock_analysis.py:306-321.
+    *
+    * Registered through Spark's priority-ordered shutdown manager, NOT
+    * `sys.addShutdownHook`: plain JVM hooks run concurrently with
+    * Spark's own context-stop hook, so `query.stop()` raced the
+    * context teardown and threw "Cannot call methods on a stopped
+    * SparkContext" — the query was never actually stopped (caught by
+    * ShutdownHookSpec's forked-JVM SIGTERM harness). A
+    * before-context-stop priority makes the query stop strictly first.
     */
-  def stopOnShutdown(query: StreamingQuery): Unit =
-    sys.addShutdownHook {
-      if (query.isActive) query.stop()
+  def stopOnShutdown(query: StreamingQuery): Unit = {
+    org.apache.spark.sql.graft.Bridge.addShutdownHook(
+      org.apache.spark.sql.graft.Bridge.BeforeContextStopPriority) { () =>
+      try {
+        if (query.isActive) query.stop()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-streaming] shutdown stop failed: ${e.getMessage}")
+      }
     }
+    ()
+  }
 
   /** Restart-on-error loop (T6): rebuild and re-await the query up to
     * `maxRestarts` times — stock_analysis.py:324-338. The checkpoint

@@ -44,6 +44,24 @@ object Bridge {
     ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
   }
 
+  /** Register a shutdown action through Spark's priority-ordered
+    * `ShutdownHookManager` (private[spark]).
+    *
+    * A plain JVM hook (`sys.addShutdownHook`) runs CONCURRENTLY with
+    * Spark's context-stop hook, so anything touching the SparkContext
+    * races its teardown — measured: `query.stop()` in a JVM hook dies
+    * with "Cannot call methods on a stopped SparkContext" under real
+    * SIGTERM (ShutdownHookSpec). Priorities above
+    * `SPARK_CONTEXT_SHUTDOWN_PRIORITY` (50) run strictly BEFORE the
+    * context stops.
+    */
+  def addShutdownHook(priority: Int)(body: () => Unit): AnyRef =
+    org.apache.spark.util.ShutdownHookManager.addShutdownHook(priority)(body)
+
+  /** Runs before Spark stops the context (50) — safe for query.stop(). */
+  val BeforeContextStopPriority: Int =
+    org.apache.spark.util.ShutdownHookManager.SPARK_CONTEXT_SHUTDOWN_PRIORITY + 10
+
   /** Register a function builder on a LIVE session's function registry
     * (builder-time `SparkSessionExtensions` is the public path; this
     * covers already-constructed sessions).
