@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct word n-gram shingles of a token array, in first-occurrence
@@ -13,11 +13,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambda evaluation plus repeated slicing; measured as the dominant
   * cost of the dedup queries at sf0.1). Same single-pass rationale as
   * [[MinHashBase]].
+  *
+  * With `hashed = true` the same pass emits the 64-bit xxhash64 (seed
+  * 42, identical to Spark's `xxhash64` SQL function on a string) of
+  * each gram instead of the gram text: downstream explodes, frequency
+  * aggregations, and equi-joins then move 8-byte longs instead of
+  * variable-width strings, and sorted-long verification can use the
+  * zero-allocation [[SortedOverlapCount]] merge kernel. Jaccard over
+  * the hashes equals Jaccard over the grams up to 64-bit collisions
+  * (~|grams|²/2⁶⁵ — negligible at any realistic gram-space size, and
+  * the same equivalence the MinHash band path already relies on).
   */
-case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+case class Shingles(child: Expression, n: Int, hashed: Boolean = false)
+    extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
-  override def prettyName: String = "shingles"
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = if (hashed) "shingles_hashed" else "shingles"
+  override def dataType: DataType =
+    if (hashed) ArrayType(LongType, containsNull = false)
+    else ArrayType(StringType, containsNull = false)
 
   private val space = UTF8String.fromString(" ")
 
@@ -32,7 +45,7 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   def compute(toks: ArrayData): ArrayData = {
     val m = toks.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+    val seen = new java.util.LinkedHashSet[Any](m * 2)
     var i = 0
     while (i <= m - n) {
       val parts = new Array[UTF8String](2 * n - 1)
@@ -42,7 +55,11 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
         if (j < n - 1) parts(2 * j + 1) = space
         j += 1
       }
-      seen.add(UTF8String.concat(parts: _*))
+      val gram = UTF8String.concat(parts: _*)
+      if (hashed)
+        seen.add(XXH64.hashUnsafeBytes(
+          gram.getBaseObject, gram.getBaseOffset, gram.numBytes, 42L))
+      else seen.add(gram)
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])

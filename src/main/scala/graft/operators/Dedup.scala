@@ -48,6 +48,15 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(split(text, "\\s+"), n)
 
+  /** 64-bit-hashed shingles (same single pass, xxhash64 per gram):
+    * the set-similarity fast path — long join keys and sorted-long
+    * merge-scan verification. See [[graft.functions.Shingles]] for the
+    * collision argument.
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    Bridge.column(graft.functions.Shingles(
+      Bridge.expression(split(text, "\\s+")), n, hashed = true))
+
   /** k-minhash signature of a shingle array — single-pass custom
     * expression, see [[graft.functions.MinHashSignature]]. Fixed
     * constants ⇒ deterministic across runs and partitionings.

@@ -168,7 +168,7 @@ object SetSimJoin {
     */
   def wordNgramJaccardPairs(df: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.7, bucketCap: Int = 1000): DataFrame =
-    jaccardPairs(df, id, Dedup.shingles(text, n), threshold, bucketCap)
+    jaccardPairs(df, id, Dedup.hashedShingles(text, n), threshold, bucketCap)
 
   /** Character n-gram Jaccard pairs — for short-string / identifier
     * corpora. On natural-language text prefer

@@ -6,8 +6,10 @@ object BenchOne {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.foreach { q =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, d).count()
-      println(f"BENCHONE $q ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // full materialization through the noop sink, same as graft.Bench
+      // (count() lets Catalyst prune unreferenced projections/windows)
+      SparkEntry.queries(q)(spark, d).write.format("noop").mode("overwrite").save()
+      println(f"BENCHONE $q ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }
