@@ -5,10 +5,11 @@ name := "airflowkafkasparkspark"
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
-// Checked: spark-sql-kafka-0-10 is in NEITHER /opt/spark/jars nor the
-// coursier/ivy caches, so the Kafka source/sink wiring
-// (streaming/StreamingPipeline.scala) cannot even plan-resolve here —
-// exercised instead via MemoryStream (StreamingSpec) and documented.
+// Checked (re-verified round 6): spark-sql-kafka-0-10 is in NEITHER
+// /opt/spark/jars nor the coursier/ivy caches, so the Kafka
+// source/sink wiring (streaming/StreamingPipeline.scala) cannot even
+// plan-resolve here — exercised instead via MemoryStream
+// (StreamingSpec) and documented.
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
