@@ -6,7 +6,12 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Single-pass MinHash over an `array<string>` shingle column.
+/** Single-pass MinHash over an `array<string>` shingle column — or an
+  * `array<long>` of PRE-HASHED shingles ([[Shingles]] with
+  * `hashed = true`), which yields bit-identical signatures because the
+  * element hash used here (XXH64 of the UTF8 bytes, seed 42) is
+  * exactly what the hashed shingle kernel emits, and the min-fold is
+  * order-independent.
   *
   * Why a custom expression: composing this from built-ins
   * (`array_min(transform(sh, s => xxhash64(j, s)))` × k) costs k
@@ -47,17 +52,25 @@ abstract class MinHashBase extends UnaryExpression {
     (Array.fill(k)(rnd.nextLong() | 1L), Array.fill(k)(rnd.nextLong()))
   }
 
+  @transient private lazy val preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   /** Signature of one shingle array: sig(j) = min over shingles of
-    * A_j * xxh64(shingle) + B_j (wrapping arithmetic).
+    * A_j * xxh64(shingle) + B_j (wrapping arithmetic). Pre-hashed long
+    * input supplies xxh64(shingle) directly.
     */
   protected def signature(arr: ArrayData): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes, 42L)
+      val h = if (preHashed) arr.getLong(i) else {
+        val s = arr.getUTF8String(i)
+        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+      }
       var j = 0
       while (j < k) {
         val hj = aConsts(j) * h + bConsts(j)

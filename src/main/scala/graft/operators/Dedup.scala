@@ -54,8 +54,12 @@ object Dedup {
     * collision argument.
     */
   def hashedShingles(text: Column, n: Int): Column =
+    hashedShinglesFromTokens(split(text, "\\s+"), n)
+
+  /** Hashed shingles from a pre-tokenized array. */
+  def hashedShinglesFromTokens(toks: Column, n: Int): Column =
     Bridge.column(graft.functions.Shingles(
-      Bridge.expression(split(text, "\\s+")), n, hashed = true))
+      Bridge.expression(toks), n, hashed = true))
 
   /** k-minhash signature of a shingle array — single-pass custom
     * expression, see [[graft.functions.MinHashSignature]]. Fixed
@@ -84,9 +88,20 @@ object Dedup {
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, bucketCap: Int = 1000): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
+    // shingles are 64-bit-hashed in the shingle kernel's own pass and
+    // sorted once per row: the `_sh` payload replicated through the
+    // BucketPairs salting shuffle moves 8-byte longs instead of gram
+    // strings, and verification is the zero-allocation merge-scan
+    // kernel instead of per-pair array_intersect + array_union hash
+    // sets. MinHash signatures are bit-identical to the string path
+    // (the kernel pre-computes exactly the per-element hash MinHashBase
+    // uses, and the min-fold is order-independent), so the candidate
+    // set is unchanged; jaccard over hashes equals jaccard over grams
+    // up to 64-bit collisions (see graft.functions.Shingles).
     val withSh = df
       .select(id.as("_id"), split(text, "\\s+").as("_toks"))
-      .select(col("_id"), shinglesFromTokens(col("_toks"), shingleN).as("_sh"))
+      .select(col("_id"),
+        sort_array(hashedShinglesFromTokens(col("_toks"), shingleN)).as("_sh"))
     val withBands = withSh
       .withColumn("_bands", minhashBands(col("_sh"), k, bands))
       .select(col("_id"), col("_sh"),
@@ -101,10 +116,12 @@ object Dedup {
         bucketCap)
       .dropDuplicates("_id_a", "_id_b")
 
+    val overlap = Bridge.column(graft.functions.SortedOverlapCount(
+      Bridge.expression(col("_sh_a")), Bridge.expression(col("_sh_b"))))
     candidates
-      .withColumn("jaccard",
-        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
-          size(array_union(col("_sh_a"), col("_sh_b"))))
+      .withColumn("_ovl", overlap)
+      .withColumn("jaccard", col("_ovl").cast("double") /
+        (size(col("_sh_a")) + size(col("_sh_b")) - col("_ovl")))
       .filter(col("jaccard") >= threshold)
       .select(col("_id_a").as("doc_a"), col("_id_b").as("doc_b"),
         col("jaccard"))
