@@ -104,6 +104,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Join"), "decorrelation plans a join")
   }
 
+  test("set-similarity verification stays on the merge-scan kernel") {
+    // Type-dispatched fast paths rot silently: when Shingles emitted
+    // strings, the Jaccard joins fell back to per-pair
+    // array_intersect hash sets (measured 3x slower at sf0.1) with no
+    // failure anywhere. Pin the kernel's presence in the plans.
+    assert(plan("q_dedup_ngram").contains("sorted_overlap"),
+      "q_dedup_ngram verification lost the SortedOverlapCount kernel")
+    assert(plan("q_dedup_near").contains("sorted_overlap"),
+      "q_dedup_near verification lost the SortedOverlapCount kernel")
+    assert(!plan("q_dedup_ngram").contains("array_intersect"))
+    assert(!plan("q_dedup_near").contains("array_intersect"))
+  }
+
   test("sketch/vector expressions emit real codegen (no eval-island fallback)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.WholeStageCodegenExec
