@@ -67,6 +67,30 @@ object LlmQueries {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // Benchmark decontamination: flag corpus docs sharing >= 50 word
+    // trigrams with the held-out "benchmark" slice (doc_id % 10 == 8
+    // stands in for an eval suite; the slice contains several planted
+    // near-duplicate partners — an eval leak shares long spans, so the
+    // threshold sits far above the fixture's incidental overlap).
+    "q_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.contaminated(
+          all.filter(col("doc_id") % 10 =!= 8),
+          all.filter(col("doc_id") % 10 === 8),
+          col("doc_id"), col("text"), n = 3, minShared = 50)
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing (concatenate-then-chunk): global token prefix
+    // sum via the distributed scan, then 2048-token chunk assignment.
+    "q_pack_chunks" -> ((s, d) =>
+      graft.operators.Packing.packChunks(
+          docs(s, d).select(col("doc_id"),
+            size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
+          col("doc_id"), col("n_tokens"), chunkTokens = 2048)
+        .select("doc_id", "n_tokens", "cum_before", "chunk_id", "chunk_off")
+        .orderBy("doc_id")),
+
     // Exact cosine top-5 for query vectors 0..4 over the whole corpus —
     // ranks only (FP sums are engine-order-sensitive; ranks are stable
     // because neighbor cosines are well separated in the fixture).
@@ -246,6 +270,36 @@ object LlmQueries {
       s"""WITH $shingleCte
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    // same word-trigram definition as the shingle CTE; benchmark =
+    // doc_id % 10 == 8, threshold 50 shared distinct grams
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)]) AS sh
+        |  FROM t
+        |),
+        |bg AS (SELECT DISTINCT g
+        |       FROM (SELECT unnest(sh) AS g FROM s WHERE doc_id % 10 = 8)),
+        |cg AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 <> 8)
+        |SELECT cg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM cg JOIN bg USING (g)
+        |GROUP BY cg.doc_id HAVING COUNT(*) >= 50
+        |ORDER BY doc_id""".stripMargin,
+    "q_pack_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum_before,
+        |  cum_before // 2048 AS chunk_id,
+        |  cum_before % 2048 AS chunk_off
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -167,6 +167,33 @@ object Dedup {
         col("hamming"))
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word n-grams with the benchmark set (eval
+    * suites leak into training corpora; n-gram overlap against the
+    * benchmark is the standard detector).
+    *
+    * Shape: grams are 64-bit-hashed in the shingle kernel's single
+    * pass (distinct within a document by construction), the benchmark
+    * side is reduced to its DISTINCT gram set, and the match is a
+    * plain gram equi-join + per-document count. Benchmark sets are
+    * small relative to a training corpus, so AQE broadcasts the gram
+    * relation at runtime when it fits; the fallback is a shuffle
+    * equi-join on an 8-byte key — no all-pairs stage anywhere.
+    */
+  def contaminated(corpus: DataFrame, bench: DataFrame, id: Column,
+      text: Column, n: Int = 3, minShared: Int = 5): DataFrame = {
+    val corpusGrams = corpus.select(id.as("_id"),
+      explode(hashedShingles(text, n)).as("_g"))
+    val benchGrams = bench.select(explode(hashedShingles(text, n)).as("_g"))
+      .distinct()
+    corpusGrams.join(benchGrams, "_g")
+      // grams are distinct per document and distinct on the benchmark
+      // side, so the plain count IS the distinct shared-gram count
+      .groupBy("_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("_id").as("doc_id"), col("n_shared"))
+  }
+
   /** Greedy near-dedup: drop every document that appears as the larger
     * id of a near-duplicate pair; keep the rest.
     */

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training data: documents' token streams
+  * are concatenated in a deterministic order and sliced into
+  * fixed-size context-window chunks — the standard "concatenate then
+  * chunk" packing policy. The core primitive is a DISTRIBUTED global
+  * prefix sum: the naive formulation (`sum().over(Window.orderBy(...))`
+  * with no partition spec) collapses the whole dataset onto ONE task,
+  * which is exactly the plan that dies at 100 TB.
+  *
+  * Distributed scan shape (classic two-phase):
+  *  1. range-partition by the order key (global order across
+  *     partitions, local order within);
+  *  2. per-partition exclusive running sum via a window PARTITIONED on
+  *     `spark_partition_id()` — parallel, no cross-partition traffic;
+  *  3. per-partition totals (one row per partition) get their own
+  *     exclusive prefix sum — the only single-partition window, over
+  *     ~numPartitions rows of index metadata — and join back as
+  *     offsets via a broadcast.
+  * The partition-id stamp rides on a [[org.apache.spark.sql.graft
+  * .Bridge.persistRows]]-materialized relation so both consumers (rows
+  * and totals) read the SAME physical rows — partition assignment can
+  * never diverge between them.
+  */
+object Packing {
+
+  /** Adds `out` = exclusive prefix sum of `value` in `orderCol` order
+    * (0 for the first row). `orderCol` must be unique for a
+    * deterministic result.
+    */
+  def withGlobalCumsum(df: DataFrame, orderCol: Column, value: Column,
+      out: String): DataFrame = {
+    val ranged = org.apache.spark.sql.graft.Bridge.persistRows(
+      df.withColumn("_psv", value.cast("long"))
+        .repartitionByRange(orderCol)
+        .withColumn("_pid", spark_partition_id()))
+    val wLocal = Window.partitionBy("_pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("_local_before",
+      coalesce(sum(col("_psv")).over(wLocal), lit(0L)))
+    val wOff = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("_pid")
+      .agg(sum(col("_psv")).as("_ptotal"))
+      .withColumn("_off", coalesce(sum(col("_ptotal")).over(wOff), lit(0L)))
+      .select("_pid", "_off")
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(out, col("_off") + col("_local_before"))
+      .drop("_pid", "_psv", "_local_before", "_off")
+  }
+
+  /** Chunk assignment under concatenate-then-chunk packing: each
+    * document reports the context-window chunk holding its first token
+    * (`chunk_id`) and the token offset inside that chunk
+    * (`chunk_off`). Exact integer arithmetic end to end.
+    */
+  def packChunks(df: DataFrame, orderCol: Column, tokens: Column,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    withGlobalCumsum(df, orderCol, tokens, "cum_before")
+      .withColumn("chunk_id", floor(col("cum_before") / lit(chunkTokens)))
+      .withColumn("chunk_off", col("cum_before") % lit(chunkTokens.toLong))
+  }
+}
