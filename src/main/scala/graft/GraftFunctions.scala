@@ -51,8 +51,11 @@ object GraftFunctions {
       c => MinHashBands(c(0), intArg(c(1), "minhash_bands k"),
         intArg(c(2), "minhash_bands b"))),
     ("shingles",
-      "shingles(array<string>, n) - distinct hashed word n-gram shingles",
+      "shingles(array<string>, n) - distinct word n-gram shingles",
       c => Shingles(c(0), intArg(c(1), "shingles n"))),
+    ("shingles_hashed",
+      "shingles_hashed(array<string>, n) - distinct 64-bit-hashed word n-gram shingles (xxhash64 seed 42)",
+      c => Shingles(c(0), intArg(c(1), "shingles_hashed n"), hashed = true)),
     ("dot_product",
       "dot_product(array<double>, array<double>) - ordered-fold dot product",
       c => DotProduct(c(0), c(1))),

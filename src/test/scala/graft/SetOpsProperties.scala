@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.scalacheck.{Gen, Properties}
 
 import graft.functions.SortedOverlapCount
-import graft.operators.SetSimJoin
+import graft.operators.{Dedup, SetSimJoin}
 
 /** ScalaCheck properties for the set-similarity kernels. */
 object SetOpsProperties extends Properties("SetOps") {
@@ -34,6 +34,25 @@ object SetOpsProperties extends Properties("SetOps") {
       Gen.choose(6, 25).flatMap(len =>
         Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
   } yield docs
+
+  property("hashed shingles = xxhash64 of string shingles, elementwise") = {
+    // THE invariant the whole fast path rests on: the hashed shingle
+    // kernel must emit exactly what Spark's xxhash64 (seed 42) yields
+    // on the string shingles, in the same first-occurrence order —
+    // that is what makes MinHash signatures bit-identical across the
+    // string and hashed inputs.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    org.scalacheck.Prop.forAll(corpusGen) { docs =>
+      val both = docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "text")
+        .select(
+          Dedup.hashedShingles(col("text"), 2).as("h"),
+          transform(Dedup.shingles(col("text"), 2), s => xxhash64(s)).as("e"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      both.forall { case (h, e) => h == e }
+    }
+  }
 
   property("jaccardPairs equals brute force on random tiny-vocab corpora") = {
     import org.apache.spark.sql.functions.col
