@@ -98,12 +98,18 @@ object Dedup {
     // uses, and the min-fold is order-independent), so the candidate
     // set is unchanged; jaccard over hashes equals jaccard over grams
     // up to 64-bit collisions (see graft.functions.Shingles).
-    val withSh = df
+    // persisted (RDD layer) BEFORE the band explode: BucketPairs
+    // consumes its input three times (size lookup + both join sides),
+    // and each evaluation would otherwise re-shingle and re-minhash the
+    // corpus; the pre-explode relation is one row per doc (sorted gram
+    // hashes + b band keys), so the per-consumer explode is arithmetic
+    // over cached blocks.
+    val withSh = Bridge.persistRows(df
       .select(id.as("_id"), split(text, "\\s+").as("_toks"))
       .select(col("_id"),
         sort_array(hashedShinglesFromTokens(col("_toks"), shingleN)).as("_sh"))
+      .withColumn("_bands", minhashBands(col("_sh"), k, bands)))
     val withBands = withSh
-      .withColumn("_bands", minhashBands(col("_sh"), k, bands))
       .select(col("_id"), col("_sh"),
         posexplode(col("_bands")).as(Seq("_band", "_bh")))
 
@@ -148,10 +154,17 @@ object Dedup {
       bucketCap: Int = 1000): DataFrame = {
     val width = 64 / bands
     val mask = (1L << width) - 1L
-    val withSim = df
+    // grams are hashed inside the shingle kernel's single pass (the
+    // SimHash kernel votes on pre-hashed longs bit-identically to the
+    // string path), and the (id, sim) relation — 16 bytes/doc — is
+    // persisted at the RDD layer: BucketPairs consumes its input three
+    // times (size lookup + both join sides), and without the persist
+    // each evaluation re-shingled and re-hashed the whole corpus
+    // (measured 3x the query's entire remaining cost at sf0.1).
+    val withSim = Bridge.persistRows(df
       .select(id.as("_id"), split(text, "\\s+").as("_toks"))
       .select(col("_id"),
-        simhash(shinglesFromTokens(col("_toks"), shingleN)).as("_sim"))
+        simhash(hashedShinglesFromTokens(col("_toks"), shingleN)).as("_sim")))
     val chunks = withSim.select(col("_id"), col("_sim"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("_sim"), b * width).bitwiseAND(lit(mask))): _*))
