@@ -67,6 +67,17 @@ object LlmQueries {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // Near-dup pairs closed transitively into duplicate CLUSTERS via
+    // distributed connected components (alternating large-star /
+    // small-star; no adjacency lists, no driver-side graph). Every doc
+    // is labeled with its cluster's min doc_id; singletons label
+    // themselves. Oracle = recursive-CTE transitive closure over the
+    // same brute-force pair set.
+    "q_dedup_clusters" -> ((s, d) =>
+      graft.operators.Clusters
+        .dedupClusters(docs(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: flag corpus docs sharing >= 50 word
     // trigrams with the held-out "benchmark" slice (doc_id % 10 == 8
     // stands in for an eval suite; the slice contains several planted
@@ -262,6 +273,26 @@ object LlmQueries {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (
          |  SELECT DISTINCT doc_b FROM pairs WHERE jaccard >= 0.8)
+         |ORDER BY doc_id""".stripMargin,
+    // transitive closure of the >= 0.8 pair graph; cluster label = min
+    // reachable doc_id (incl. self), singletons label themselves
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.8
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs WHERE jaccard >= 0.8
+         |),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+         |),
+         |lbl AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a)
+         |SELECT d.doc_id,
+         |  CAST(least(d.doc_id, coalesce(l.mn, d.doc_id)) AS BIGINT)
+         |    AS cluster_id
+         |FROM documents d LEFT JOIN lbl l USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     // brute-force oracle over the same trigram-shingle definition the
     // MinHash near-dup oracle uses; the prefix-filtered exact join
