@@ -341,6 +341,36 @@ object BatchQueries {
           col("cnt"), col("last_ts"))
         .orderBy("user_id", "session_start")),
 
+    // Gap-based sessionization in the composable lag+running-sum form:
+    // the session ordinal stays on the ROW (unlike session_window's
+    // aggregate), so (user, session) is a joinable/groupable key.
+    // Same 24h gap as q_window_session; per-session bounds out.
+    "q_sessionize" -> ((s, d) =>
+      graft.operators.Sessionize.sessionStats(
+          events(s, d).select(col("user_id"), expr("ts DIV 1000").as("ts")),
+          col("user_id"), col("ts"), gapUs = 86400000000L)
+        .orderBy("user_id", "session_seq")),
+
+    // Interval containment join via bin replication: probes equi-join
+    // replicated intervals on a 24h time bin (a probe's bin is unique,
+    // so each qualifying pair meets exactly once — no dedup), then the
+    // exact BETWEEN applies. For every event: how many heavy sessions
+    // (>= 20 events, any user) were active at its timestamp. The
+    // oracle is the naive inequality join DuckDB runs as an IEJoin.
+    "q_interval_join" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), expr("ts DIV 1000").as("ts"))
+      val heavy = graft.operators.Sessionize.sessionStats(
+          events(s, d).select(col("user_id"), expr("ts DIV 1000").as("ts")),
+          col("user_id"), col("ts"), gapUs = 86400000000L)
+        .filter(col("n_events") >= 20)
+      graft.operators.Sessionize.countContaining(
+          ev, col("event_id"), col("ts"),
+          heavy, col("t_start"), col("t_end"), binUs = 86400000000L)
+        .select(col("probe_id").as("event_id"), col("n_active"))
+        .orderBy("event_id")
+    }),
+
     // Event-time SLIDING window aggregation (width 2h, slide 1h): each
     // event lands in exactly width/slide = 2 epoch-aligned buckets —
     // Spark's window() explodes the assignment; the oracle reproduces
@@ -670,6 +700,46 @@ object BatchQueries {
         |  max(ts) AS last_ts
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         > 86400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |),
+        |s AS (
+        |  SELECT user_id, ts, CAST(SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS session_seq
+        |  FROM m
+        |)
+        |SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS t_start, max(ts) AS t_end
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q_interval_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         > 86400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |),
+        |s AS (
+        |  SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m
+        |),
+        |g AS (SELECT user_id, sid, count(*) AS n, min(ts) AS a, max(ts) AS b
+        |      FROM s GROUP BY 1, 2),
+        |h AS (SELECT a, b FROM g WHERE n >= 20),
+        |ev AS (SELECT event_id, epoch_us(ts) AS ts FROM events)
+        |SELECT ev.event_id, CAST(count(h.a) AS BIGINT) AS n_active
+        |FROM ev LEFT JOIN h ON ev.ts BETWEEN h.a AND h.b
+        |GROUP BY ev.event_id ORDER BY ev.event_id""".stripMargin,
     "q_window_sliding" ->
       """SELECT ((epoch_us(ts) // 3600000000) - k) * 3600000000 AS bucket_us,
         |  event_type, count(*) AS cnt,
