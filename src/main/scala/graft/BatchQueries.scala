@@ -544,6 +544,45 @@ object BatchQueries {
           sum(col("c_acctbal").cast("decimal(38,10)")).cast("double")
             .as("sum_bal"))
         .orderBy("r_name")),
+
+    // Exact distributed per-group quantiles (disc + cont): rank window
+    // + roll-up instead of a group-buffering percentile UDAF — the
+    // shape that spills instead of OOMing on a skewed 100 TB group.
+    // The interpolation expression tree is mirrored literally in the
+    // oracle, so the doubles are bit-exact.
+    "q_quantiles" -> ((s, d) =>
+      graft.operators.Quantiles.exactQuantiles(
+          Tables.lineitem(s, d), col("l_returnflag"), col("l_quantity"),
+          Seq(0.25, 0.5, 0.9))
+        .withColumnRenamed("_g", "l_returnflag")
+        .orderBy("l_returnflag")),
+
+    // Relational MERGE/upsert (SCD-1 CDC apply): changes = max order
+    // price per customer, base = customers outside one residue class
+    // (so the insert path fires); matched rows take the change value,
+    // unmatched changes insert with null attributes. One full-outer
+    // equi-join; the oracle is the same join spelled in SQL.
+    "q_upsert" -> ((s, d) => {
+      val base = Tables.customer(s, d).filter(col("c_custkey") % 7 =!= 3)
+      val changes = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(max(col("o_totalprice")).as("c_acctbal"))
+      graft.operators.Merge.upsert(base, changes, "c_custkey",
+          Seq("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // PII-style scrubbing: redact long digit runs (ids, phone-like
+    // tokens) and count the hits — a pure narrow codegen'd projection,
+    // the shape any corpus-scrubbing pass takes at 100 TB. RE2/Java
+    // regex dialects agree on this pattern class.
+    "q_pii_redact" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]{4,}", "[ID]").as("redacted"),
+          size(regexp_extract_all(col("c_name"), lit("[0-9]{4,}"), lit(0)))
+            .cast("long").as("n_hits"))
+        .orderBy("c_custkey")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -844,5 +883,46 @@ object BatchQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // mirrors Quantiles.exactQuantiles' expression tree literally:
+    // zero-based index i = p*(n-1); disc = element at floor(i); cont =
+    // lo + (hi - lo) * (i - floor(i))
+    "q_quantiles" -> {
+      val ps = Seq(25 -> "0.25", 50 -> "0.5", 90 -> "0.9")
+      val aggs = ps.map { case (pp, p) =>
+        s"""  max(CASE WHEN rn = CAST(floor($p * (n - 1)) AS BIGINT) + 1 THEN v END) AS p${pp}_lo,
+           |  max(CASE WHEN rn = CAST(ceil($p * (n - 1)) AS BIGINT) + 1 THEN v END) AS p${pp}_hi,
+           |  max($p * (n - 1) - floor($p * (n - 1))) AS f$pp""".stripMargin
+      }.mkString(",\n")
+      val outs = ps.map { case (pp, _) =>
+        s"""  p${pp}_lo AS p${pp}_disc,
+           |  p${pp}_lo + (p${pp}_hi - p${pp}_lo) * f$pp AS p${pp}_cont""".stripMargin
+      }.mkString(",\n")
+      s"""WITH r AS (SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v FROM lineitem),
+         |rk AS (SELECT g, v,
+         |  row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+         |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+         |  FROM r),
+         |a AS (SELECT g,
+         |$aggs
+         |  FROM rk GROUP BY g)
+         |SELECT g AS l_returnflag,
+         |$outs
+         |FROM a ORDER BY l_returnflag""".stripMargin
+    },
+    "q_upsert" ->
+      """WITH base AS (SELECT * FROM customer WHERE c_custkey % 7 <> 3),
+        |ch AS (SELECT o_custkey AS c_custkey, max(o_totalprice) AS new_bal
+        |       FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(b.c_custkey, ch.c_custkey) AS c_custkey,
+        |  b.c_name, b.c_nationkey,
+        |  coalesce(ch.new_bal, b.c_acctbal) AS c_acctbal,
+        |  b.c_mktsegment
+        |FROM base b FULL OUTER JOIN ch ON b.c_custkey = ch.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_pii_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]{4,}', '[ID]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]{4,}')) AS BIGINT) AS n_hits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -102,6 +102,46 @@ object LlmQueries {
         .select("doc_id", "n_tokens", "cum_before", "chunk_id", "chunk_off")
         .orderBy("doc_id")),
 
+    // Deterministic content-addressed train/val/test assignment —
+    // the reproducible replacement for randomSplit (which is
+    // partitioning-dependent, hence rows-only checkable); this one is
+    // a pure narrow projection with an exact arithmetic oracle.
+    "q_split_assign" -> ((s, d) =>
+      graft.operators.Sampling.splitAssign(
+          docs(s, d).select("doc_id"), col("doc_id"),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .orderBy("doc_id")),
+
+    // Deterministic fixed-size per-group sample: 20 docs per lang in
+    // content-hash order — one shuffle, top-k window.
+    "q_group_sample" -> ((s, d) =>
+      graft.operators.Sampling.groupSample(
+          docs(s, d).select("doc_id", "lang"), col("lang"), col("doc_id"),
+          20)
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")),
+
+    // Relational TF-IDF: top-3 distinctive terms per doc. The raw
+    // tfidf double stays internal: JVM StrictMath.log and DuckDB's
+    // libm ln disagree in the last ulp on ~0.1% of the df domain
+    // (measured), so the gate covers the integer/rank surface — a
+    // rank flip would need two scores within 1 ulp of each other —
+    // and TermStatsSpec pins the double values.
+    "q_tfidf" -> ((s, d) =>
+      graft.operators.TermStats
+        .tfidfTopTerms(docs(s, d), col("doc_id"), col("text"), 3)
+        .select(col("_id").as("doc_id"), col("term"), col("tf"),
+          col("df"), col("term_rank"))
+        .orderBy("doc_id", "term_rank")),
+
+    // Gopher-style repetition gates: duplicate word / bigram fractions
+    // and heaviest-gram counts per doc.
+    "q_repetition" -> ((s, d) =>
+      graft.operators.TermStats
+        .repetitionStats(docs(s, d), col("doc_id"), col("text"))
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id")),
+
     // Exact cosine top-5 for query vectors 0..4 over the whole corpus —
     // ranks only (FP sums are engine-order-sensitive; ranks are stable
     // because neighbor cosines are well separated in the fixture).
@@ -346,6 +386,74 @@ object LlmQueries {
         |    (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
         |  FROM s
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Sampling.hashBucket spelled in exact BIGINT arithmetic (every
+    // intermediate < 2^63 — see the operator's overflow note).
+    "q_split_assign" ->
+      """WITH h AS (SELECT doc_id,
+        |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
+        |     * 2654435761) % 1000000007 % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_group_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
+        |     * 2654435761) % 1000000007 % 1000000007 AS hk
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+        |    AS sample_rank
+        |  FROM h)
+        |SELECT doc_id, lang, sample_rank FROM r
+        |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+    "q_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t WHERE term <> '' GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |  CAST(tf.tf AS DOUBLE) * ln(CAST(nn AS DOUBLE) / CAST(df AS DOUBLE))
+        |    AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, term_rank FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
+        |  FROM s)
+        |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+        |       GROUP BY doc_id, word),
+        |wp AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_words,
+        |  CAST(max(c) AS BIGINT) AS top_word_cnt
+        |  FROM wc GROUP BY doc_id),
+        |bg AS (SELECT doc_id,
+        |  [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS bs
+        |  FROM w),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(bs) AS bigram FROM bg)
+        |       GROUP BY doc_id, bigram),
+        |bp AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |  CAST(max(c) AS BIGINT) AS top_bigram_cnt
+        |  FROM bc GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_distinct_words, top_word_cnt,
+        |  CAST(n_words - n_distinct_words AS DOUBLE)
+        |    / CAST(n_words AS DOUBLE) AS dup_word_frac,
+        |  n_bigrams, n_distinct_bigrams, top_bigram_cnt,
+        |  CAST(n_bigrams - n_distinct_bigrams AS DOUBLE)
+        |    / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac
+        |FROM wp JOIN bp USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q_sim_lsh: no oracle (approximate path) — rows-only check.
     "q_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed per-group quantiles, both discontinuous (an
+  * actual data element) and continuous (linear interpolation, the
+  * PERCENTILE_CONT rule: index i = p·(n−1) zero-based; disc takes
+  * element ⌊i⌋, cont interpolates lo + (hi − lo)·(i − ⌊i⌋)).
+  *
+  * Built from one rank window + one roll-up aggregation instead of a
+  * percentile UDAF: the window shuffles each group once (the same
+  * exchange the roll-up reuses), ranking is ordinal so the result is
+  * engine-exact — no FP comparator, and the interpolation arithmetic
+  * is a fixed expression tree the oracle mirrors literally. A
+  * percentile aggregate that buffers the whole group in one executor
+  * (Spark's exact `percentile` does) dies on a skewed 100 TB group;
+  * this shape spills through the sort machinery instead.
+  */
+object Quantiles {
+
+  /** One row per group: `p<PP>_disc` and `p<PP>_cont` per requested
+    * quantile (PP = percent, e.g. p50_disc). `ps` values must be in
+    * [0, 1].
+    */
+  def exactQuantiles(df: DataFrame, group: Column, value: Column,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "quantiles must be within [0, 1]")
+    val ranked = df
+      .select(group.as("_g"), value.cast("double").as("_v"))
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("_g"))
+        .orderBy(col("_v"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_g"))))
+    val aggs = ps.flatMap { p =>
+      val pp = math.round(p * 100).toInt
+      // zero-based fractional index i = p * (n - 1)
+      val i = lit(p) * (col("_n") - lit(1)).cast("double")
+      val loIdx = floor(i).cast("long") + lit(1L) // back to 1-based rank
+      val hiIdx = ceil(i).cast("long") + lit(1L)
+      val lo = max(when(col("_rn") === loIdx, col("_v")))
+      val hi = max(when(col("_rn") === hiIdx, col("_v")))
+      // i (hence frac) is constant within a group; max() is just the
+      // aggregate-scope hoist of that constant
+      val frac = max(i - floor(i))
+      Seq(
+        lo.as(s"p${pp}_disc"),
+        (lo + (hi - lo) * frac).as(s"p${pp}_cont"))
+    }
+    ranked.groupBy(col("_g"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

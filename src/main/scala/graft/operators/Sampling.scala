@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent sampling and dataset splitting.
+  *
+  * `randomSplit`/`sample` are partitioning-dependent: the rows a split
+  * keeps change when the input's partition layout changes, so two runs
+  * of the same pipeline on the same data can disagree — unacceptable
+  * for train/val/test assignment, where a row silently migrating from
+  * train to test invalidates the evaluation. The standard fix at scale
+  * is CONTENT-addressed assignment: bucket = hash(key) mod B, split by
+  * bucket range. Assignment is then a pure narrow projection — no
+  * shuffle, no RNG state, reproducible across engines, cluster sizes,
+  * and re-runs, and stable under appends (new rows never move old rows
+  * between splits).
+  *
+  * The hash is a two-round multiplicative-congruential mix over a
+  * Mersenne-ish prime modulus, chosen so every step stays below 2^63
+  * for any key below the modulus (no overflow wraparound — DuckDB
+  * BIGINT errors on overflow, so wraparound arithmetic would not be
+  * oracle-expressible): k·2654435761 < 2^63 for k < 2^31.5·…, and the
+  * reduced value < 1e9+7 keeps the second round small. Keys are first
+  * reduced mod the modulus so arbitrary BIGINT ids are safe.
+  */
+object Sampling {
+
+  val Mod = 1000000007L // prime
+  private val M1 = 2654435761L // Knuth multiplicative (2^32 * phi)
+  private val M2 = 40503L // Fibonacci-ish 16-bit mixer
+
+  /** Deterministic bucket in [0, buckets) from an integral key column.
+    * Pure arithmetic (two multiply-mod rounds) — identical in any
+    * engine with exact 64-bit integers.
+    */
+  def hashBucket(key: Column, buckets: Int): Column = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val r1 = (pmod(key.cast("long"), lit(Mod)) * lit(M1)) % lit(Mod)
+    val r2 = ((r1 + lit(M2)) * lit(M1)) % lit(Mod)
+    r2 % lit(buckets.toLong)
+  }
+
+  /** Adds `bucket` (mod `buckets`) and `split` — the first label whose
+    * cumulative weight covers the bucket. Weights are integer
+    * per-buckets shares, e.g. Seq(("train",80),("val",10),("test",10))
+    * over 100 buckets.
+    */
+  def splitAssign(df: DataFrame, key: Column,
+      weights: Seq[(String, Int)], buckets: Int = 100): DataFrame = {
+    require(weights.map(_._2).sum == buckets,
+      s"split weights must sum to buckets=$buckets")
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+    val b = col("bucket")
+    val split = weights.zip(bounds).foldLeft(lit(null: String)) {
+      case (acc, ((label, _), hi)) =>
+        coalesce(acc, when(b < hi, lit(label)))
+    }
+    df.withColumn("bucket", hashBucket(key, buckets))
+      .withColumn("split", split)
+  }
+
+  /** Deterministic fixed-size per-group sample: the `k` rows of each
+    * group with the smallest `(hashBucket(key), key)` — a content-
+    * addressed stand-in for "k uniform draws" that is exactly
+    * reproducible. One shuffle on the group key; the per-group sort is
+    * the standard top-k window (rank <= k prunes before anything
+    * downstream).
+    */
+  def groupSample(df: DataFrame, group: Column, key: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(group)
+      .orderBy(hashBucket(key, Mod.toInt), key)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+}

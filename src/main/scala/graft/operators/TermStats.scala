@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-relative term statistics: TF-IDF term ranking and
+  * intra-document repetition signals (the Gopher/C4-style quality
+  * filters that gate LLM training corpora).
+  *
+  * Everything is expressed as explode → partial-aggregated groupBy →
+  * window top-k, so the map-side combine absorbs the token blow-up
+  * before any shuffle: the (doc, term) aggregation shuffles at most
+  * |doc|·|distinct terms per doc| rows, the document-frequency table
+  * is |vocab| rows keyed by term, and the final per-doc top-k is the
+  * rank-window + filter. No collect(), no vocabulary broadcast (at
+  * 100 TB the vocab can be billions of terms, so document frequency
+  * must stay a distributed relation joined on the term key).
+  */
+object TermStats {
+
+  /** Tokenize to lowercase whitespace-separated words. */
+  def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Adjacent word pairs ("w[i] w[i+1]") from a words array. */
+  def bigrams(ws: Column): Column =
+    filter(
+      transform(ws, (x, i) =>
+        when(i < size(ws) - 1,
+          concat(x, lit(" "), element_at(ws, i + 2)))),
+      _.isNotNull)
+
+  /** Top-`k` TF-IDF terms per document. Output: _id, term, tf, df,
+    * tfidf, term_rank (1-based, score-desc, term-asc tiebreak).
+    *
+    * tfidf = tf * ln(N / df) with N = corpus size — the classic
+    * smoothing-free formulation. Cross-engine note: JVM log and libm
+    * ln can disagree in the final ulp, so exactness gates should
+    * compare the integer/rank surface, not the raw double (two
+    * distinct scores landing within 1 ulp of each other is the only
+    * way a rank can flip).
+    */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val terms = df.select(id.as("_id"),
+        explode(words(text)).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          log(col("_n").cast("double") / col("df").cast("double")))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .drop("_n")
+  }
+
+  /** Per-document counts / distinct counts / heaviest gram / duplicate
+    * fraction for one gram order: explode → (doc, gram) partial
+    * aggregation → per-doc roll-up. */
+  private def gramProfile(df: DataFrame, id: Column, grams: Column,
+      gram: String, suffix: String): DataFrame =
+    df.select(id.as("_id"), explode(grams).as(gram))
+      .groupBy(col("_id"), col(gram))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col("_id"))
+      .agg(
+        sum(col("_cnt")).as(s"n_$suffix"),
+        count(lit(1)).as(s"n_distinct_$suffix"),
+        max(col("_cnt")).as(s"top_${gram}_cnt"))
+      .withColumn(s"dup_${gram}_frac",
+        (col(s"n_$suffix") - col(s"n_distinct_$suffix")).cast("double") /
+          col(s"n_$suffix").cast("double"))
+
+  /** Per-document repetition profile over words and word-bigrams: the
+    * standard "fraction of duplicated n-grams" repetition gates from
+    * the Gopher filtering stack.
+    */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val ws = words(text)
+    gramProfile(df, id, ws, "word", "words")
+      .join(gramProfile(df, id, bigrams(ws), "bigram", "bigrams"), "_id")
+  }
+}

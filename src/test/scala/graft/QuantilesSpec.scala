@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Quantiles
+
+/** Exact distributed quantiles vs hand-computed PERCENTILE rules. */
+class QuantilesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("disc and cont match the zero-based p*(n-1) definition") {
+    // group a: 1..5 → p50: i=2 → disc=cont=3; p25: i=1 → 2; p90: i=3.6
+    //   → disc=4, cont=4 + (5-4)*0.6 = 4.6
+    // group b: 10,20 → p50: i=0.5 → disc=10, cont=15
+    val df = (Seq(1, 2, 3, 4, 5).map(v => ("a", v.toDouble)) ++
+      Seq(10, 20).map(v => ("b", v.toDouble))).toDF("g", "v")
+    val out = Quantiles.exactQuantiles(df, col("g"), col("v"),
+        Seq(0.25, 0.5, 0.9))
+      .select("_g", "p25_disc", "p25_cont", "p50_disc", "p50_cont",
+        "p90_disc", "p90_cont")
+      .as[(String, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      ("a", 2.0, 2.0, 3.0, 3.0, 4.0, 4.0 + (5.0 - 4.0) * (0.9 * 4 - 3)),
+      ("b", 10.0, 10.0 + (20.0 - 10.0) * 0.25, 10.0, 15.0, 10.0,
+        10.0 + (20.0 - 10.0) * 0.9)))
+  }
+
+  test("single-element group: every quantile is that element") {
+    val out = Quantiles.exactQuantiles(Seq(("x", 7.0)).toDF("g", "v"),
+        col("g"), col("v"), Seq(0.0, 0.5, 1.0))
+      .select("p0_disc", "p0_cont", "p50_disc", "p50_cont", "p100_disc",
+        "p100_cont")
+      .as[(Double, Double, Double, Double, Double, Double)].collect().toSeq
+    assert(out === Seq((7.0, 7.0, 7.0, 7.0, 7.0, 7.0)))
+  }
+
+  test("result is invariant under partitioning") {
+    val vals = (0 until 997).map(i => (s"g${i % 3}", ((i * 7919) % 501).toDouble))
+    val a = Quantiles.exactQuantiles(vals.toDF("g", "v").repartition(1),
+      col("g"), col("v"), Seq(0.5, 0.9)).collect().map(_.toSeq).toSet
+    val b = Quantiles.exactQuantiles(vals.toDF("g", "v").repartition(11),
+      col("g"), col("v"), Seq(0.5, 0.9)).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+}

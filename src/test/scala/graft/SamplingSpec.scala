@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+/** Deterministic sampling/splitting: reproducibility under
+  * repartitioning (the property randomSplit lacks), split-weight
+  * conformance, and the per-group sample contract.
+  */
+class SamplingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val weights = Seq(("train", 80), ("val", 10), ("test", 10))
+
+  test("splitAssign is invariant under partitioning and re-runs") {
+    val df = (0L until 2000L).toDF("id")
+    val a = Sampling.splitAssign(df.repartition(1), col("id"), weights)
+      .select("id", "split").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = Sampling.splitAssign(df.repartition(13), col("id"), weights)
+      .select("id", "split").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  test("splitAssign is stable under appends: old rows never move") {
+    val small = Sampling.splitAssign((0L until 500L).toDF("id"), col("id"),
+        weights).select("id", "split").as[(Long, String)].collect().toMap
+    val big = Sampling.splitAssign((0L until 1000L).toDF("id"), col("id"),
+        weights).select("id", "split").as[(Long, String)].collect().toMap
+    small.foreach { case (id, s) => assert(big(id) === s) }
+  }
+
+  test("split shares approximate the requested 80/10/10 weights") {
+    val n = 20000L
+    val shares = Sampling.splitAssign((0L until n).toDF("id"), col("id"),
+        weights)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(shares("train") / n.toDouble - 0.80) < 0.02)
+    assert(math.abs(shares("val") / n.toDouble - 0.10) < 0.01)
+    assert(math.abs(shares("test") / n.toDouble - 0.10) < 0.01)
+  }
+
+  test("hash buckets are near-uniform (no modulus clumping)") {
+    val n = 20000L
+    val counts = (0L until n).toDF("id")
+      .select(Sampling.hashBucket(col("id"), 16).as("b"))
+      .groupBy("b").count().as[(Long, Long)].collect().toMap
+    assert(counts.size === 16)
+    counts.values.foreach { c =>
+      assert(math.abs(c - n / 16.0) < n / 16.0 * 0.15, counts.toString)
+    }
+  }
+
+  test("groupSample: exactly k per group (or the whole group), stable") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 4}"))
+      .toDF("id", "grp")
+    val out = Sampling.groupSample(df, col("grp"), col("id"), 10)
+    val sizes = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ == 10))
+    // a group smaller than k returns all of it
+    val tiny = Sampling.groupSample(df.filter(col("id") < 3), col("grp"),
+      col("id"), 10)
+    assert(tiny.count() === 3)
+    // deterministic across partitionings
+    val a = out.select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.groupSample(df.repartition(7), col("grp"), col("id"), 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+}

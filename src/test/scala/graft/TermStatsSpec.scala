@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TermStats
+
+/** Goldens for TF-IDF term ranking and the repetition profile,
+  * including the raw tfidf doubles the oracle gate deliberately
+  * excludes (cross-engine ln ulp — see q_tfidf's comment).
+  */
+class TermStatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "apple banana apple cherry"),
+    (1L, "banana cherry banana banana"),
+    (2L, "apple cherry date date")).toDF("doc_id", "text")
+
+  test("tfidf: tf/df/rank and the double scores match hand computation") {
+    val out = TermStats.tfidfTopTerms(corpus, col("doc_id"), col("text"), 2)
+      .select(col("_id"), col("term"), col("tf"), col("df"), col("tfidf"),
+        col("term_rank"))
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+      .sortBy(t => (t._1, t._6)).toSeq
+    val ln32 = StrictMath.log(3.0 / 2.0) // apple, banana, date appear in 2 docs
+    // cherry: df=3 → ln(1)=0 ⇒ never top unless nothing else
+    val expected = Seq(
+      (0L, "apple", 2L, 2L, 2.0 * ln32, 1),
+      (0L, "banana", 1L, 2L, 1.0 * ln32, 2),
+      (1L, "banana", 3L, 2L, 3.0 * ln32, 1),
+      (1L, "cherry", 1L, 3L, 0.0, 2),
+      (2L, "date", 2L, 1L, 2.0 * StrictMath.log(3.0), 1), // df=1: doc 2 only
+      (2L, "apple", 1L, 2L, 1.0 * ln32, 2))
+    assert(out === expected)
+  }
+
+  test("tfidf ties on equal score break by term ascending") {
+    // two df=N terms both score 0 — order must be lexicographic
+    val df = Seq((0L, "zz aa"), (1L, "aa zz")).toDF("doc_id", "text")
+    val out = TermStats.tfidfTopTerms(df, col("doc_id"), col("text"), 2)
+      .select(col("_id"), col("term"), col("term_rank"))
+      .as[(Long, String, Int)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(out === Seq((0L, "aa", 1), (0L, "zz", 2),
+      (1L, "aa", 1), (1L, "zz", 2)))
+  }
+
+  test("repetitionStats: counts, heaviest grams, duplicate fractions") {
+    val df = Seq((0L, "a b a b a")).toDF("doc_id", "text")
+    // words: a×3 b×2 → n=5 distinct=2 top=3 dup=3/5
+    // bigrams: "a b"×2 "b a"×2 → n=4 distinct=2 top=2 dup=1/2
+    val out = TermStats.repetitionStats(df, col("doc_id"), col("text"))
+      .select("_id", "n_words", "n_distinct_words", "top_word_cnt",
+        "dup_word_frac", "n_bigrams", "n_distinct_bigrams",
+        "top_bigram_cnt", "dup_bigram_frac")
+      .as[(Long, Long, Long, Long, Double, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(out === Seq((0L, 5L, 2L, 3L, 0.6, 4L, 2L, 2L, 0.5)))
+  }
+
+  test("repetition on an all-unique doc reports zero duplication") {
+    val out = TermStats.repetitionStats(
+        Seq((1L, "one two three four")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .select("dup_word_frac", "dup_bigram_frac")
+      .as[(Double, Double)].collect().toSeq
+    assert(out === Seq((0.0, 0.0)))
+  }
+
+  test("tfidf plan: df table joins on term, corpus size broadcasts") {
+    val plan = TermStats.tfidfTopTerms(
+        Tables.documents(spark, "/root/testdata/sf0.001"),
+        col("doc_id"), col("text"), 3)
+      .queryExecution.executedPlan.toString
+    // the single-row count is the ONLY broadcast: the vocabulary-sized
+    // document-frequency relation must never be collected or broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+}
