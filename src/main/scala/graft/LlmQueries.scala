@@ -187,6 +187,28 @@ object LlmQueries {
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")),
 
+    // Binary-signature Hamming ANN: sign-binarized embeddings packed
+    // into two 32-bit words, neighbors ranked by XOR+POPCNT — exact
+    // integer arithmetic end to end, so unlike the float-cosine ANN
+    // paths this one carries a full value oracle.
+    "q_ham_topk" -> ((s, d) =>
+      graft.operators.BinaryEmbed.hammingTopK(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+        .orderBy("query_id", "rank")),
+
+    // Symmetric int8 scalar quantization with per-vector scale. The
+    // int array serializes to a comma string for the gate (the
+    // driver's comparator is scalar-typed; q_array_fns precedent).
+    "q_embed_quant" -> ((s, d) =>
+      graft.operators.BinaryEmbed.quantizeInt8(
+          Tables.embeddings(s, d).select("vec_id", "embedding"),
+          col("embedding"))
+        .select(col("vec_id"), col("q_scale"),
+          array_join(transform(col("q_vec"), _.cast("string")), ",")
+            .as("q_vec_str"))
+        .orderBy("vec_id")),
+
     // IVF variant (the other scale path): deterministic k-means coarse
     // quantizer, nprobe cluster probing, exact rerank. Approximate →
     // rows-only; SimilaritySpec pins planted recall.
@@ -386,6 +408,36 @@ object LlmQueries {
         |    (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
         |  FROM s
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ham_topk" ->
+      """WITH s AS (SELECT vec_id,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0
+        |      THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END
+        |    for i in range(1, 33)]) AS BIGINT) AS sig_lo,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0
+        |      THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE CAST(0 AS BIGINT) END
+        |    for i in range(33, 65)]) AS BIGINT) AS sig_hi
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, sig_lo AS q_lo, sig_hi AS q_hi
+        |      FROM s WHERE vec_id < 5),
+        |d AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+        |  CAST(bit_count(xor(q.q_lo, s.sig_lo))
+        |     + bit_count(xor(q.q_hi, s.sig_hi)) AS BIGINT) AS hamming
+        |  FROM q JOIN s ON s.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, hamming, rank FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+        |  FROM d)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_embed_quant" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  127.0 / list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))) AS q_scale
+        |  FROM embeddings)
+        |SELECT vec_id, q_scale,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * q_scale + 0.5) AS INTEGER)),
+        |    ',') AS q_vec_str
+        |FROM m ORDER BY vec_id""".stripMargin,
     // Sampling.hashBucket spelled in exact BIGINT arithmetic (every
     // intermediate < 2^63 — see the operator's overflow note).
     "q_split_assign" ->

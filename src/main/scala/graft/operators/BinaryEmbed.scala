@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary / quantized embedding operators — the cheap-representation
+  * end of the similarity stack. Modern retrieval pipelines binarize or
+  * int8-quantize float embeddings to cut memory and distance cost by
+  * 8–32×, rerank the shortlist with exact float cosine. Both
+  * representations here are EXACT integer/fixed arithmetic, so unlike
+  * the float-cosine paths they carry full DuckDB oracles.
+  *
+  * Scale shape: signature building and quantization are narrow
+  * codegen'd projections (zero shuffles); Hamming top-k over
+  * signatures is the same broadcast-queries × corpus scan as
+  * brute-force cosine but moves 16 bytes/vector instead of 512 and
+  * compares with two XOR+POPCNT — the representation IS the
+  * optimization. For corpus-×-corpus workloads the SimHash banded
+  * equi-join (Dedup.simhashNearDupPairs) is the candidate generator;
+  * this operator covers the query-set-×-corpus ANN case.
+  */
+object BinaryEmbed {
+
+  /** Sign-binarize dims [lo, hi] (1-based, inclusive) of a float-array
+    * column into a packed BIGINT: bit (i - lo) = (vec[i] > 0). Sign of
+    * a stored float is exact — no cross-engine FP hazard.
+    */
+  private def signWord(vec: Column, lo: Int, hi: Int): Column =
+    aggregate(
+      sequence(lit(lo), lit(hi)),
+      lit(0L),
+      (acc, i) => acc +
+        when(element_at(vec, i.cast("int")) > lit(0.0f),
+          call_function("shiftleft", lit(1L), (i - lit(lo)).cast("int")))
+          .otherwise(lit(0L)))
+
+  /** Adds `sig_lo` (dims 1–32) and `sig_hi` (dims 33–64): the 64-dim
+    * sign signature as two 32-bit words in BIGINTs (a single 64-bit
+    * word would need bit 63 — sign-ambiguous across engines' integer
+    * dialects, so two halves keep every value small and portable).
+    */
+  def withBinarySignature(df: DataFrame, vec: Column): DataFrame =
+    df.withColumn("sig_lo", signWord(vec, 1, 32))
+      .withColumn("sig_hi", signWord(vec, 33, 64))
+
+  /** Exact Hamming distance between two (lo, hi) signature pairs. */
+  def hammingDist(loA: Column, hiA: Column, loB: Column, hiB: Column): Column =
+    (bit_count(loA.bitwiseXOR(loB)) + bit_count(hiA.bitwiseXOR(hiB)))
+      .cast("long")
+
+  /** Top-`k` nearest corpus vectors per query id under signature
+    * Hamming distance (ties by neighbor id). The signature relation is
+    * computed once; the query side (|queryIds| rows) broadcasts
+    * against the corpus scan.
+    */
+  def hammingTopK(df: DataFrame, id: Column, vec: Column,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1, "need query ids and k >= 1")
+    val sigs = withBinarySignature(df.select(id.as("_id"), vec.as("_v")),
+      col("_v")).select("_id", "sig_lo", "sig_hi")
+    val q = sigs.filter(col("_id").isin(queryIds: _*))
+      .select(col("_id").as("query_id"), col("sig_lo").as("q_lo"),
+        col("sig_hi").as("q_hi"))
+    val scored = sigs.join(broadcast(q), col("_id") =!= col("query_id"))
+      .select(col("query_id"), col("_id").as("neighbor_id"),
+        hammingDist(col("q_lo"), col("q_hi"), col("sig_lo"), col("sig_hi"))
+          .as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Symmetric int8 scalar quantization with a per-vector scale:
+    * scale = 127 / max(|x_i|), q_i = floor(x_i * scale + 0.5). The
+    * quantized array plus the (double) scale reproduce the vector to
+    * ~1/254 relative error; arithmetic is the identical expression
+    * tree in the oracle (floor, not round — round's half-case rule is
+    * engine-dialect-dependent, floor(x + 0.5) is not).
+    */
+  def quantizeInt8(df: DataFrame, vec: Column): DataFrame = {
+    val absMax = array_max(transform(vec, x => abs(x.cast("double"))))
+    df.withColumn("q_scale", lit(127.0) / absMax)
+      .withColumn("q_vec",
+        transform(vec, x =>
+          floor(x.cast("double") * col("q_scale") + lit(0.5)).cast("int")))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BinaryEmbed
+
+/** Binary signature packing, Hamming top-k, and int8 quantization. */
+class BinaryEmbedSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vec(posDims: Set[Int]): Array[Float] =
+    (1 to 64).map(i => if (posDims(i)) 1.0f else -1.0f).toArray
+
+  test("signature packs bit (i-1) of the low word, (i-33) of the high") {
+    val df = Seq(
+      (0L, vec(Set(1))), // lo bit 0
+      (1L, vec(Set(32))), // lo bit 31
+      (2L, vec(Set(33))), // hi bit 0
+      (3L, vec(Set(64))), // hi bit 31
+      (4L, vec((1 to 64).toSet)) // all ones
+    ).toDF("vec_id", "embedding")
+    val out = BinaryEmbed.withBinarySignature(df, col("embedding"))
+      .select("vec_id", "sig_lo", "sig_hi")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (0L, 1L, 0L),
+      (1L, 1L << 31, 0L),
+      (2L, 0L, 1L),
+      (3L, 0L, 1L << 31),
+      (4L, 0xFFFFFFFFL, 0xFFFFFFFFL)))
+  }
+
+  test("hammingTopK ranks by exact bit disagreement, ties by id") {
+    // query 0: all-negative. neighbors flip k dims → hamming = k.
+    val df = Seq(
+      (0L, vec(Set.empty[Int])),
+      (1L, vec(Set(5))), // d=1
+      (2L, vec(Set(5, 40))), // d=2
+      (3L, vec(Set(5, 40, 64))), // d=3
+      (4L, vec(Set(1, 2, 3, 4))), // d=4
+      (5L, vec(Set(7))) // d=1, tie with id 1 → after it
+    ).toDF("vec_id", "embedding")
+    val out = BinaryEmbed.hammingTopK(df, col("vec_id"), col("embedding"),
+        Seq(0L), 4)
+      .select("neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3).toSeq
+    assert(out === Seq((1L, 1L, 1), (5L, 1L, 2), (2L, 2L, 3), (3L, 3L, 4)))
+  }
+
+  test("quantizeInt8: golden values, max maps to ±127") {
+    val df = Seq((0L, Array(1.0f, -0.5f, 0.25f, 0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = BinaryEmbed.quantizeInt8(df, col("embedding"))
+      .select("q_scale", "q_vec")
+      .as[(Double, Array[Int])].collect().head
+    assert(out._1 === 127.0)
+    // floor(x*127 + 0.5): 127, -63 (floor(-63.0)), 32 (floor(32.25)), 0, -127 (floor(-126.5))
+    assert(out._2.toSeq === Seq(127, -63, 32, 0, -127))
+  }
+
+  test("quantization error is bounded by 1/(2·scale)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50)
+    val rows = BinaryEmbed.quantizeInt8(emb, col("embedding"))
+      .select("embedding", "q_scale", "q_vec")
+      .as[(Array[Float], Double, Array[Int])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, scale, q) =>
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi / scale) <= 0.5 / scale + 1e-12)
+      }
+    }
+  }
+
+  test("signature build plans as a narrow projection — no shuffle") {
+    val plan = BinaryEmbed.withBinarySignature(
+        Tables.embeddings(spark, "/root/testdata/sf0.001"), col("embedding"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+}

@@ -42,11 +42,12 @@ for name, sql in sorted(oracle.items()):
     neq = []
     for c in odf.columns:
         a, b = odf[c], sdf[c]
-        eq = (a == b) | (a.isna() & b.isna())
         try:
+            eq = (a == b) | (a.isna() & b.isna())
             ok = bool(eq.all())
         except Exception:
-            ok = list(a) == list(b)
+            # list/array cells: compare stringified (pandas == raises)
+            ok = [str(x) for x in a] == [str(x) for x in b]
         if not ok:
             neq.append(c)
     if neq:
