@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.{GramSetCount, PunctCount, SubtokenCount, WordSetCount}
 
 /** Text-analysis operators for a large-scale training-data pipeline:
   * token statistics, quality ratios, stopword-profile language ID, and
@@ -26,9 +29,12 @@ object TextStats {
     "es" -> Seq("el", "la", "que", "de", "y", "en", "un", "los"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "que"))
 
-  /** Count of whole-word matches of any of `words` in `text`. */
+  /** Count of whole-word matches of any of `words` in `text` —
+    * single-pass kernel, regex-count parity pinned by
+    * TextScanProperties (the oracles keep `\b(w|…)\b`).
+    */
   def stopwordCount(text: Column, words: Seq[String]): Column =
-    regexp_count(text, lit("\\b(" + words.mkString("|") + ")\\b")).cast("long")
+    Bridge.column(WordSetCount(Bridge.expression(text), words))
 
   /** Append `n_chars, n_tokens, avg_token_len, punct_ratio,
     * stopword_cnt` to `df`.
@@ -43,14 +49,14 @@ object TextStats {
       .withColumn("avg_token_len",
         (nChars - (nTokens - lit(1L))).cast("double") / nTokens)
       .withColumn("punct_ratio",
-        regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / nChars)
+        Bridge.column(PunctCount(Bridge.expression(text))).cast("double") / nChars)
       .withColumn("stopword_cnt",
         stopwordCount(text, stopwordProfiles.head._2))
       // BPE-ish subword count: letter runs, single digits, punctuation
       // marks — the pre-tokenization pattern BPE vocabularies split on
       // (simplified to a dialect-portable regex)
       .withColumn("n_subtokens",
-        regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long"))
+        Bridge.column(SubtokenCount(Bridge.expression(text))))
   }
 
   /** Append per-language stopword scores `score_<lang>` and the argmax
@@ -101,8 +107,7 @@ object TextStats {
   def addCharNgramLangId(df: DataFrame, text: Column): DataFrame = {
     val scored = charNgramProfiles.foldLeft(df) { case (acc, (lang, grams)) =>
       acc.withColumn(s"ngram_$lang",
-        regexp_count(lower(text), lit("(" + grams.mkString("|") + ")"))
-          .cast("long"))
+        Bridge.column(GramSetCount(Bridge.expression(lower(text)), grams)))
     }
     val langs = charNgramProfiles.map(_._1)
     val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
