@@ -7,8 +7,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, Ema, MinHashBands, MinHashSignature,
-  Shingles, SimHash, SortedOverlapCount}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{DotProduct, Ema, GramSetCount, MinHashBands,
+  MinHashSignature, PunctCount, Shingles, SimHash, SortedOverlapCount,
+  SubtokenCount, WordSetCount}
 
 /** SQL surface for graft's custom expressions.
   *
@@ -33,6 +37,12 @@ object GraftFunctions {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$name expects an integer literal, got $other")
+  }
+
+  private def strArg(e: Expression, name: String): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name expects a string literal, got $other")
   }
 
   /** name → (usage doc, builder). */
@@ -61,7 +71,21 @@ object GraftFunctions {
       c => DotProduct(c(0), c(1))),
     ("sorted_overlap",
       "sorted_overlap(array<bigint>, array<bigint>) - intersection size of two sorted distinct arrays",
-      c => SortedOverlapCount(c(0), c(1))))
+      c => SortedOverlapCount(c(0), c(1))),
+    ("punct_count",
+      "punct_count(text) - single-pass count of [^A-Za-z0-9\\s] code points",
+      c => PunctCount(c(0))),
+    ("subtoken_count",
+      "subtoken_count(text) - single-pass BPE-ish pre-token count ([A-Za-z]+|[0-9]|mark)",
+      c => SubtokenCount(c(0))),
+    ("word_set_count",
+      "word_set_count(text, 'w1,w2,…') - whole-word occurrences of any listed word",
+      c => WordSetCount(c(0),
+        strArg(c(1), "word_set_count words").split(',').toSeq)),
+    ("gram_set_count",
+      "gram_set_count(text, 'g1,g2,…') - non-overlapping ordered-alternation literal-gram count",
+      c => GramSetCount(c(0),
+        strArg(c(1), "gram_set_count grams").split(',').toSeq)))
 
   def inject(ext: SparkSessionExtensions): Unit = {
     all.foreach { case (name, usage, builder) =>

@@ -46,6 +46,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sql(0).getSeq[Long](3) === sql(1).getSeq[Long](3))
   }
 
+  test("text-scan kernels run from SQL text and match regexp_count") {
+    val row = spark.sql(
+      """SELECT
+        |  punct_count('a, b! c?') AS p,
+        |  subtoken_count('ab 12 c!') AS st,
+        |  word_set_count('the cat in the hat', 'the,in,a') AS w,
+        |  gram_set_count('then there', 'th,he,er') AS g
+        |""".stripMargin).collect().head
+    assert(row.getAs[Long]("p") === 3L)   // , ! ?
+    assert(row.getAs[Long]("st") === 5L)  // ab 1 2 c !
+    assert(row.getAs[Long]("w") === 3L)   // the, in, the
+    // "then there": th|en → th at 0; "en"? not in set... cursor: th,
+    // "en" no, space, th, "er" yes, "e" no → th, th, er = 3
+    assert(row.getAs[Long]("g") === 3L)
+  }
+
   test("shingles()/dot_product()/sorted_overlap() run from SQL text") {
     val row = spark.sql(
       """SELECT
