@@ -545,6 +545,23 @@ object BatchQueries {
             .as("sum_bal"))
         .orderBy("r_name")),
 
+    // Deterministic per-group MODE: most frequent event_type per user,
+    // ties to the lexicographically smaller value (engines' built-in
+    // mode() picks an arbitrary element — unusable under an exactness
+    // gate; count + rank window is deterministic and two-phase
+    // aggregates under AQE).
+    "q_mode_per_group" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("cnt").desc, col("event_type"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"),
+          col("cnt"))
+        .orderBy("user_id")),
+
     // Exact distributed per-group quantiles (disc + cont): rank window
     // + roll-up instead of a group-buffering percentile UDAF — the
     // shape that spills instead of OOMing on a skewed 100 TB group.
@@ -883,6 +900,13 @@ object BatchQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_mode_per_group" ->
+      """SELECT user_id, event_type AS mode_type, cnt FROM (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY count(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // mirrors Quantiles.exactQuantiles' expression tree literally:
     // zero-based index i = p*(n-1); disc = element at floor(i); cont =
     // lo + (hi - lo) * (i - floor(i))

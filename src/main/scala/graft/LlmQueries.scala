@@ -142,6 +142,51 @@ object LlmQueries {
         .withColumnRenamed("_id", "doc_id")
         .orderBy("doc_id")),
 
+    // Tokenizer-vocabulary coverage: vocab = top-100 corpus terms by
+    // frequency (ties to the lexicographically smaller term), then the
+    // per-document out-of-vocabulary token fraction. The vocab relation
+    // is top-k-bounded index metadata — it broadcasts; the corpus side
+    // never collects.
+    "q_vocab_oov" -> ((s, d) => {
+      val terms = docs(s, d).select(col("doc_id"),
+          explode(graft.operators.TermStats.words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      // orderBy+limit plans as TakeOrderedAndProject (distributed
+      // partial top-k) — NOT an unpartitioned rank window, which would
+      // serialize the whole vocabulary through one task
+      val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(100)
+        .select(col("term"), lit(1).as("in_vocab"))
+      terms.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          count(col("in_vocab")).as("n_in_vocab"))
+        .withColumn("oov_frac",
+          (col("n_tok") - col("n_in_vocab")).cast("double") /
+            col("n_tok").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // Train/test leakage audit: near-duplicate pairs that straddle the
+    // deterministic split boundary — the check every eval pipeline
+    // needs after splitting (composes the MinHash near-dup join with
+    // the content-addressed split; a leaked pair means the eval split
+    // contains a near-copy of a training doc).
+    "q_split_leakage" -> ((s, d) => {
+      val split = graft.operators.Sampling.splitAssign(
+          docs(s, d).select("doc_id"), col("doc_id"),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select(col("doc_id"), col("split"))
+      Dedup.nearDupPairs(docs(s, d), col("doc_id"), col("text"))
+        .join(split.select(col("doc_id").as("doc_a"),
+          col("split").as("split_a")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"),
+          col("split").as("split_b")), "doc_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Exact cosine top-5 for query vectors 0..4 over the whole corpus —
     // ranks only (FP sums are engine-order-sensitive; ranks are stable
     // because neighbor cosines are well separated in the fixture).
@@ -408,6 +453,38 @@ object LlmQueries {
         |    (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
         |  FROM s
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_vocab_oov" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        |v AS (SELECT term FROM (
+        |  SELECT term, count(*) AS cnt FROM tt GROUP BY term)
+        |  ORDER BY cnt DESC, term LIMIT 100)
+        |SELECT tt.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(count(v.term) AS BIGINT) AS n_in_vocab,
+        |  CAST(count(*) - count(v.term) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS oov_frac
+        |FROM tt LEFT JOIN v USING (term)
+        |GROUP BY tt.doc_id ORDER BY tt.doc_id""".stripMargin,
+    // near-dup pairs (same brute-force shingle oracle as q_dedup_near)
+    // crossing the deterministic split boundary
+    "q_split_leakage" ->
+      s"""WITH $shingleCte,
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    (((((doc_id % 1000000007) * 2654435761) % 1000000007)
+         |       + 40503) * 2654435761) % 1000000007 % 100 AS b
+         |    FROM documents))
+         |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+         |FROM pairs p
+         |JOIN sp sa ON p.doc_a = sa.doc_id
+         |JOIN sp sb ON p.doc_b = sb.doc_id
+         |WHERE p.jaccard >= 0.8 AND sa.split <> sb.split
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_ham_topk" ->
       """WITH s AS (SELECT vec_id,
         |  CAST(list_sum([CASE WHEN embedding[i] > 0
