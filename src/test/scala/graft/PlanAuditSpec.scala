@@ -117,6 +117,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan("q_dedup_near").contains("array_intersect"))
   }
 
+  test("vocab top-k is TakeOrdered + broadcast; terms never collect") {
+    val p = plan("q_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocabulary selection must be a distributed partial top-k")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 100-row vocab must broadcast against the terms relation")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("tfidf: document frequency joins on the term key, only the corpus count broadcasts") {
+    val p = plan("q_tfidf")
+    // the single-row count is the only broadcast-nested-loop; the
+    // vocabulary-sized df relation must use a keyed join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 1, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("split assignment and quantization are narrow — zero exchanges below the output sort") {
+    // hash-split: pure projection; int8 quantize: pure projection.
+    // Their only exchange is the output-determinism orderBy.
+    for (q <- Seq("q_split_assign", "q_embed_quant")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n${p.take(600)}")
+    }
+  }
+
+  test("hamming ANN broadcasts the query signatures, corpus scanned once") {
+    val p = plan("q_ham_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("quantiles reuse one group shuffle for rank, count, and roll-up") {
+    val p = plan("q_quantiles")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("upsert plans one equi-join (no nested-loop fallback)") {
+    val p = plan("q_upsert")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
   test("sketch/vector expressions emit real codegen (no eval-island fallback)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.WholeStageCodegenExec
