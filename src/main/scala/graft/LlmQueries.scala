@@ -92,6 +92,17 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Retrieval-style sliding-window chunking: overlapping 64-token
+    // windows every 48 tokens, last window clamped to the doc end —
+    // one generator explode, integer-exact.
+    "q_chunk_windows" -> ((s, d) =>
+      graft.operators.Packing.slidingChunks(
+          docs(s, d).select(col("doc_id"),
+            size(split(col("text"), "\\s+")).cast("long").as("nt")),
+          col("doc_id"), col("nt"), window = 64, stride = 48)
+        .select("doc_id", "n_tokens", "chunk_idx", "tok_start", "tok_end")
+        .orderBy("doc_id", "chunk_idx")),
+
     // Sequence packing (concatenate-then-chunk): global token prefix
     // sum via the distributed scan, then 2048-token chunk assignment.
     "q_pack_chunks" -> ((s, d) =>
@@ -425,6 +436,21 @@ object LlmQueries {
         |FROM cg JOIN bg USING (g)
         |GROUP BY cg.doc_id HAVING COUNT(*) >= 50
         |ORDER BY doc_id""".stripMargin,
+    "q_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens <= 64 THEN 1
+        |       ELSE CAST(floor((n_tokens - 64 + 47) / 48.0) AS BIGINT) + 1
+        |  END AS nk
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 48 AS BIGINT) AS tok_start,
+        |  CAST(least(n_tokens, i * 48 + 64) AS BIGINT) AS tok_end
+        |FROM k, unnest(range(0, nk)) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_pack_chunks" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens

@@ -53,6 +53,31 @@ object Packing {
       .drop("_pid", "_psv", "_local_before", "_off")
   }
 
+  /** Per-document sliding-window chunking (the retrieval-pipeline
+    * chunker): overlapping token windows of `window` tokens every
+    * `stride` tokens, last window clamped to the document end. A doc
+    * with n ≤ window tokens yields one chunk; otherwise
+    * ⌈(n − window) / stride⌉ + 1, so the final window always reaches
+    * the last token. One generator explode per doc — narrow, no
+    * shuffle; all arithmetic integer-exact.
+    */
+  def slidingChunks(df: DataFrame, id: Column, nTokens: Column,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val n = nTokens.cast("long")
+    // ⌈(n−window)/stride⌉ via floor-div (Column `/` is double division;
+    // operands stay far below 2^53 so the floor is exact)
+    val k = when(n <= window, lit(1L))
+      .otherwise(floor((n - window + stride - 1) / stride) + 1L)
+    df.select(id.as("doc_id"), n.as("n_tokens"), k.as("_k"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("_k") - 1)))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("tok_end",
+        least(col("n_tokens"), col("tok_start") + window))
+      .drop("_k")
+  }
+
   /** Chunk assignment under concatenate-then-chunk packing: each
     * document reports the context-window chunk holding its first token
     * (`chunk_id`) and the token offset inside that chunk

@@ -52,6 +52,25 @@ class PackingSpec extends AnyFunSuite {
       s"expected the bulk window partitioned by _pid:\n$plan")
   }
 
+  test("slidingChunks: window/stride coverage, last chunk clamped") {
+    // n=5,w=4,s=2: k=ceil(1/2)+1=2 -> [0,4),[2,5)
+    // n=4: k=1 -> [0,4)
+    // n=9,w=4,s=2: k=ceil(5/2)+1=4 -> starts 0,2,4,6; ends 4,6,8,9
+    val df = Seq((0L, 5L), (1L, 4L), (2L, 9L), (3L, 1L)).toDF("id", "nt")
+    val out = Packing.slidingChunks(df, col("id"), col("nt"), 4, 2)
+      .select("doc_id", "chunk_idx", "tok_start", "tok_end")
+      .as[(Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(
+      (0L, 0L, 0L, 4L), (0L, 1L, 2L, 5L),
+      (1L, 0L, 0L, 4L),
+      (2L, 0L, 0L, 4L), (2L, 1L, 2L, 6L), (2L, 2L, 4L, 8L), (2L, 3L, 6L, 9L),
+      (3L, 0L, 0L, 1L)))
+    // every token position < n is covered by some chunk
+    val covered = out.filter(_._1 == 2L)
+      .flatMap { case (_, _, s0, e0) => s0 until e0 }.toSet
+    assert(covered === (0L until 9L).toSet)
+  }
+
   test("contaminated flags exactly the docs sharing >= minShared grams") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
       .toDF("doc_id", "text")
