@@ -568,7 +568,7 @@ object BatchQueries {
     // The interpolation expression tree is mirrored literally in the
     // oracle, so the doubles are bit-exact.
     "q_quantiles" -> ((s, d) =>
-      graft.operators.Quantiles.exactQuantiles(
+      graft.operators.Quantiles.exactQuantilesHist(
           Tables.lineitem(s, d), col("l_returnflag"), col("l_quantity"),
           Seq(0.25, 0.5, 0.9))
         .withColumnRenamed("_g", "l_returnflag")

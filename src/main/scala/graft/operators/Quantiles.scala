@@ -20,6 +20,53 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Histogram-based exact quantiles: aggregate (group, value) counts
+    * FIRST (map-side combinable — the 600k-row scan parallelizes over
+    * (group, value) keys, not groups), then rank only the DISTINCT
+    * values per group and pick each quantile's element from the
+    * cumulative ranges. Identical quantile definition and output as
+    * [[exactQuantiles]]; strictly better when value cardinality is
+    * bounded (numeric measures usually are), because the expensive
+    * full-row sort disappears and the only per-group-serial work is a
+    * window over |distinct values| rows. With 3 groups × 600k rows at
+    * sf0.1 the rank-window variant runs 3 tasks over the whole table;
+    * this one runs the table scan at full parallelism.
+    */
+  def exactQuantilesHist(df: DataFrame, group: Column, value: Column,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "quantiles must be within [0, 1]")
+    val counts = df
+      .select(group.as("_g"), value.cast("double").as("_v"))
+      .groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+    val wCum = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("_g"))
+    val ranged = counts
+      .withColumn("_before", coalesce(sum(col("_cnt")).over(wCum), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+    val aggs = ps.flatMap { p =>
+      val pp = math.round(p * 100).toInt
+      val i = lit(p) * (col("_n") - lit(1)).cast("double")
+      // 0-based ranks wanted: ⌊i⌋ and ⌈i⌉; value v covers ranks
+      // [_before, _before + _cnt)
+      val loIdx = floor(i).cast("long")
+      val hiIdx = ceil(i).cast("long")
+      def at(idx: Column) = max(when(
+        col("_before") <= idx && idx < col("_before") + col("_cnt"),
+        col("_v")))
+      val lo = at(loIdx)
+      val hi = at(hiIdx)
+      val frac = max(i - floor(i))
+      Seq(
+        lo.as(s"p${pp}_disc"),
+        (lo + (hi - lo) * frac).as(s"p${pp}_cont"))
+    }
+    ranged.groupBy(col("_g"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** One row per group: `p<PP>_disc` and `p<PP>_cont` per requested
     * quantile (PP = percent, e.g. p50_disc). `ps` values must be in
     * [0, 1].

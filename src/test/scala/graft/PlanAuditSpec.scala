@@ -149,10 +149,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
-  test("quantiles reuse one group shuffle for rank, count, and roll-up") {
+  test("histogram quantiles: (group,value) partial-agg exchange + ONE group window exchange") {
+    // the full-row sort is gone — the scan parallelizes over (g, v)
+    // keys; only |distinct values| rows pass the per-group window
     val p = plan("q_quantiles")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "counts must partial-aggregate before the shuffle")
   }
 
   test("upsert plans one equi-join (no nested-loop fallback)") {

@@ -37,6 +37,17 @@ class QuantilesSpec extends AnyFunSuite {
     assert(out === Seq((7.0, 7.0, 7.0, 7.0, 7.0, 7.0)))
   }
 
+  test("histogram variant equals the rank-window variant exactly") {
+    val vals = (0 until 2000).map(i => (s"g${i % 5}", ((i * 7919) % 37).toDouble))
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val a = Quantiles.exactQuantiles(vals.toDF("g", "v"), col("g"), col("v"), ps)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val b = Quantiles.exactQuantilesHist(vals.toDF("g", "v").repartition(7),
+        col("g"), col("v"), ps)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(a === b)
+  }
+
   test("result is invariant under partitioning") {
     val vals = (0 until 997).map(i => (s"g${i % 3}", ((i * 7919) % 501).toDouble))
     val a = Quantiles.exactQuantiles(vals.toDF("g", "v").repartition(1),
