@@ -78,6 +78,28 @@ object LlmQueries {
         .dedupClusters(docs(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // Canonical-survivor selection by QUALITY: each duplicate cluster
+    // keeps its highest-quality member (ties to the smaller doc_id) —
+    // the realistic dedup policy (min-id keeps an arbitrary member;
+    // production pipelines keep the best). Composes clusters × quality
+    // with a per-cluster rank — the tiny cluster relation side
+    // broadcasts under AQE.
+    "q_cluster_best" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val clusters = graft.operators.Clusters
+        .dedupClusters(docs(s, d), col("doc_id"), col("text"))
+      val quality = TextStats.addStats(docs(s, d), col("text"))
+        .withColumn("quality", TextStats.qualityScore)
+        .select("doc_id", "quality")
+      clusters.join(quality, "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("best_doc_id"))
+        .orderBy("cluster_id")
+    }),
+
     // Benchmark decontamination: flag corpus docs sharing >= 50 word
     // trigrams with the held-out "benchmark" slice (doc_id % 10 == 8
     // stands in for an eval suite; the slice contains several planted
@@ -419,6 +441,48 @@ object LlmQueries {
       s"""WITH $shingleCte
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    // clusters via the same recursive transitive closure as
+    // q_dedup_clusters; survivor = argmax quality (q_quality's exact
+    // formula), ties to the smaller doc_id
+    "q_cluster_best" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.8
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs WHERE jaccard >= 0.8
+         |),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+         |),
+         |lbl AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a),
+         |cl AS (
+         |  SELECT d.doc_id,
+         |    CAST(least(d.doc_id, coalesce(l.mn, d.doc_id)) AS BIGINT)
+         |      AS cluster_id
+         |  FROM documents d LEFT JOIN lbl l USING (doc_id)),
+         |st AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    len(regexp_extract_all(text, '\\b(the|a|of|to|and|in|is|that)\\b'))
+         |      AS stopword_cnt
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4)
+         |    + ((1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3)
+         |    + (least(CAST(stopword_cnt AS DOUBLE) * 10.0 / n_tokens, 1.0)
+         |       * 0.3) AS quality
+         |  FROM st)
+         |SELECT cluster_id, best_doc_id FROM (
+         |  SELECT cl.cluster_id, cl.doc_id AS best_doc_id,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY q.quality DESC, cl.doc_id) AS rk
+         |  FROM cl JOIN q ON cl.doc_id = q.doc_id)
+         |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     // same word-trigram definition as the shingle CTE; benchmark =
     // doc_id % 10 == 8, threshold 50 shared distinct grams
     "q_decontaminate" ->
