@@ -545,6 +545,41 @@ object BatchQueries {
             .as("sum_bal"))
         .orderBy("r_name")),
 
+    // Exact-arithmetic covariance/correlation per group: built-in
+    // corr/covar accumulate running doubles (merge order changes the
+    // bits under AQE/partitioning — ungateable); here the five sums
+    // accumulate in DECIMAL(38,10) (order-independent), and the
+    // moment formulas combine them in one fixed double expression
+    // mirrored by the oracle.
+    "q_corr_group" -> ((s, d) => {
+      val x = col("l_quantity")
+      val y = col("l_discount")
+      def dsum(c: org.apache.spark.sql.Column, n: String) =
+        sum(c.cast("decimal(38,10)")).cast("double").as(n)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(x, "sx"), dsum(y, "sy"),
+          dsum(x * y, "sxy"), dsum(x * x, "sxx"), dsum(y * y, "syy"))
+        .select(col("l_returnflag"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+            .as("cov_pop"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+             sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+            .as("corr"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Fixed-width value histogram per group — integer bin arithmetic.
+    "q_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") / lit(10000.0)).as("bin"))
+        .groupBy("l_returnflag", "bin")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "bin")),
+
     // Deterministic per-group MODE: most frequent event_type per user,
     // ties to the lexicographically smaller value (engines' built-in
     // mode() picks an arbitrary element — unusable under an exactness
@@ -900,6 +935,27 @@ object BatchQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_corr_group" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ((sxy - sx * sy / n) / n) AS cov_pop,
+        |  ((sxy - sx * sy / n) /
+        |   (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))) AS corr
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT l_returnflag,
+        |  CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, bin
+        |ORDER BY l_returnflag, bin""".stripMargin,
     "q_mode_per_group" ->
       """SELECT user_id, event_type AS mode_type, cnt FROM (
         |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
