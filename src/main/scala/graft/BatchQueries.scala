@@ -545,6 +545,20 @@ object BatchQueries {
             .as("sum_bal"))
         .orderBy("r_name")),
 
+    // JSON extraction family over the props column: path extraction
+    // (string + typed), schema-projected from_json, and missing-path
+    // null semantics.
+    "q_json_fns" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_int"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast("long").as("k_parsed"),
+          get_json_object(col("props"), "$.missing").as("k_missing"))
+        .orderBy("event_id")),
+
     // Exact-arithmetic covariance/correlation per group: built-in
     // corr/covar accumulate running doubles (merge order changes the
     // bits under AQE/partitioning — ungateable); here the five sums
@@ -935,6 +949,13 @@ object BatchQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_json_fns" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
+        |  json_extract_string(props, '$.missing') AS k_missing
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_corr_group" ->
       """WITH a AS (
         |  SELECT l_returnflag,
