@@ -545,6 +545,19 @@ object BatchQueries {
             .as("sum_bal"))
         .orderBy("r_name")),
 
+    // SCD type-2 versioning of the orders change log: each customer's
+    // order history becomes interval-versioned rows (valid_from/
+    // valid_to/version/is_current) — the warehouse history-tracking
+    // companion to the SCD-1 upsert.
+    "q_scd2" -> ((s, d) =>
+      graft.operators.Merge.scd2(
+          events(s, d).select(col("user_id"), expr("ts DIV 1000").as("tsu"),
+            col("value")),
+          col("user_id"), col("tsu"))
+        .select("user_id", "tsu", "value", "valid_from", "valid_to",
+          "version", "is_current")
+        .orderBy("user_id", "version")),
+
     // JSON extraction family over the props column: path extraction
     // (string + typed), schema-projected from_json, and missing-path
     // null semantics.
@@ -949,6 +962,17 @@ object BatchQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, tsu, value, valid_from, valid_to, version,
+        |  (valid_to IS NULL) AS is_current
+        |FROM (
+        |  SELECT user_id, epoch_us(ts) AS tsu, value,
+        |    epoch_us(ts) AS valid_from,
+        |    lead(epoch_us(ts)) OVER w - 1 AS valid_to,
+        |    CAST(row_number() OVER w AS BIGINT) AS version
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)))
+        |ORDER BY user_id, version""".stripMargin,
     "q_json_fns" ->
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational MERGE/upsert (SCD type-1 apply): fold a changes relation
@@ -39,5 +40,22 @@ object Merge {
       else col(s"b.$name").as(name)
     }.toSeq
     merged.select(outCols: _*)
+  }
+
+  /** SCD type-2 versioning: turn a change log (key, change-time,
+    * attributes) into interval-versioned dimension rows — each version
+    * valid from its change time until just before the key's next
+    * change; the latest version is open-ended (null `valid_to`,
+    * `is_current` true). One window per key (`lead`), exact integer
+    * time arithmetic; at scale this is the same single key-shuffle
+    * shape as every other per-key window in the engine.
+    */
+  def scd2(changes: DataFrame, key: Column, tsUs: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tsUs)
+    changes
+      .withColumn("valid_from", tsUs.cast("long"))
+      .withColumn("valid_to", lead(tsUs.cast("long"), 1).over(w) - 1L)
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
   }
 }
