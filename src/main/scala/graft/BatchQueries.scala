@@ -545,6 +545,33 @@ object BatchQueries {
             .as("sum_bal"))
         .orderBy("r_name")),
 
+    // TPC-H Q3-shaped composite: segment-filtered customer dim
+    // (broadcast) × date-filtered orders × lineitem, DECIMAL-exact
+    // revenue roll-up, top-10 via TakeOrdered. The end-to-end
+    // "shipping priority" query shape — every piece individually
+    // audited elsewhere, composed here.
+    "q_revenue_topk" -> ((s, d) => {
+      val cutoff = lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > cutoff)
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+            .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,10)")).cast("double").as("revenue"))
+        .select(col("o_orderkey"),
+          // NTZ wall-clock → µs; session tz is UTC so the cast is the
+          // identity the oracle's epoch_us applies to the naive value
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
     // SCD type-2 versioning of the orders change log: each customer's
     // order history becomes interval-versioned rows (valid_from/
     // valid_to/version/is_current) — the warehouse history-tracking
@@ -962,6 +989,19 @@ object BatchQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_revenue_topk" ->
+      """SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_us,
+        |  o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate > TIMESTAMP '1998-06-01'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_scd2" ->
       """SELECT user_id, tsu, value, valid_from, valid_to, version,
         |  (valid_to IS NULL) AS is_current
