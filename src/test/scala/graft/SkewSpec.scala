@@ -77,4 +77,38 @@ class SkewSpec extends AnyFunSuite {
       .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     assert(run(5) === run(1000000))
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (OptimizeSkewedJoin)") {
+    // the built-in complement to manual salting: one hot key dominates
+    // the left side; with aggressive thresholds AQE must mark the join
+    // skewed and split the oversized partition
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val left = (0 until 200000).map(i =>
+        (if (i % 10 == 0) 7L else (i % 1000).toLong, s"payload-$i-left"))
+        .toDF("k", "lv")
+      val right = (0 until 1000).map(i => (i.toLong, s"r-$i")).toDF("k", "rv")
+      val joined = left.join(right, "k")
+      // execute THIS instance so AQE finalizes it (count() derives a
+      // new plan — same caveat as PlanAuditSpec's codegen test)
+      assert(joined.collect().length === 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n${plan.take(1200)}")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
