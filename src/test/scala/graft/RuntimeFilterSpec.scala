@@ -56,4 +56,32 @@ class RuntimeFilterSpec extends AnyFunSuite {
       assert(filtered === plain)
     }
   }
+
+  test("parquet aggregate pushdown serves COUNT/MIN/MAX from footer metadata") {
+    val dir = "/root/testdata/sf0.01"
+    // only the V2 parquet scan supports aggregate pushdown — the V1
+    // FileScan ignores it silently
+    val confs = Seq("spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val old = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val df = spark.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("cnt"), min(col("l_quantity")).as("mn"),
+          max(col("l_quantity")).as("mx"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"aggregate not pushed to the scan:\n${plan.take(1200)}")
+      val r = df.collect().head
+      val expected = Tables.lineitem(spark, dir)
+        .agg(count(lit(1)), min(col("l_quantity")), max(col("l_quantity")))
+        .collect().head
+      assert(r.getLong(0) === expected.getLong(0))
+      assert(r.getDouble(1) === expected.getDouble(1))
+      assert(r.getDouble(2) === expected.getDouble(2))
+    } finally old.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+  }
 }
