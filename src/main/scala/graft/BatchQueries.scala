@@ -545,6 +545,57 @@ object BatchQueries {
             .as("sum_bal"))
         .orderBy("r_name")),
 
+    // Ordered funnel (view → click → purchase): each stage's timestamp
+    // must follow the previous stage's. Three chained filtered
+    // aggregates on the user key — never a per-user event list
+    // (collect_list on a hot user is the OOM at scale); every pass is
+    // a map-side-combinable min.
+    "q_funnel" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), expr("ts DIV 1000").as("tsu"),
+          col("event_type"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("tsu")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("tsu") > col("t1"))
+        .groupBy("user_id").agg(min(col("tsu")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("tsu") > col("t2"))
+        .groupBy("user_id").agg(min(col("tsu")).as("t3"))
+      ev.select("user_id").distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2.select("user_id", "t2"), Seq("user_id"), "left")
+        .join(t3.select("user_id", "t3"), Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1)
+            .otherwise(0).cast("long").as("funnel_stage"))
+        .orderBy("user_id")
+    }),
+
+    // Snapshot reconciliation: classify every key across two table
+    // versions as added / removed / changed / unchanged — the
+    // validation pass after any CDC apply. One full-outer equi-join.
+    "q_table_diff" -> ((s, d) => {
+      val v1 = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val v2 = Tables.customer(s, d)
+        .filter(col("c_custkey") % 7 =!= 3) // deletes
+        .select(col("c_custkey"),
+          (col("c_acctbal") +
+            when(col("c_custkey") % 5 === 0, lit(100.0)).otherwise(lit(0.0)))
+            .as("c_acctbal")) // updates on %5==0
+      v1.as("a").join(v2.as("b"), Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          when(col("a.c_acctbal").isNull, "added")
+            .when(col("b.c_acctbal").isNull, "removed")
+            .when(col("a.c_acctbal") =!= col("b.c_acctbal"), "changed")
+            .otherwise("unchanged").as("status"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy("c_custkey")
+    }),
+
     // TPC-H Q3-shaped composite: segment-filtered customer dim
     // (broadcast) × date-filtered orders × lineitem, DECIMAL-exact
     // revenue roll-up, top-10 via TakeOrdered. The end-to-end
@@ -989,6 +1040,46 @@ object BatchQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type
+        |            FROM events),
+        |t1 AS (SELECT user_id, min(tsu) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT ev.user_id, min(tsu) AS t2 FROM ev
+        |       JOIN t1 ON ev.user_id = t1.user_id
+        |       WHERE event_type = 'click' AND tsu > t1.t1
+        |       GROUP BY ev.user_id),
+        |t3 AS (SELECT ev.user_id, min(tsu) AS t3 FROM ev
+        |       JOIN t2 ON ev.user_id = t2.user_id
+        |       WHERE event_type = 'purchase' AND tsu > t2.t2
+        |       GROUP BY ev.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+        |            WHEN t2.t2 IS NOT NULL THEN 2
+        |            WHEN t1.t1 IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS funnel_stage
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN t1 ON u.user_id = t1.user_id
+        |LEFT JOIN t2 ON u.user_id = t2.user_id
+        |LEFT JOIN t3 ON u.user_id = t3.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    "q_table_diff" ->
+      """WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer),
+        |v2 AS (SELECT c_custkey,
+        |    c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 100.0
+        |                     ELSE 0.0 END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 7 <> 3)
+        |SELECT coalesce(v1.c_custkey, v2.c_custkey) AS c_custkey,
+        |  CASE WHEN v1.c_acctbal IS NULL THEN 'added'
+        |       WHEN v2.c_acctbal IS NULL THEN 'removed'
+        |       WHEN v1.c_acctbal <> v2.c_acctbal THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+        |WHERE (CASE WHEN v1.c_acctbal IS NULL THEN 'added'
+        |       WHEN v2.c_acctbal IS NULL THEN 'removed'
+        |       WHEN v1.c_acctbal <> v2.c_acctbal THEN 'changed'
+        |       ELSE 'unchanged' END) <> 'unchanged'
+        |ORDER BY c_custkey""".stripMargin,
     "q_revenue_topk" ->
       """SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_us,
         |  o_orderpriority,
