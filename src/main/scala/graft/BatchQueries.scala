@@ -574,6 +574,23 @@ object BatchQueries {
         .orderBy("user_id")
     }),
 
+    // Cohort retention: users bucketed by first-seen week; for each
+    // (cohort week, week offset) the count of distinct cohort members
+    // active that week. Integer epoch-week arithmetic; first-seen via
+    // one min-aggregate, activity via distinct (user, week) — both
+    // map-side combinable, joined on the user key.
+    "q_cohort_retention" -> ((s, d) => {
+      val weekUs = 7L * 86400L * 1000000L
+      val ev = events(s, d)
+        .select(col("user_id"), expr(s"ts DIV 1000 DIV ${weekUs}L").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      ev.distinct()
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_off"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "wk_off")
+    }),
+
     // Snapshot reconciliation: classify every key across two table
     // versions as added / removed / changed / unchanged — the
     // validation pass after any CDC apply. One full-outer equi-join.
@@ -1063,6 +1080,15 @@ object BatchQueries {
         |LEFT JOIN t2 ON u.user_id = t2.user_id
         |LEFT JOIN t3 ON u.user_id = t3.user_id
         |ORDER BY u.user_id""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+        |SELECT c.cohort_wk, ev.wk - c.cohort_wk AS wk_off,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ev JOIN c ON ev.user_id = c.user_id
+        |GROUP BY c.cohort_wk, wk_off
+        |ORDER BY cohort_wk, wk_off""".stripMargin,
     "q_table_diff" ->
       """WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer),
         |v2 AS (SELECT c_custkey,
