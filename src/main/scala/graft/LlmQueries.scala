@@ -175,6 +175,25 @@ object LlmQueries {
         .withColumnRenamed("_id", "doc_id")
         .orderBy("doc_id")),
 
+    // The first BPE merge step: corpus-wide counts of adjacent
+    // character pairs inside words (weighted by word frequency) — the
+    // exact statistic a BPE trainer computes each round to pick the
+    // next merge. Top-20 pairs by count (ties lexicographic).
+    // explode(word)→explode(pair) with map-side combine; the pair
+    // space is bounded (|alphabet|²), so the final top-k is
+    // TakeOrdered over a tiny relation.
+    "q_bpe_pairs" -> ((s, d) => {
+      val words = docs(s, d).select(
+          explode(graft.operators.TermStats.words(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2) // sequence(1,0) would descend
+      words
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+    }),
+
     // Tokenizer-vocabulary coverage: vocab = top-100 corpus terms by
     // frequency (ties to the lexicographically smaller term), then the
     // per-document out-of-vocabulary token fraction. The vocab relation
@@ -543,6 +562,15 @@ object LlmQueries {
         |    (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
         |  FROM s
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |           FROM documents),
+        |p AS (SELECT unnest([substring(w, i, 2)
+        |                     for i in range(1, length(w))]) AS pair
+        |      FROM w WHERE length(w) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_vocab_oov" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(string_split_regex(lower(text), '\s+')) AS term
