@@ -25,6 +25,11 @@ object Merge {
     * matched change overwrites when its value is non-null; base
     * columns absent from `changes` ride through unchanged, and
     * inserted rows take nulls there.
+    *
+    * CONTRACT: `changes` must be unique per key — a duplicated change
+    * key would fan out its base row through the join. CDC feeds
+    * pre-collapse with last-per-key (`q_last_per_group`'s max_by
+    * shape) before applying.
     */
   def upsert(base: DataFrame, changes: DataFrame, key: String,
       updateCols: Seq[String]): DataFrame = {
