@@ -175,6 +175,19 @@ object LlmQueries {
         .withColumnRenamed("_id", "doc_id")
         .orderBy("doc_id")),
 
+    // Blocklist gating (the policy-filter stage of a corpus pipeline):
+    // per-doc count of whole-word blocklist hits via the single-pass
+    // WordSetCount kernel in a FILTER position — flagged docs out,
+    // narrow scan, zero shuffles below the output sort.
+    "q_blocklist" -> ((s, d) => {
+      val hits = TextStats.stopwordCount(lower(col("text")),
+        Seq("slow", "error", "merge"))
+      docs(s, d)
+        .select(col("doc_id"), hits.as("n_blocked"))
+        .filter(col("n_blocked") > 0)
+        .orderBy("doc_id")
+    }),
+
     // The first BPE merge step: corpus-wide counts of adjacent
     // character pairs inside words (weighted by word frequency) — the
     // exact statistic a BPE trainer computes each round to pick the
@@ -562,6 +575,14 @@ object LlmQueries {
         |    (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
         |  FROM s
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(slow|error|merge)\b')) AS BIGINT) AS n_blocked
+        |FROM documents
+        |WHERE len(regexp_extract_all(lower(text),
+        |    '\b(slow|error|merge)\b')) > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
         |           FROM documents),
