@@ -653,18 +653,21 @@ object BatchQueries {
           "version", "is_current")
         .orderBy("user_id", "version")),
 
-    // JSON extraction family over the props column: path extraction
-    // (string + typed), schema-projected from_json, and missing-path
+    // JSON extraction family over the props column: json_tuple (ONE
+    // parse for several paths — get_json_object re-parses per call),
+    // typed path cast, schema-projected from_json, and missing-path
     // null semantics.
     "q_json_fns" -> ((s, d) =>
       events(s, d)
-        .select(col("event_id"),
-          get_json_object(col("props"), "$.k").as("k_str"),
-          get_json_object(col("props"), "$.k").cast("long").as("k_int"),
+        .select(col("event_id"), col("props"),
+          json_tuple(col("props"), "k", "missing"))
+        .toDF("event_id", "props", "k_str", "k_missing")
+        .withColumn("k_int", col("k_str").cast("long"))
+        .withColumn("k_parsed",
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-            .getField("k").cast("long").as("k_parsed"),
-          get_json_object(col("props"), "$.missing").as("k_missing"))
+            .getField("k").cast("long"))
+        .select("event_id", "k_str", "k_int", "k_parsed", "k_missing")
         .orderBy("event_id")),
 
     // Exact-arithmetic covariance/correlation per group: built-in
