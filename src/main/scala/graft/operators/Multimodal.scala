@@ -122,6 +122,51 @@ object Multimodal {
       }
     }
 
+  /** REAL image resize via JDK Graphics2D (bilinear), for the formats
+    * ImageIO can read: decode → scale to (w, h) → re-encode PNG.
+    * None for unparseable payloads (caller keeps the original).
+    */
+  private[graft] def imageResize(bytes: Array[Byte], w: Int,
+      h: Int): Option[Array[Byte]] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Resize every image payload to (w, h) — real Graphics2D resample
+    * for JDK-readable formats (output format becomes png), pass-through
+    * for everything else. Narrow per-partition map, no shuffle.
+    */
+  def resizeMedia(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] =
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val fmt = if (r.meta.format == null) "" else r.meta.format.toLowerCase
+        val resized =
+          if (ImageFormats.contains(fmt)) imageResize(r.content, w, h)
+          else None
+        resized match {
+          case Some(bytes) =>
+            MediaRow(r.media_id, bytes, MediaMeta("png", w, h, 3))
+          case None => r
+        }
+      }
+    }(mediaRowEnc)
+
   /** STUB frame sampler — deterministic fake of video frame sampling:
     * n evenly-spaced fixed-size slices of the payload.
     */

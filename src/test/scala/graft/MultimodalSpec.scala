@@ -86,6 +86,30 @@ class MultimodalSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("REAL image resize: dimensions, solid color preserved, pipeline end-to-end") {
+    // solid color survives any resample filter exactly
+    val solid = Multimodal.imageResize(
+      pngBytes(8, 8)((_, _) => 0x112233), 4, 4).get
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(solid))
+    assert(img.getWidth === 4 && img.getHeight === 4)
+    for (x <- 0 until 4; y <- 0 until 4)
+      assert((img.getRGB(x, y) & 0xffffff) === 0x112233)
+    // non-image payloads pass through untouched
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, pngBytes(8, 8)((_, _) => 0xff0000), MediaMeta("png", 8, 8, 3)),
+      MediaRow(2L, Array[Byte](1, 2, 3), MediaMeta("bin", 0, 0, 0)))
+    val out = Multimodal.resizeMedia(rows.toDS(), 2, 2)
+      .collect().sortBy(_.media_id)
+    assert(out(0).meta === MediaMeta("png", 2, 2, 3))
+    val r0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).content))
+    assert(r0.getWidth === 2 && (r0.getRGB(0, 0) & 0xffffff) === 0xff0000)
+    assert(out(1).content.toSeq === Seq[Byte](1, 2, 3))
+    assert(out(1).meta.format === "bin")
+  }
+
   test("REAL PNG decode: exact luminance histogram goldens") {
     val dim = 16
     // all-black 4x4: every pixel lum 0 → all mass in bucket 0
