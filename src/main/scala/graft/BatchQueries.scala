@@ -574,6 +574,27 @@ object BatchQueries {
         .orderBy("user_id")
     }),
 
+    // Column profiling (the data-quality monitor's table scan): null
+    // count + exact distinct count per column, one row per column.
+    // All profiled columns aggregate in ONE pass over the table
+    // (Catalyst plans the multi-distinct with an Expand), then the
+    // single profile row unpivots via stack — no per-column re-scan.
+    "q_profile" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_discount", "l_returnflag",
+        "l_linestatus")
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct"))
+      }
+      val stackExpr = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_distinct").mkString(", ")
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.size}, $stackExpr) " +
+          "AS (column_name, n_nulls, n_distinct)")
+        .orderBy("column_name")
+    }),
+
     // Cohort retention: users bucketed by first-seen week; for each
     // (cohort week, week offset) the count of distinct cohort members
     // active that week. Integer epoch-week arithmetic; first-seen via
@@ -1083,6 +1104,16 @@ object BatchQueries {
         |LEFT JOIN t2 ON u.user_id = t2.user_id
         |LEFT JOIN t3 ON u.user_id = t3.user_id
         |ORDER BY u.user_id""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("l_quantity", "l_discount", "l_returnflag",
+        "l_linestatus")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     "q_cohort_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 604800000000 AS wk FROM events),
