@@ -574,6 +574,21 @@ object BatchQueries {
         .orderBy("user_id")
     }),
 
+    // Incremental aggregation: per-(user, day) partials merged to
+    // per-user totals — the answer must be bit-equal to aggregating
+    // the raw events directly (the oracle does exactly that), proving
+    // the warm-start merge path is exact.
+    "q_incremental_agg" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        expr("ts DIV 1000 DIV 86400000000").as("day"), col("value"))
+      graft.operators.Incremental.merge(
+          graft.operators.Incremental.partials(ev, col("user_id"),
+            col("day"), col("value")))
+        .select(col("_k").as("user_id"), col("n"), col("vmin"),
+          col("vmax"), col("vsum"), col("vavg"))
+        .orderBy("user_id")
+    }),
+
     // Column profiling (the data-quality monitor's table scan): null
     // count + exact distinct count per column, one row per column.
     // All profiled columns aggregate in ONE pass over the table
@@ -1104,6 +1119,16 @@ object BatchQueries {
         |LEFT JOIN t2 ON u.user_id = t2.user_id
         |LEFT JOIN t3 ON u.user_id = t3.user_id
         |ORDER BY u.user_id""".stripMargin,
+    // the DIRECT aggregation over raw rows — the merge path must
+    // reproduce it bit-for-bit
+    "q_incremental_agg" ->
+      """SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(value) AS vmin, max(value) AS vmax,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS vsum,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS vavg
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_profile" -> {
       val cols = Seq("l_quantity", "l_discount", "l_returnflag",
         "l_linestatus")
