@@ -175,6 +175,34 @@ object LlmQueries {
         .withColumnRenamed("_id", "doc_id")
         .orderBy("doc_id")),
 
+    // CAPSTONE — the whole training-corpus pipeline as ONE declarative
+    // query: quality gate → blocklist gate → near-dup clustering over
+    // the survivors → best-quality survivor per duplicate cluster →
+    // deterministic split assignment. Catalyst plans across all five
+    // stages (gates push into the scans feeding the sketch joins);
+    // the oracle recomputes every stage independently in SQL.
+    "q_corpus_pipeline" -> ((s, d) => {
+      val gated = TextStats.addStats(docs(s, d), col("text"))
+        .withColumn("quality", TextStats.qualityScore)
+        .filter(col("quality") >= 0.55)
+        .filter(TextStats.stopwordCount(lower(col("text")),
+          Seq("slow")) === 0)
+      val clusters = graft.operators.Clusters
+        .dedupClusters(gated, col("doc_id"), col("text"))
+      val best = clusters
+        .join(gated.select("doc_id", "quality"), "doc_id")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster_id"))
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .filter(col("rk") === 1)
+      graft.operators.Sampling.splitAssign(
+          best.select("doc_id"), col("doc_id"),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // Blocklist gating (the policy-filter stage of a corpus pipeline):
     // per-doc count of whole-word blocklist hits via the single-pass
     // WordSetCount kernel in a FILTER position — flagged docs out,
@@ -575,6 +603,69 @@ object LlmQueries {
         |    (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
         |  FROM s
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // every stage recomputed independently: quality formula, blocklist
+    // regex, trigram-shingle brute-force pairs over the GATED corpus,
+    // recursive transitive closure, quality-argmax survivor, hash split
+    "q_corpus_pipeline" ->
+      """WITH RECURSIVE
+        |st AS (
+        |  SELECT doc_id, text,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |      / length(text) AS punct_ratio,
+        |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|that)\b'))
+        |      AS stopword_cnt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text,
+        |    (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4)
+        |    + ((1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3)
+        |    + (least(CAST(stopword_cnt AS DOUBLE) * 10.0 / n_tokens, 1.0)
+        |       * 0.3) AS quality
+        |  FROM st
+        |  WHERE (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4)
+        |    + ((1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3)
+        |    + (least(CAST(stopword_cnt AS DOUBLE) * 10.0 / n_tokens, 1.0)
+        |       * 0.3) >= 0.55
+        |    AND len(regexp_extract_all(lower(text), '\b(slow)\b')) = 0),
+        |t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM g),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)]) AS sh
+        |  FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.8
+        |  UNION ALL
+        |  SELECT doc_b AS a, doc_a AS b FROM pairs WHERE jaccard >= 0.8),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |lbl AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a),
+        |cl AS (
+        |  SELECT g.doc_id,
+        |    CAST(least(g.doc_id, coalesce(l.mn, g.doc_id)) AS BIGINT)
+        |      AS cluster_id, g.quality
+        |  FROM g LEFT JOIN lbl l ON g.doc_id = l.doc_id),
+        |best AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY quality DESC, doc_id) AS rk
+        |    FROM cl) WHERE rk = 1)
+        |SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
+        |     * 2654435761) % 1000000007 % 100 AS b
+        |  FROM best)
+        |ORDER BY doc_id""".stripMargin,
     "q_blocklist" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text),
