@@ -574,6 +574,51 @@ object BatchQueries {
         .orderBy("user_id")
     }),
 
+    // Quantile discretization (feature binning): per-group quartile
+    // edges from the histogram quantiles, broadcast back; each row's
+    // bin = 1 + (v > p25) + (v > p50) + (v > p75) — edge semantics
+    // explicit and integer-exact, unlike ntile's tie handling.
+    "q_quartile_assign" -> ((s, d) => {
+      val edges = graft.operators.Quantiles.exactQuantilesHist(
+          Tables.lineitem(s, d), col("l_returnflag"), col("l_quantity"),
+          Seq(0.25, 0.5, 0.75))
+        .select(col("_g").as("l_returnflag"), col("p25_disc"),
+          col("p50_disc"), col("p75_disc"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+        .join(broadcast(edges), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (lit(1L) + when(col("l_quantity") > col("p25_disc"), 1L).otherwise(0L)
+            + when(col("l_quantity") > col("p50_disc"), 1L).otherwise(0L)
+            + when(col("l_quantity") > col("p75_disc"), 1L).otherwise(0L))
+            .as("quartile"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Per-group z-score normalization: mean/std from the DECIMAL
+    // moment sums (order-independent), broadcast back to the rows —
+    // the standard feature-scaling pass, exact in both engines.
+    "q_zscore" -> ((s, d) => {
+      val stats = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast("decimal(38,10)")).cast("double")
+            .as("sx"),
+          sum((col("l_quantity") * col("l_quantity"))
+            .cast("decimal(38,10)")).cast("double").as("sxx"))
+        .select(col("l_returnflag"), (col("sx") / col("n")).as("mu"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+            .as("sigma"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+        .join(broadcast(stats), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ((col("l_quantity") - col("mu")) / col("sigma")).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Incremental aggregation: per-(user, day) partials merged to
     // per-user totals — the answer must be bit-equal to aggregating
     // the raw events directly (the oracle does exactly that), proving
@@ -1119,6 +1164,39 @@ object BatchQueries {
         |LEFT JOIN t2 ON u.user_id = t2.user_id
         |LEFT JOIN t3 ON u.user_id = t3.user_id
         |ORDER BY u.user_id""".stripMargin,
+    // quartile edges via the same p*(n-1) disc rule as q_quantiles
+    "q_quartile_assign" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS DOUBLE) AS v FROM lineitem),
+        |rk AS (SELECT g, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM r),
+        |e AS (SELECT g,
+        |  max(CASE WHEN rn = CAST(floor(0.25 * (n-1)) AS BIGINT) + 1 THEN v END) AS p25,
+        |  max(CASE WHEN rn = CAST(floor(0.5  * (n-1)) AS BIGINT) + 1 THEN v END) AS p50,
+        |  max(CASE WHEN rn = CAST(floor(0.75 * (n-1)) AS BIGINT) + 1 THEN v END) AS p75
+        |  FROM rk GROUP BY g)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(1 + (CASE WHEN l_quantity > p25 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN l_quantity > p50 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN l_quantity > p75 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS quartile
+        |FROM lineitem JOIN e ON l_returnflag = e.g
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_zscore" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
+        |      AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag),
+        |st AS (SELECT l_returnflag, (sx / n) AS mu,
+        |  sqrt((sxx - sx * sx / n) / n) AS sigma FROM s)
+        |SELECT l_orderkey, l_linenumber,
+        |  ((CAST(l_quantity AS DOUBLE) - mu) / sigma) AS z
+        |FROM lineitem JOIN st USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // the DIRECT aggregation over raw rows — the merge path must
     // reproduce it bit-for-bit
     "q_incremental_agg" ->
