@@ -574,6 +574,19 @@ object BatchQueries {
         .orderBy("user_id")
     }),
 
+    // Regular-grid resampling with forward fill: hourly buckets per
+    // user from first to last observation, gaps carry the latest
+    // value forward — the gap-fill every bar pipeline runs before
+    // rolling-window math.
+    "q_resample_ffill" -> ((s, d) =>
+      graft.operators.Resample.gridFill(
+          events(s, d).select(col("user_id"), expr("ts DIV 1000").as("tsu"),
+            col("value")),
+          col("user_id"), col("tsu"), col("value"),
+          stepUs = 3600L * 1000000L)
+        .select(col("key").as("user_id"), col("bucket"), col("value"))
+        .orderBy("user_id", "bucket")),
+
     // Quantile discretization (feature binning): per-group quartile
     // edges from the histogram quantiles, broadcast back; each row's
     // bin = 1 + (v > p25) + (v > p50) + (v > p75) — edge semantics
@@ -1164,6 +1177,22 @@ object BatchQueries {
         |LEFT JOIN t2 ON u.user_id = t2.user_id
         |LEFT JOIN t3 ON u.user_id = t3.user_id
         |ORDER BY u.user_id""".stripMargin,
+    "q_resample_ffill" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb,
+        |    value, epoch_us(ts) AS tsu FROM events),
+        |obs AS (SELECT user_id, hb, max_by(value, tsu) AS v
+        |        FROM ev GROUP BY user_id, hb),
+        |b AS (SELECT user_id, min(hb) AS mn, max(hb) AS mx
+        |      FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS hb FROM b),
+        |j AS (SELECT g.user_id, g.hb, o.v
+        |      FROM grid g LEFT JOIN obs o
+        |        ON g.user_id = o.user_id AND g.hb = o.hb)
+        |SELECT user_id, hb AS bucket,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
     // quartile edges via the same p*(n-1) disc rule as q_quantiles
     "q_quartile_assign" ->
       """WITH r AS (SELECT l_returnflag AS g,
