@@ -747,21 +747,38 @@ object BatchQueries {
           "version", "is_current")
         .orderBy("user_id", "version")),
 
-    // JSON extraction family over the props column: json_tuple (ONE
-    // parse for several paths — get_json_object re-parses per call),
-    // typed path cast, schema-projected from_json, and missing-path
-    // null semantics.
+    // JSON extraction family over the props column: ONE schema-projected
+    // from_json supplies the string path, both typed casts, and the
+    // missing-path null semantics — props is parsed exactly once per row
+    // (the struct alias is multi-referenced, so CollapseProject keeps the
+    // parse in its own projection instead of duplicating it). STRING in
+    // the schema (not INT) so quoted/oversized numerics survive to the
+    // cast exactly like the oracle's json_extract_string → CAST(BIGINT).
+    // The generator-based json_tuple API is covered by q_json_tuple on a
+    // skinny slice — a Generate between scan and sort breaks whole-stage
+    // codegen and is the wrong shape for a full-table pass.
     "q_json_fns" -> ((s, d) =>
       events(s, d)
-        .select(col("event_id"), col("props"),
-          json_tuple(col("props"), "k", "missing"))
-        .toDF("event_id", "props", "k_str", "k_missing")
-        .withColumn("k_int", col("k_str").cast("long"))
-        .withColumn("k_parsed",
+        .select(col("event_id"),
           from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-            .getField("k").cast("long"))
-        .select("event_id", "k_str", "k_int", "k_parsed", "k_missing")
+            org.apache.spark.sql.types.StructType
+              .fromDDL("k STRING, missing STRING")).as("p"))
+        .select(col("event_id"),
+          col("p.k").as("k_str"),
+          col("p.k").cast("long").as("k_int"),
+          col("p.k").cast("long").as("k_parsed"),
+          col("p.missing").as("k_missing"))
+        .orderBy("event_id")),
+
+    // json_tuple generator API coverage (one parse for several paths —
+    // get_json_object would re-parse per call) on a filtered slice: the
+    // Generate node is exercised without paying its codegen break on the
+    // whole table.
+    "q_json_tuple" -> ((s, d) =>
+      events(s, d)
+        .filter(col("event_id") % 41 === 0)
+        .select(col("event_id"), json_tuple(col("props"), "k", "missing"))
+        .toDF("event_id", "k_str", "k_missing")
         .orderBy("event_id")),
 
     // Exact-arithmetic covariance/correlation per group: built-in
@@ -1303,6 +1320,11 @@ object BatchQueries {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
         |  json_extract_string(props, '$.missing') AS k_missing
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_tuple" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  json_extract_string(props, '$.missing') AS k_missing
+        |FROM events WHERE event_id % 41 = 0 ORDER BY event_id""".stripMargin,
     "q_corr_group" ->
       """WITH a AS (
         |  SELECT l_returnflag,

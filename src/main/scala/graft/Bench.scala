@@ -24,11 +24,22 @@ package graft
   * the same full-materialization semantics Verify's parquet write has.
   * BenchPlanSpec pins this: the plan executed under the noop write
   * retains its Window/Sort nodes where the count() plan drops them.
+  *
+  * Cross-round comparability (round-6 verdict finding #3): per-query
+  * output-row counts (`rows`) and the host's 1-minute loadavg at run
+  * start (`loadavg_start`) are recorded alongside the timings, so a
+  * future round can normalize to rows/s and discount runs on a busy
+  * box instead of misreading load noise as regressions. The row count
+  * is taken ONCE after the timed reps (count() lets Catalyst prune the
+  * plan, so it is cheap and never contaminates the noop-sink timings).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // optional trailing query names restrict the run (local iteration);
+    // the driver's no-arg invocation benches everything
+    val only = args.toSet
     val spark = Sessions.fromEnv()
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -45,9 +56,17 @@ object Bench {
     // charged ~4s of one-time cost
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
+    val loadavgStart: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val rowCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       try {
         var r = 0
@@ -59,16 +78,18 @@ object Bench {
         }
         val sorted = samples.sorted
         timings(name) = sorted(sorted.size / 2)
+        rowCounts(name) = fn(spark, sfDir).count()
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val rs = rowCounts.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"reps":$reps,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$es,"reps":$reps,"loadavg_start":$loadavgStart,"sf":${jstr(sfDir)}}"""
     println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),

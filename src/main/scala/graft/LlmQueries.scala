@@ -266,15 +266,13 @@ object LlmQueries {
     // the content-addressed split; a leaked pair means the eval split
     // contains a near-copy of a training doc).
     "q_split_leakage" -> ((s, d) => {
-      val split = graft.operators.Sampling.splitAssign(
-          docs(s, d).select("doc_id"), col("doc_id"),
-          Seq(("train", 80), ("val", 10), ("test", 10)))
-        .select(col("doc_id"), col("split"))
+      // split assignment is content-addressed (a pure hash of the id),
+      // so both sides of each pair compute their split inline — zero
+      // joins against the documents table.
+      val w = Seq(("train", 80), ("val", 10), ("test", 10))
       Dedup.nearDupPairs(docs(s, d), col("doc_id"), col("text"))
-        .join(split.select(col("doc_id").as("doc_a"),
-          col("split").as("split_a")), "doc_a")
-        .join(split.select(col("doc_id").as("doc_b"),
-          col("split").as("split_b")), "doc_b")
+        .withColumn("split_a", graft.operators.Sampling.splitExpr(col("doc_a"), w))
+        .withColumn("split_b", graft.operators.Sampling.splitExpr(col("doc_b"), w))
         .filter(col("split_a") =!= col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b")
         .orderBy("doc_a", "doc_b")
@@ -737,8 +735,11 @@ object LlmQueries {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_embed_quant" ->
       """WITH m AS (SELECT vec_id, embedding,
-        |  127.0 / list_max(list_transform(embedding,
-        |    x -> abs(CAST(x AS DOUBLE)))) AS q_scale
+        |  CASE WHEN list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) > 0.0
+        |    THEN 127.0 / list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))))
+        |    ELSE 0.0 END AS q_scale
         |  FROM embeddings)
         |SELECT vec_id, q_scale,
         |  array_to_string(list_transform(embedding,

@@ -77,11 +77,14 @@ object BinaryEmbed {
     * quantized array plus the (double) scale reproduce the vector to
     * ~1/254 relative error; arithmetic is the identical expression
     * tree in the oracle (floor, not round — round's half-case rule is
-    * engine-dialect-dependent, floor(x + 0.5) is not).
+    * engine-dialect-dependent, floor(x + 0.5) is not). An all-zero
+    * vector gets scale 0 and an all-zero q_vec — never 127/0, whose
+    * Infinity/NaN propagation is engine-dialect-dependent.
     */
   def quantizeInt8(df: DataFrame, vec: Column): DataFrame = {
     val absMax = array_max(transform(vec, x => abs(x.cast("double"))))
-    df.withColumn("q_scale", lit(127.0) / absMax)
+    df.withColumn("q_scale",
+        when(absMax > lit(0.0), lit(127.0) / absMax).otherwise(lit(0.0)))
       .withColumn("q_vec",
         transform(vec, x =>
           floor(x.cast("double") * col("q_scale") + lit(0.5)).cast("int")))

@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   * percentile aggregate that buffers the whole group in one executor
   * (Spark's exact `percentile` does) dies on a skewed 100 TB group;
   * this shape spills through the sort machinery instead.
+  *
+  * NULL values are excluded before ranking (the SQL-standard aggregate
+  * contract). This is also an engine-parity requirement: Spark windows
+  * sort NULLs FIRST ascending while DuckDB's row_number sorts them
+  * LAST, so an unfiltered NULL would silently shift every rank.
   */
 object Quantiles {
 
@@ -38,6 +43,7 @@ object Quantiles {
       "quantiles must be within [0, 1]")
     val counts = df
       .select(group.as("_g"), value.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
       .groupBy(col("_g"), col("_v"))
       .agg(count(lit(1)).as("_cnt"))
     val wCum = Window.partitionBy(col("_g")).orderBy(col("_v"))
@@ -77,6 +83,7 @@ object Quantiles {
       "quantiles must be within [0, 1]")
     val ranked = df
       .select(group.as("_g"), value.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
       .withColumn("_rn", row_number().over(Window.partitionBy(col("_g"))
         .orderBy(col("_v"))))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_g"))))

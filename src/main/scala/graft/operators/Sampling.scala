@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   * BIGINT errors on overflow, so wraparound arithmetic would not be
   * oracle-expressible): k·2654435761 < 2^63 for k < 2^31.5·…, and the
   * reduced value < 1e9+7 keeps the second round small. Keys are first
-  * reduced mod the modulus so arbitrary BIGINT ids are safe.
+  * reduced mod the modulus. NON-NEGATIVE keys are the oracle-parity
+  * contract: the reduction here is pmod (always >= 0) while SQL `%` is
+  * sign-preserving, so a negative key still gets a valid bucket but one
+  * a plain-`%` oracle would not reproduce. Ids in this data model are
+  * non-negative surrogates, so the contract costs nothing.
   */
 object Sampling {
 
@@ -42,24 +46,36 @@ object Sampling {
     r2 % lit(buckets.toLong)
   }
 
+  /** The first label whose cumulative weight covers `bucket`. */
+  private def splitFromBucket(bucket: Column,
+      weights: Seq[(String, Int)], buckets: Int): Column = {
+    require(weights.map(_._2).sum == buckets,
+      s"split weights must sum to buckets=$buckets")
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+    weights.zip(bounds).foldLeft(lit(null: String)) {
+      case (acc, ((label, _), hi)) =>
+        coalesce(acc, when(bucket < hi, lit(label)))
+    }
+  }
+
+  /** The split label as a pure column expression over the key — the
+    * assignment is content-addressed, so any relation carrying the key
+    * can compute its split inline with zero joins (e.g. both sides of a
+    * pair relation at once).
+    */
+  def splitExpr(key: Column, weights: Seq[(String, Int)],
+      buckets: Int = 100): Column =
+    splitFromBucket(hashBucket(key, buckets), weights, buckets)
+
   /** Adds `bucket` (mod `buckets`) and `split` — the first label whose
     * cumulative weight covers the bucket. Weights are integer
     * per-buckets shares, e.g. Seq(("train",80),("val",10),("test",10))
     * over 100 buckets.
     */
   def splitAssign(df: DataFrame, key: Column,
-      weights: Seq[(String, Int)], buckets: Int = 100): DataFrame = {
-    require(weights.map(_._2).sum == buckets,
-      s"split weights must sum to buckets=$buckets")
-    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
-    val b = col("bucket")
-    val split = weights.zip(bounds).foldLeft(lit(null: String)) {
-      case (acc, ((label, _), hi)) =>
-        coalesce(acc, when(b < hi, lit(label)))
-    }
+      weights: Seq[(String, Int)], buckets: Int = 100): DataFrame =
     df.withColumn("bucket", hashBucket(key, buckets))
-      .withColumn("split", split)
-  }
+      .withColumn("split", splitFromBucket(col("bucket"), weights, buckets))
 
   /** Deterministic fixed-size per-group sample: the `k` rows of each
     * group with the smallest `(hashBucket(key), key)` — a content-

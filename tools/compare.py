@@ -40,14 +40,19 @@ for name, sql in sorted(oracle.items()):
         print(f"{name}: ROWS MISMATCH spark={len(sdf)} oracle={len(odf)}"); fail += 1; continue
     odf = odf.reset_index(drop=True); sdf = sdf.reset_index(drop=True)
     neq = []
+    import numpy as np
     for c in odf.columns:
         a, b = odf[c], sdf[c]
-        try:
+        is_arr = any(isinstance(x, (list, tuple, np.ndarray))
+                     for x in list(a.head(5)) + list(b.head(5)))
+        if is_arr:
+            # list/array cells: pandas == raises; compare stringified
+            ok = [str(x) for x in a] == [str(x) for x in b]
+        else:
+            # scalar columns must compare exactly — any error here is a
+            # real mismatch (e.g. incompatible dtypes), not a fallback case
             eq = (a == b) | (a.isna() & b.isna())
             ok = bool(eq.all())
-        except Exception:
-            # list/array cells: compare stringified (pandas == raises)
-            ok = [str(x) for x in a] == [str(x) for x in b]
         if not ok:
             neq.append(c)
     if neq:
