@@ -307,11 +307,16 @@ object LlmQueries {
           n = 3, threshold = 0.7)
         .orderBy("doc_a", "doc_b")),
 
-    // SimHash near-dup pairs (Hamming-banded, exact bit_count verify).
-    // Hash values are engine-internal → rows-only check; DedupSpec
-    // pins the semantics with goldens.
+    // SimHash near-dup pairs (Hamming-banded, exact bit_count verify),
+    // run with the SQL-parity md5 gram hash so the oracle recomputes
+    // the signatures, the bit-majority vote, and the Hamming distances
+    // exactly — a full hash gate, not a rows-only check. The banding is
+    // an engine-side detail the oracle may skip: recall at
+    // maxHamming=3 < bands=4 is COMPLETE by pigeonhole, so both sides
+    // emit exactly {(a,b) : a<b, hamming(sim_a, sim_b) <= 3}.
     "q_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashNearDupPairs(docs(s, d), col("doc_id"), col("text"))
+      Dedup.simhashNearDupPairs(docs(s, d), col("doc_id"), col("text"),
+          sqlParityHash = true)
         .orderBy("doc_a", "doc_b")),
 
     // Embedding-cosine near-dup over documents' companion embeddings:
@@ -386,6 +391,42 @@ object LlmQueries {
 
   private val fpSql =
     """md5(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  /** SimHash recomputed from scratch: word trigrams → 60-bit md5-prefix
+    * gram hash (the engine's SQL-parity hash) → per-bit majority vote
+    * (sum of ±1 votes > 0 → bit set, the exact rule of
+    * graft.functions.SimHash) → signature. Docs with no grams keep
+    * signature 0, exactly like the kernel's empty-array fold.
+    */
+  private val simhashCte =
+    """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS sh
+      |  FROM t
+      |),
+      |g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+      |gh AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv
+      |  FROM g
+      |),
+      |bits AS (
+      |  SELECT doc_id, r.j,
+      |    CASE WHEN SUM(CASE WHEN ((hv >> CAST(r.j AS INTEGER)) & 1) = 1
+      |                       THEN 1 ELSE -1 END) > 0
+      |         THEN (CAST(1 AS BIGINT) << CAST(r.j AS INTEGER))
+      |         ELSE CAST(0 AS BIGINT) END AS bitv
+      |  FROM gh, range(60) r(j)
+      |  GROUP BY doc_id, r.j
+      |),
+      |sim AS (
+      |  SELECT s.doc_id, COALESCE(b.sim, 0) AS sim
+      |  FROM s LEFT JOIN (
+      |    SELECT doc_id, SUM(bitv) AS sim FROM bits GROUP BY doc_id
+      |  ) b USING (doc_id)
+      |)""".stripMargin
 
   /** Brute-force shingle CTEs shared by the near-dup oracles. */
   private val shingleCte =
@@ -466,6 +507,13 @@ object LlmQueries {
       s"""WITH $shingleCte
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_near" ->
       s"""WITH $shingleCte
          |SELECT doc_id FROM documents

@@ -163,4 +163,60 @@ object OracleGen {
        |  $suggestionCase
        |FROM r JOIN mc ON r.symbol = mc.symbol AND r.ts = mc.ts
        |ORDER BY r.symbol, r.ts""".stripMargin
+
+  /** Dashboard read path (app.py:89-131, 363-428): the latest bar per
+    * symbol with its suggestion/reason (null-defaulted exactly like the
+    * dashboard's .get fallbacks), the panel derivations (suggestion
+    * color, RSI zone label, MACD delta + delta color), and the previous
+    * four closes for the chart tail.
+    */
+  val qDashboardFeed: String =
+    s"""WITH RECURSIVE $eventsBase,
+       |$maRsiLayers,
+       |$macdRec,
+       |enr AS (
+       |  SELECT r.symbol, r.ts, r.close, r.ma5, r.ma20, r.rsi,
+       |    mc.macd_line, mc.macd_signal, mc.macd_histogram,
+       |    $suggestionCase
+       |  FROM r JOIN mc ON r.symbol = mc.symbol AND r.ts = mc.ts
+       |),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY ts DESC) AS rk
+       |  FROM enr
+       |),
+       |last AS (
+       |  SELECT symbol,
+       |    max(CASE WHEN rk = 1 THEN ts END) AS last_ts,
+       |    max(CASE WHEN rk = 1 THEN close END) AS current_price,
+       |    max(CASE WHEN rk = 1 THEN ma5 END) AS ma5,
+       |    max(CASE WHEN rk = 1 THEN ma20 END) AS ma20,
+       |    max(CASE WHEN rk = 1 THEN rsi END) AS rsi,
+       |    max(CASE WHEN rk = 1 THEN macd_line END) AS macd_line,
+       |    max(CASE WHEN rk = 1 THEN macd_signal END) AS macd_signal,
+       |    max(CASE WHEN rk = 1 THEN macd_histogram END) AS macd_histogram,
+       |    max(CASE WHEN rk = 1 THEN suggestion END) AS suggestion_raw,
+       |    max(CASE WHEN rk = 1 THEN reason END) AS reason_raw,
+       |    max(CASE WHEN rk = 2 THEN close END) AS close_t1,
+       |    max(CASE WHEN rk = 3 THEN close END) AS close_t2,
+       |    max(CASE WHEN rk = 4 THEN close END) AS close_t3,
+       |    max(CASE WHEN rk = 5 THEN close END) AS close_t4
+       |  FROM rk WHERE rk <= 5 GROUP BY symbol
+       |)
+       |SELECT symbol, last_ts, current_price, ma5, ma20, rsi,
+       |  macd_line, macd_signal, macd_histogram,
+       |  COALESCE(suggestion_raw, 'KHÔNG CÓ ĐỀ XUẤT') AS suggestion,
+       |  COALESCE(reason_raw, 'Không có đủ dữ liệu') AS reason,
+       |  CASE WHEN suggestion_raw LIKE '%BUY%' THEN 'green'
+       |       WHEN suggestion_raw LIKE '%SELL%' THEN 'red'
+       |       ELSE 'orange' END AS suggestion_color,
+       |  CASE WHEN rsi IS NULL THEN 'RSI'
+       |       WHEN rsi > 70.0 THEN 'RSI (Quá mua > 70)'
+       |       WHEN rsi < 30.0 THEN 'RSI (Quá bán < 30)'
+       |       ELSE 'RSI' END AS rsi_label,
+       |  macd_line - macd_signal AS macd_diff,
+       |  CASE WHEN macd_line IS NULL OR macd_signal IS NULL THEN 'off'
+       |       WHEN macd_line - macd_signal > 0.0 THEN 'normal'
+       |       ELSE 'inverse' END AS macd_delta_color,
+       |  close_t1, close_t2, close_t3, close_t4
+       |FROM last ORDER BY symbol""".stripMargin
 }

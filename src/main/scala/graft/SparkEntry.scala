@@ -113,6 +113,61 @@ object SparkEntry {
           col("suggestion"), col("reason"))
         .orderBy("symbol", "ts")
     }),
+
+    // The dashboard's composed read path as ONE query (app.py:89-131
+    // poll→group→sort-by-date, 363-428 latest-row suggestion panel):
+    // latest bar per symbol, null-defaulted suggestion/reason (the
+    // dashboard's .get fallbacks), suggestion color bucket, RSI zone
+    // label, MACD delta + delta color, and the previous four closes
+    // for the chart tail. One window rank + one hash aggregation on
+    // symbol — the rank-desc sort reuses the enrichment's symbol
+    // exchange, and the rk <= 5 filter prunes before the aggregation,
+    // so the serving query adds no shuffle beyond the pipeline's own.
+    "q_dashboard_feed" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("symbol")).orderBy(col("ts").desc)
+      def at(i: Int, c: String) = max(when(col("rk") === i, col(c)))
+      val last = enriched(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .groupBy("symbol")
+        .agg(at(1, "ts").as("last_ts"),
+          at(1, "close").as("current_price"),
+          at(1, "ma5").as("ma5"),
+          at(1, "ma20").as("ma20"),
+          at(1, "rsi").as("rsi"),
+          at(1, "macd_line").as("macd_line"),
+          at(1, "macd_signal").as("macd_signal"),
+          at(1, "macd_histogram").as("macd_histogram"),
+          at(1, "suggestion").as("suggestion_raw"),
+          at(1, "reason").as("reason_raw"),
+          at(2, "close").as("close_t1"),
+          at(3, "close").as("close_t2"),
+          at(4, "close").as("close_t3"),
+          at(5, "close").as("close_t4"))
+      last.select(col("symbol"), col("last_ts"), col("current_price"),
+        col("ma5"), col("ma20"), col("rsi"),
+        col("macd_line"), col("macd_signal"), col("macd_histogram"),
+        coalesce(col("suggestion_raw"), lit("KHÔNG CÓ ĐỀ XUẤT"))
+          .as("suggestion"),
+        coalesce(col("reason_raw"), lit("Không có đủ dữ liệu"))
+          .as("reason"),
+        when(col("suggestion_raw").contains("BUY"), lit("green"))
+          .when(col("suggestion_raw").contains("SELL"), lit("red"))
+          .otherwise(lit("orange")).as("suggestion_color"),
+        when(col("rsi").isNull, lit("RSI"))
+          .when(col("rsi") > lit(70.0), lit("RSI (Quá mua > 70)"))
+          .when(col("rsi") < lit(30.0), lit("RSI (Quá bán < 30)"))
+          .otherwise(lit("RSI")).as("rsi_label"),
+        (col("macd_line") - col("macd_signal")).as("macd_diff"),
+        when(col("macd_line").isNull || col("macd_signal").isNull,
+            lit("off"))
+          .when(col("macd_line") - col("macd_signal") > lit(0.0),
+            lit("normal"))
+          .otherwise(lit("inverse")).as("macd_delta_color"),
+        col("close_t1"), col("close_t2"), col("close_t3"), col("close_t4"))
+        .orderBy("symbol")
+    }),
     )
     indicator ++ BatchQueries.queries ++ LlmQueries.queries
   }
@@ -127,5 +182,6 @@ object SparkEntry {
     "q_ind_full" -> OracleGen.qIndFull,
     "q_ind_stateful" -> OracleGen.qIndFull,
     "q_ind_scan" -> OracleGen.qIndFull,
+    "q_dashboard_feed" -> OracleGen.qDashboardFeed,
   ) ++ BatchQueries.oracleSql ++ LlmQueries.oracleSql
 }

@@ -139,6 +139,19 @@ object Dedup {
   def simhash(shingleCol: Column): Column =
     Bridge.column(graft.functions.SimHash(Bridge.expression(shingleCol)))
 
+  /** SQL-parity 60-bit gram hash: the integer value of the first 15
+    * hex chars of md5(gram). Strictly slower than the xxh64 kernel
+    * path (per-gram md5 + hex round-trip inside an interpreted HOF
+    * lambda), but EXACTLY reproducible in the DuckDB oracle
+    * (`('0x' || substr(md5(g), 1, 15))::BIGINT`), which puts the
+    * entire SimHash pipeline under the hash gate instead of a
+    * rows-only check. 60 bits keeps the value positive in both
+    * engines' signed BIGINT.
+    */
+  def md5GramHashes(toks: Column, n: Int): Column =
+    transform(shinglesFromTokens(toks, n),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+
   /** Near-duplicate pairs by SimHash Hamming distance <= `maxHamming`.
     *
     * Candidates come from banding the 64-bit hash into `bands` chunks
@@ -148,10 +161,14 @@ object Dedup {
     * probabilistic above). Verification is an exact bit_count(xor).
     * Same no-all-pairs shape as the MinHash path: the only join key is
     * the 16-bit chunk.
+    *
+    * `sqlParityHash = true` swaps the per-gram xxh64 for
+    * [[md5GramHashes]] — same voting kernel, same banding, same
+    * verification, but every value is oracle-recomputable.
     */
   def simhashNearDupPairs(df: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, maxHamming: Int = 3, bands: Int = 4,
-      bucketCap: Int = 1000): DataFrame = {
+      bucketCap: Int = 1000, sqlParityHash: Boolean = false): DataFrame = {
     val width = 64 / bands
     val mask = (1L << width) - 1L
     // grams are hashed inside the shingle kernel's single pass (the
@@ -161,10 +178,13 @@ object Dedup {
     // times (size lookup + both join sides), and without the persist
     // each evaluation re-shingled and re-hashed the whole corpus
     // (measured 3x the query's entire remaining cost at sf0.1).
+    def gramHashes(toks: Column): Column =
+      if (sqlParityHash) md5GramHashes(toks, shingleN)
+      else hashedShinglesFromTokens(toks, shingleN)
     val withSim = Bridge.persistRows(df
       .select(id.as("_id"), split(text, "\\s+").as("_toks"))
       .select(col("_id"),
-        simhash(hashedShinglesFromTokens(col("_toks"), shingleN)).as("_sim")))
+        simhash(gramHashes(col("_toks"))).as("_sim")))
     val chunks = withSim.select(col("_id"), col("_sim"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("_sim"), b * width).bitwiseAND(lit(mask))): _*))

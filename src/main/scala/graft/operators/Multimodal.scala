@@ -21,8 +21,12 @@ case class MediaFeatures(media_id: Long, n_bytes: Long, features: Array[Float])
   * DECODE PATHS: image formats the JDK itself can read (PNG, BMP, GIF,
   * JPEG via `javax.imageio` in java.desktop — no external deps) get a
   * REAL decode: pixels → luminance histogram → the fixed-width feature
-  * contract. Audio/video codecs are not available in this container,
-  * so those formats fall back to `fakeDecode`, a clearly-marked
+  * contract. WAV/PCM audio also gets a REAL decode — the JDK's
+  * `javax.sound.sampled` (same java.desktop module) parses RIFF/WAVE
+  * and streams PCM frames: samples → amplitude histogram → the same
+  * feature contract. Compressed-audio and video codecs are not
+  * available in this container, so those formats fall back to
+  * `fakeDecode`, a clearly-marked
   * deterministic stand-in (normalized byte histogram). Everything
   * AROUND the decode — schema, encoders, per-partition batch shape,
   * partition-count invariance, fixed feature width — is identical on
@@ -103,13 +107,77 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL WAV (PCM) decode via the JDK's javax.sound.sampled — like
+    * ImageIO it lives in java.desktop, no external codec. Parses the
+    * RIFF/WAVE header, streams PCM frames, and builds an L1-normalized
+    * amplitude histogram over FIRST-channel samples: each sample's
+    * unsigned value in [0, 2^bits) maps to bucket u·dim/2^bits (signed
+    * PCM is shifted by 2^(bits-1) first — integer arithmetic only, so
+    * the histogram is bit-deterministic across platforms). Returns None
+    * for non-PCM encodings or unparseable payloads (caller falls back
+    * to the stub), so a corrupt payload degrades instead of failing the
+    * task. Streaming read — never materializes the full sample array,
+    * so a multi-GB payload costs one fixed buffer per task.
+    */
+  private[graft] def wavDecode(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        val bits = fmt.getSampleSizeInBits
+        val frameSize = fmt.getFrameSize
+        if ((!signed && enc != AudioFormat.Encoding.PCM_UNSIGNED) ||
+            bits <= 0 || bits > 32 || bits % 8 != 0 ||
+            frameSize <= 0) None
+        else {
+          val bps = bits / 8 // bytes per sample (first channel only)
+          val big = fmt.isBigEndian
+          val half = 1L << (bits - 1)
+          val span = 1L << bits
+          val hist = new Array[Float](dim)
+          var total = 0L
+          val buf = new Array[Byte](frameSize * 1024)
+          var read = in.read(buf)
+          while (read > 0) {
+            var off = 0
+            while (off + frameSize <= read) {
+              // assemble the first channel's sample
+              var u = 0L
+              var k = 0
+              while (k < bps) {
+                val b = buf(off + k) & 0xffL
+                u |= (if (big) b << (8 * (bps - 1 - k)) else b << (8 * k))
+                k += 1
+              }
+              // signed PCM: sign-extend then shift to unsigned range
+              val v =
+                if (signed) (((u << (64 - bits)) >> (64 - bits)) + half)
+                else u
+              hist((v * dim / span).toInt) += 1f
+              total += 1
+              off += frameSize
+            }
+            read = in.read(buf)
+          }
+          if (total == 0) None
+          else Some(hist.map(_ / total.toFloat))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Format-dispatched decode: real ImageIO for JDK-supported image
-    * formats, [[fakeDecode]] for everything else (audio/video codecs
-    * are not in this container) and for unparseable image payloads.
+    * formats, real javax.sound.sampled for WAV/PCM audio,
+    * [[fakeDecode]] for everything else (compressed-audio/video codecs
+    * are not in this container) and for unparseable payloads.
     */
   private[graft] def decode(bytes: Array[Byte], format: String, dim: Int): Array[Float] = {
     val fmt = if (format == null) "" else format.toLowerCase
     if (ImageFormats.contains(fmt)) imageDecode(bytes, dim).getOrElse(fakeDecode(bytes, dim))
+    else if (fmt == "wav") wavDecode(bytes, dim).getOrElse(fakeDecode(bytes, dim))
     else fakeDecode(bytes, dim)
   }
 

@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * join back to observations on (key, bucket), and the carry-forward
   * as `last(ignoreNulls)` over the per-key ordered window — the same
   * single key-shuffle + spillable-sort cost profile as the indicator
-  * pipeline. Grid size is bounded by span/step per key; a key with a
-  * pathological span is visible directly in its bounds row.
+  * pipeline. Grid size is bounded by span/step per key and capped by
+  * `maxBucketsPerKey` (analogous to BucketPairs' bucket cap): one key
+  * whose first and last observations span years at a fine step would
+  * otherwise explode a huge per-key sequence and OOM its task — the
+  * cap turns that into an immediate, named error instead.
   */
 object Resample {
 
@@ -26,18 +29,36 @@ object Resample {
     * key, bucket (epoch-µs index), value (carried forward within
     * gaps; never null because each key's grid starts at an observed
     * bucket).
+    *
+    * A key spanning more than `maxBucketsPerKey` grid buckets fails
+    * the query with a message naming the key and its span (via
+    * `raise_error` inside the grid expression — evaluated before the
+    * explode allocates anything), because the alternatives are worse:
+    * silently truncating changes results, and letting the sequence
+    * explode means an opaque executor OOM hours into a 100 TB run.
+    * The default cap (2^21 ≈ 2M buckets ≈ 16 MB of grid longs per
+    * key) is far above any sane span/step ratio.
     */
   def gridFill(df: DataFrame, key: Column, tsUs: Column, value: Column,
-      stepUs: Long): DataFrame = {
+      stepUs: Long, maxBucketsPerKey: Long = 1L << 21): DataFrame = {
     require(stepUs >= 1, "step must be positive")
+    require(maxBucketsPerKey >= 1, "maxBucketsPerKey must be positive")
     val ev = df.select(key.as("_k"), tsUs.as("_t"), value.as("_v"))
       .withColumn("_b", expr(s"_t DIV ${stepUs}L"))
     val obs = ev.groupBy(col("_k"), col("_b"))
       .agg(max_by(col("_v"), col("_t")).as("_obs"))
     val grid = ev.groupBy(col("_k"))
       .agg(min(col("_b")).as("_mn"), max(col("_b")).as("_mx"))
+      .withColumn("_n", col("_mx") - col("_mn") + lit(1L))
       .select(col("_k"),
-        explode(sequence(col("_mn"), col("_mx"))).as("_b"))
+        explode(sequence(col("_mn"),
+          when(col("_n") <= lit(maxBucketsPerKey), col("_mx"))
+            .otherwise(raise_error(concat(
+              lit("gridFill: key "), col("_k").cast("string"),
+              lit(" spans "), col("_n").cast("string"),
+              lit(s" buckets > maxBucketsPerKey=$maxBucketsPerKey — "),
+              lit("use a coarser step or filter the key"))))))
+          .as("_b"))
     val w = Window.partitionBy(col("_k")).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(obs, Seq("_k", "_b"), "left")

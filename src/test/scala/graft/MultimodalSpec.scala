@@ -144,8 +144,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageDecode(junk, 16).isEmpty)
     assert(Multimodal.decode(junk, "png", 16).toSeq ===
       Multimodal.fakeDecode(junk, 16).toSeq)
-    // non-image formats go straight to the stub
+    // unparseable wav payloads degrade the same way
+    assert(Multimodal.wavDecode(junk, 16).isEmpty)
     assert(Multimodal.decode(junk, "wav", 16).toSeq ===
       Multimodal.fakeDecode(junk, 16).toSeq)
+    // video has no JDK codec: straight to the stub by design
+    assert(Multimodal.decode(junk, "mp4", 16).toSeq ===
+      Multimodal.fakeDecode(junk, 16).toSeq)
+  }
+
+  /** Encode 16-bit signed little-endian PCM samples as a RIFF/WAVE
+    * payload (JDK javax.sound.sampled, no deps).
+    */
+  private def wavBytes(samples: Array[Short], channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, channels, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt,
+      (samples.length / channels).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("REAL WAV decode: exact amplitude histogram goldens") {
+    val dim = 16
+    // silence: sample 0 → unsigned 32768 → bucket 32768·16/65536 = 8
+    val silent = Multimodal.wavDecode(wavBytes(Array.fill(64)(0: Short)), dim).get
+    assert(silent(8) === 1.0f)
+    assert(silent.zipWithIndex.filter(_._2 != 8).forall(_._1 === 0.0f))
+    // full-scale negative → unsigned 0 → bucket 0
+    val lo = Multimodal.wavDecode(wavBytes(Array.fill(10)(Short.MinValue)), dim).get
+    assert(lo(0) === 1.0f)
+    // full-scale positive 32767 → unsigned 65535 → bucket 15
+    val hi = Multimodal.wavDecode(wavBytes(Array.fill(10)(Short.MaxValue)), dim).get
+    assert(hi(15) === 1.0f)
+    // half min / half max → 0.5 in bucket 0, 0.5 in bucket 15
+    val mix = Multimodal.wavDecode(
+      wavBytes(Array.fill(8)(Short.MinValue) ++ Array.fill(8)(Short.MaxValue)),
+      dim).get
+    assert(mix(0) === 0.5f && mix(15) === 0.5f)
+  }
+
+  test("WAV decode reads the FIRST channel of multi-channel PCM") {
+    val dim = 16
+    // interleaved stereo frames: ch0 = 0 (silence), ch1 = full-scale —
+    // only ch0 contributes, so all mass sits in the silence bucket
+    val stereo = Array.tabulate(32)(i =>
+      if (i % 2 == 0) 0: Short else Short.MaxValue)
+    val out = Multimodal.wavDecode(wavBytes(stereo, channels = 2), dim).get
+    assert(out(8) === 1.0f)
+  }
+
+  test("WAV payloads take the real decode through extractFeatures") {
+    val wav = wavBytes(Array.fill(32)(Short.MaxValue))
+    val rows = Seq(MediaRow(20L, wav, MediaMeta("wav", 0, 0, 1)))
+    val out = Multimodal.extractFeatures(rows.toDS(), featureDim = 16).collect()
+    assert(out.head.n_bytes === wav.length.toLong)
+    // real decode: full-scale samples → bucket 15; the byte-histogram
+    // stub could not produce this (the RIFF header bytes spread out)
+    assert(out.head.features(15) === 1.0f)
+    assert(Multimodal.fakeDecode(wav, 16)(15) !== 1.0f)
   }
 }
