@@ -62,6 +62,18 @@ object LlmQueries {
       Dedup.nearDupPairs(docs(s, d), col("doc_id"), col("text"))
         .orderBy("doc_a", "doc_b")),
 
+    // Incremental dedup — the daily-increment-vs-corpus shape (dedup
+    // the NEW batch against the EXISTING corpus; never re-self-join
+    // the history). Fixture split: doc_id % 10 picks the "new batch".
+    "q_dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.nearDupPairsAgainst(
+          all.filter(col("doc_id") % 10 === 0),
+          all.filter(col("doc_id") % 10 =!= 0),
+          col("doc_id"), col("text"))
+        .orderBy("doc_new", "doc_corpus")
+    }),
+
     "q_dedup_near" -> ((s, d) =>
       Dedup.nearDedup(docs(s, d), col("doc_id"), col("text"))
         .select("doc_id")
@@ -143,6 +155,17 @@ object LlmQueries {
       graft.operators.Sampling.splitAssign(
           docs(s, d).select("doc_id"), col("doc_id"),
           Seq(("train", 80), ("val", 10), ("test", 10)))
+        .orderBy("doc_id")),
+
+    // Deterministic stratified sampling — corpus-mixing composition
+    // control: keep 50% of English, 100% of Chinese, 25% of everything
+    // else, content-addressed (a pure narrow filter; membership never
+    // changes across runs, engines, or appends).
+    "q_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSample(
+          docs(s, d).select("doc_id", "lang", "source"), col("lang"),
+          col("doc_id"), Seq(("en", 0.5), ("zh", 1.0)),
+          defaultFraction = 0.25)
         .orderBy("doc_id")),
 
     // Deterministic fixed-size per-group sample: 20 docs per lang in
@@ -507,6 +530,23 @@ object LlmQueries {
       s"""WITH $shingleCte
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)]) AS sh
+        |  FROM t
+        |),
+        |pairs AS (
+        |  SELECT n.doc_id AS doc_new, c.doc_id AS doc_corpus,
+        |    CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(n.sh, c.sh))) AS jaccard
+        |  FROM (SELECT * FROM s WHERE doc_id % 10 = 0) n
+        |  JOIN (SELECT * FROM s WHERE doc_id % 10 <> 0) c ON TRUE
+        |)
+        |SELECT doc_new, doc_corpus, jaccard FROM pairs
+        |WHERE jaccard >= 0.8 ORDER BY doc_new, doc_corpus""".stripMargin,
     "q_simhash_pairs" ->
       s"""WITH $simhashCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -796,6 +836,16 @@ object LlmQueries {
         |FROM m ORDER BY vec_id""".stripMargin,
     // Sampling.hashBucket spelled in exact BIGINT arithmetic (every
     // intermediate < 2^63 — see the operator's overflow note).
+    "q_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang, source,
+        |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
+        |     * 2654435761) % 1000000007 % 1000000 AS hk
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM h
+        |WHERE hk < CASE lang WHEN 'en' THEN 500000
+        |                     WHEN 'zh' THEN 1000000
+        |                     ELSE 250000 END
+        |ORDER BY doc_id""".stripMargin,
     "q_split_assign" ->
       """WITH h AS (SELECT doc_id,
         |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)

@@ -227,6 +227,59 @@ object Dedup {
       .select(col("_id").as("doc_id"), col("n_shared"))
   }
 
+  /** Incremental (asymmetric) near-dup pairs: NEW batch documents that
+    * near-duplicate (exact Jaccard >= `threshold`) ANY document of an
+    * EXISTING corpus. This is the production dedup shape at 100 TB —
+    * you dedup the daily increment against the accumulated corpus, you
+    * never re-run the self-join over the whole history. Emits
+    * (doc_new, doc_corpus, jaccard).
+    *
+    * Shape: both sides banded (in production the corpus side's
+    * (band, bh, id, shingles) relation is the precomputed, stored
+    * index — here it is derived inline), candidates from the
+    * band-key equi-join (never all-pairs; the new side is typically
+    * orders of magnitude smaller, so AQE broadcasts it when it fits
+    * and splits skewed corpus buckets otherwise), verification by the
+    * same sorted-long merge-scan kernel as the self-join path.
+    */
+  def nearDupPairsAgainst(newDf: DataFrame, corpus: DataFrame,
+      id: Column, text: Column, shingleN: Int = 3, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    def banded(df: DataFrame, side: String): DataFrame = df
+      .select(id.as(s"_id$side"), split(text, "\\s+").as("_toks"))
+      .select(col(s"_id$side"),
+        sort_array(hashedShinglesFromTokens(col("_toks"), shingleN))
+          .as(s"_sh$side"))
+      .withColumn("_bands", minhashBands(col(s"_sh$side"), k, bands))
+      .select(col(s"_id$side"), col(s"_sh$side"),
+        posexplode(col("_bands")).as(Seq("_band", "_bh")))
+    val candidates = banded(newDf, "_n")
+      .join(banded(corpus, "_c"), Seq("_band", "_bh"))
+      .dropDuplicates("_id_n", "_id_c")
+    val overlap = Bridge.column(graft.functions.SortedOverlapCount(
+      Bridge.expression(col("_sh_n")), Bridge.expression(col("_sh_c"))))
+    candidates
+      .withColumn("_ovl", overlap)
+      .withColumn("jaccard", col("_ovl").cast("double") /
+        (size(col("_sh_n")) + size(col("_sh_c")) - col("_ovl")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("_id_n").as("doc_new"), col("_id_c").as("doc_corpus"),
+        col("jaccard"))
+  }
+
+  /** Incremental near-dedup: the NEW documents that survive
+    * [[nearDupPairsAgainst]] — the batch to append to the corpus.
+    */
+  def nearDedupAgainst(newDf: DataFrame, corpus: DataFrame, id: Column,
+      text: Column, shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val dups = nearDupPairsAgainst(newDf, corpus, id, text, shingleN, k,
+        bands, threshold)
+      .select(col("doc_new").as("_dup")).distinct()
+    newDf.join(dups, id === col("_dup"), "left_anti")
+  }
+
   /** Greedy near-dedup: drop every document that appears as the larger
     * id of a near-duplicate pair; keep the rest.
     */

@@ -77,6 +77,31 @@ object Sampling {
     df.withColumn("bucket", hashBucket(key, buckets))
       .withColumn("split", splitFromBucket(col("bucket"), weights, buckets))
 
+  /** Deterministic stratified sampling — corpus-composition control:
+    * keep each row iff `hashBucket(key, 10^6) < round(frac(stratum) *
+    * 10^6)`, with `defaultFraction` for strata not listed. Content-
+    * addressed like [[splitAssign]]: a pure narrow filter (no RNG, no
+    * shuffle, pushes to the scan), reproducible across engines and
+    * appends — the standard way to downsample boilerplate-heavy
+    * sources or keep rare languages at 100% when mixing a training
+    * corpus. Exact integer threshold arithmetic, so the realized
+    * per-stratum rate converges to the fraction while membership stays
+    * deterministic row-by-row.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      fractions: Seq[(String, Double)],
+      defaultFraction: Double = 1.0): DataFrame = {
+    require((defaultFraction +: fractions.map(_._2))
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
+    val denom = 1000000
+    val thr = fractions.foldLeft(lit(math.round(defaultFraction * denom))) {
+      case (acc, (label, f)) =>
+        when(stratum === lit(label), lit(math.round(f * denom)))
+          .otherwise(acc)
+    }
+    df.filter(hashBucket(key, denom) < thr)
+  }
+
   /** Deterministic fixed-size per-group sample: the `k` rows of each
     * group with the smallest `(hashBucket(key), key)` — a content-
     * addressed stand-in for "k uniform draws" that is exactly

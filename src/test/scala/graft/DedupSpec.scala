@@ -74,6 +74,29 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(0L, 3L, 4L))
   }
 
+  test("nearDupPairsAgainst flags only new docs that duplicate the corpus") {
+    // corpus = docs 0/3/4; new batch = 1 (exact dup of 0), 2 (near dup
+    // of 0), 5 (fresh)
+    val corpus = docs.filter(col("doc_id").isin(0L, 3L, 4L))
+    val batch = docs.filter(col("doc_id").isin(1L, 2L))
+      .union(Seq((5L, "entirely novel text with no overlap whatsoever " +
+        "against anything stored before")).toDF("doc_id", "text"))
+    val pairs = Dedup.nearDupPairsAgainst(batch, corpus,
+        col("doc_id"), col("text"))
+      .select("doc_new", "doc_corpus").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 0L), (2L, 0L)))
+    // survivors: the batch minus the flagged dups
+    val kept = Dedup.nearDedupAgainst(batch, corpus, col("doc_id"),
+        col("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(5L))
+    // jaccard is exact on the asymmetric path too
+    val j = Dedup.nearDupPairsAgainst(batch, corpus, col("doc_id"),
+        col("text"))
+      .filter(col("doc_new") === 1L).select("jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
   test("minhash signature is deterministic and partitioning-invariant") {
     val sig = (n: Int) => docs.repartition(n)
       .select(col("doc_id"),

@@ -53,6 +53,32 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample: per-stratum rates, determinism, append-stability") {
+    val n = 30000L
+    val df = (0L until n).map(i => (i, if (i % 3 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val fr = Seq(("en", 0.5), ("zh", 0.1))
+    val out = Sampling.stratifiedSample(df, col("lang"), col("id"), fr)
+    val rates = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(rates("en") / (n / 3.0) - 0.5) < 0.03)
+    assert(math.abs(rates("zh") / (2 * n / 3.0) - 0.1) < 0.02)
+    // defaultFraction applies to unlisted strata
+    val kept = Sampling.stratifiedSample(df, col("lang"), col("id"),
+      Seq(("en", 0.0)), defaultFraction = 1.0)
+    assert(kept.filter(col("lang") === "en").count() === 0)
+    assert(kept.filter(col("lang") === "zh").count() === 2 * n / 3)
+    // deterministic across partitionings
+    val a = out.select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.stratifiedSample(df.repartition(11), col("lang"),
+      col("id"), fr).select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // membership is per-row content-addressed: a kept id stays kept in
+    // any superset (append-stability)
+    val half = Sampling.stratifiedSample(df.filter(col("id") < n / 2),
+      col("lang"), col("id"), fr).select("id").as[Long].collect().toSet
+    assert(half === a.filter(_ < n / 2).toSet)
+  }
+
   test("groupSample: exactly k per group (or the whole group), stable") {
     val df = (0L until 300L).map(i => (i, s"g${i % 4}"))
       .toDF("id", "grp")
