@@ -226,6 +226,20 @@ object BatchQueries {
         .orderBy("symbol", "ts")
     }),
 
+    // Distribution-position window functions: percent_rank =
+    // (rank-1)/(n-1) and cume_dist = rank_of_last_peer/n per symbol.
+    // Value-based (tie-stable), so deterministic under any partition
+    // layout; both engines compute the same two integer operands and
+    // one IEEE division, so the doubles gate exactly.
+    "q_dist_fns" -> ((s, d) => {
+      val w = Window.partitionBy(col("symbol")).orderBy(col("close"))
+      SparkEntry.bars(s, d)
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select("symbol", "ts", "pct_rank", "cume")
+        .orderBy("symbol", "ts")
+    }),
+
     // As-of join (beyond-reference: the operator the reference's
     // produce-time current_price denormalization sidesteps, SURVEY
     // §2.3): for each click, the latest error value of the same user
@@ -734,6 +748,26 @@ object BatchQueries {
         .limit(10)
     }),
 
+    // Iterative graph analytics beyond connected components: 3 rounds
+    // of exact integer-scaled PageRank over the symmetrized
+    // customer↔part purchase graph (orders ⋈ lineitem, bipartite ids
+    // disambiguated by parity). The integer formulation (17/20
+    // damping, div floors, integer Σ) is what makes an iterative
+    // fixpoint hash-gateable at all — the classic double variant's
+    // contribution sum is shuffle-merge-order-dependent. See
+    // operators/PageRank for the overflow contract and scale shape.
+    "q_pagerank" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = base.union(
+        base.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.ranks(edges, col("src"), col("dst"), 3)
+        .withColumnRenamed("rank", "pr")
+        .orderBy("node")
+    }),
+
     // SCD type-2 versioning of the orders change log: each customer's
     // order history becomes interval-versioned rows (valid_from/
     // valid_to/version/is_current) — the warehouse history-tracking
@@ -959,6 +993,16 @@ object BatchQueries {
         |  dense_rank() OVER w AS drnk,
         |  ntile(4) OVER w AS quartile
         |FROM b WINDOW w AS (PARTITION BY symbol ORDER BY close DESC, ts)
+        |ORDER BY symbol, ts""".stripMargin,
+    "q_dist_fns" ->
+      """WITH b AS (
+        |  SELECT user_id AS symbol, epoch_us(ts) AS ts, value AS close
+        |  FROM events
+        |)
+        |SELECT symbol, ts,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM b WINDOW w AS (PARTITION BY symbol ORDER BY close)
         |ORDER BY symbol, ts""".stripMargin,
     // independent formulation: DuckDB's native ASOF LEFT JOIN vs the
     // engine's union+window implementation
@@ -1302,6 +1346,34 @@ object BatchQueries {
         |  AND c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+        |              l_partkey * 2 + 1 AS dst
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM n),
+        |r1 AS (SELECT n.node, CAST(150000000000 +
+        |         (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN
+        |         (SELECT e.dst AS node, sum(r0.pr // dg.deg) AS c
+        |          FROM e JOIN dg USING (src) JOIN r0 ON r0.node = e.src
+        |          GROUP BY 1) s ON n.node = s.node),
+        |r2 AS (SELECT n.node, CAST(150000000000 +
+        |         (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN
+        |         (SELECT e.dst AS node, sum(r1.pr // dg.deg) AS c
+        |          FROM e JOIN dg USING (src) JOIN r1 ON r1.node = e.src
+        |          GROUP BY 1) s ON n.node = s.node),
+        |r3 AS (SELECT n.node, CAST(150000000000 +
+        |         (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN
+        |         (SELECT e.dst AS node, sum(r2.pr // dg.deg) AS c
+        |          FROM e JOIN dg USING (src) JOIN r2 ON r2.node = e.src
+        |          GROUP BY 1) s ON n.node = s.node)
+        |SELECT node, pr FROM r3 ORDER BY node""".stripMargin,
     "q_scd2" ->
       """SELECT user_id, tsu, value, valid_from, valid_to, version,
         |  (valid_to IS NULL) AS is_current

@@ -198,6 +198,26 @@ object LlmQueries {
         .withColumnRenamed("_id", "doc_id")
         .orderBy("doc_id")),
 
+    // Cross-document duplicated 5-gram share — the substring-level
+    // dedup signal (Lee et al. 2021) that doc-level MinHash misses:
+    // per doc, how many of its 5-gram positions recur in ANOTHER doc.
+    "q_shared_ngrams" -> ((s, d) =>
+      graft.operators.TermStats
+        .crossDocNgramStats(docs(s, d), col("doc_id"), col("text"), 5)
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id")),
+
+    // Weight-proportional deterministic sampling: keep probability
+    // min(n_chars, 1000)/1000 — longer docs kept proportionally more,
+    // capped at 1. Integer threshold arithmetic end-to-end, so the
+    // draw is exact cross-engine and the filter sits at the scan.
+    "q_importance_sample" -> ((s, d) =>
+      graft.operators.Sampling.importanceSample(
+          docs(s, d).select("doc_id", "n_chars"), col("doc_id"),
+          least(col("n_chars"), lit(1000L)) * lit(1000L))
+        .select("doc_id", "n_chars", "keep_bucket")
+        .orderBy("doc_id")),
+
     // CAPSTONE — the whole training-corpus pipeline as ONE declarative
     // query: quality gate → blocklist gate → near-dup clustering over
     // the survivors → best-quality survivor per duplicate cluster →
@@ -912,6 +932,31 @@ object LlmQueries {
         |  CAST(n_bigrams - n_distinct_bigrams AS DOUBLE)
         |    / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac
         |FROM wp JOIN bp USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_shared_ngrams" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |          ws[i+3] || ' ' || ws[i+4]
+        |          for i in range(1, len(ws) - 3)]) AS gram
+        |  FROM w),
+        |dg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |gs AS (SELECT gram, count(*) AS nd FROM dg GROUP BY 1)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN nd > 1 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_shared_grams,
+        |  CAST(sum(CASE WHEN nd > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE) AS shared_gram_frac
+        |FROM dg JOIN gs USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_importance_sample" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
+        |     * 2654435761) % 1000000007 % 1000000 AS keep_bucket
+        |  FROM documents)
+        |SELECT doc_id, n_chars, keep_bucket FROM h
+        |WHERE keep_bucket < least(n_chars, 1000) * 1000
+        |ORDER BY doc_id""".stripMargin,
     // q_sim_lsh: no oracle (approximate path) — rows-only check.
     "q_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes

@@ -102,6 +102,34 @@ object Sampling {
     df.filter(hashBucket(key, denom) < thr)
   }
 
+  /** Weight-proportional deterministic sampling (importance sampling
+    * with content-addressed draws): keep a row iff
+    * `hashBucket(key, denom) < threshold`, where `threshold` is a
+    * PER-ROW integer expression in [0, denom] — so each row's keep
+    * probability is `threshold / denom`, proportional to any
+    * row-derived weight (quality score, length cap, source prior).
+    * The continuous-weight generalization of [[stratifiedSample]]
+    * (which is the special case of a per-stratum constant threshold).
+    *
+    * Same scale properties as the other samplers here: a pure narrow
+    * filter — no RNG state, no shuffle, membership reproducible
+    * across engines/cluster sizes/appends — and because both the
+    * bucket and the threshold are plain integer expressions, the
+    * whole predicate stays inside whole-stage codegen at the scan.
+    * Callers wanting FP weights should quantize them to integer
+    * thresholds themselves (integer arithmetic is what keeps the
+    * predicate exact cross-engine).
+    *
+    * The emitted `keep_bucket` column makes the draw auditable (and
+    * oracle-checkable) downstream.
+    */
+  def importanceSample(df: DataFrame, key: Column, threshold: Column,
+      denom: Int = 1000000): DataFrame = {
+    require(denom >= 1, "denom must be >= 1")
+    df.withColumn("keep_bucket", hashBucket(key, denom))
+      .filter(col("keep_bucket") < threshold)
+  }
+
   /** Deterministic fixed-size per-group sample: the `k` rows of each
     * group with the smallest `(hashBucket(key), key)` — a content-
     * addressed stand-in for "k uniform draws" that is exactly

@@ -23,12 +23,24 @@ object TermStats {
   def words(text: Column): Column = split(lower(text), "\\s+")
 
   /** Adjacent word pairs ("w[i] w[i+1]") from a words array. */
-  def bigrams(ws: Column): Column =
+  def bigrams(ws: Column): Column = ngrams(ws, 2)
+
+  /** All space-joined word `n`-grams from a words array, positionally
+    * (one entry per starting index; duplicates preserved). Pure array
+    * expression — stays inside whole-stage codegen, no explode until
+    * the caller asks for one. `ws` must be a bound column reference,
+    * not a raw `split(...)` expression (see [[repetitionStats]]'s
+    * O(n²) re-evaluation note).
+    */
+  def ngrams(ws: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
     filter(
       transform(ws, (x, i) =>
-        when(i < size(ws) - 1,
-          concat(x, lit(" "), element_at(ws, i + 2)))),
+        when(i < size(ws) - (n - 1),
+          concat_ws(" ",
+            x +: (1 until n).map(j => element_at(ws, i + j + 1)): _*))),
       _.isNotNull)
+  }
 
   /** Top-`k` TF-IDF terms per document. Output: _id, term, tf, df,
     * tfidf, term_rank (1-based, score-desc, term-asc tiebreak).
@@ -95,5 +107,47 @@ object TermStats {
     gramProfile(base, col("_id"), col("_ws"), "word", "words")
       .join(gramProfile(base, col("_id"), bigrams(col("_ws")), "bigram",
         "bigrams"), "_id")
+  }
+
+  /** CROSS-document duplicated n-gram profile — the substring-level
+    * dedup signal document-level MinHash misses (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): boilerplate headers, license blocks, and
+    * templated spans recur across otherwise-distinct documents, and
+    * their per-doc share is the standard gate/trim criterion.
+    *
+    * For each document: total n-gram positions, positions whose n-gram
+    * also occurs in at least one OTHER document, and the shared
+    * fraction. Shape at scale: explode → (doc, gram) partial agg (the
+    * map-side combine absorbs within-doc repeats before the shuffle) →
+    * gram-keyed doc-frequency relation → join back on gram → per-doc
+    * roll-up. Both aggregations and the join key on the gram; no
+    * vocabulary broadcast, no collect. For 100 TB the gram key would
+    * be `xxhash64(gram)` (8 bytes vs ~30-char strings through two
+    * shuffles — see Shingles/SetSimJoin for the hashed variant); the
+    * string key here keeps the query oracle-expressible.
+    *
+    * Documents with fewer than `n` words produce no n-grams and are
+    * absent from the output (mirrored by the oracle).
+    */
+  def crossDocNgramStats(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val base = df.select(id.as("_id"), words(text).as("_ws"))
+    val perDoc = base
+      .select(col("_id"), explode(ngrams(col("_ws"), n)).as("gram"))
+      .groupBy(col("_id"), col("gram"))
+      .agg(count(lit(1)).as("_cnt"))
+    val docFreq = perDoc.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_nd"))
+    perDoc.join(docFreq, "gram")
+      .groupBy(col("_id"))
+      .agg(
+        sum(col("_cnt")).as("n_grams"),
+        sum(when(col("_nd") > 1, col("_cnt")).otherwise(lit(0L)))
+          .as("n_shared_grams"))
+      .withColumn("shared_gram_frac",
+        col("n_shared_grams").cast("double") /
+          col("n_grams").cast("double"))
   }
 }

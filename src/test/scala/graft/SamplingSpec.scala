@@ -79,6 +79,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(half === a.filter(_ < n / 2).toSet)
   }
 
+  test("importanceSample: rate tracks the per-row threshold, nested, stable") {
+    val denom = 1000000
+    val df = (0L until 4000L).map(i => (i, (i % 4) * (denom / 4)))
+      .toDF("id", "thr")
+    val kept = Sampling.importanceSample(df, col("id"), col("thr"), denom)
+    // realized rate per threshold class ~ thr/denom (hash-uniform draws)
+    val rates = kept.groupBy("thr").count().as[(Long, Long)].collect().toMap
+    assert(!rates.contains(0L)) // threshold 0 keeps nothing
+    for ((thr, cnt) <- rates) {
+      val expect = 1000.0 * thr / denom
+      assert(math.abs(cnt - expect) < 100, s"thr=$thr cnt=$cnt")
+    }
+    // nestedness: the keep set at threshold t is a subset of t' > t
+    val at25 = Sampling.importanceSample(df, col("id"),
+      lit(denom / 4), denom).select("id").as[Long].collect().toSet
+    val at50 = Sampling.importanceSample(df, col("id"),
+      lit(denom / 2), denom).select("id").as[Long].collect().toSet
+    assert(at25.subsetOf(at50))
+    // deterministic across partitionings
+    val a = kept.select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.importanceSample(df.repartition(11), col("id"),
+      col("thr"), denom).select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
   test("groupSample: exactly k per group (or the whole group), stable") {
     val df = (0L until 300L).map(i => (i, s"g${i % 4}"))
       .toDF("id", "grp")

@@ -68,6 +68,39 @@ class TermStatsSpec extends AnyFunSuite {
     assert(out === Seq((0.0, 0.0)))
   }
 
+  test("ngrams: positional n-grams, short arrays yield none") {
+    val out = corpus.select(col("doc_id"),
+        TermStats.ngrams(TermStats.words(col("text")), 3).as("g"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (0L, Seq("apple banana apple", "banana apple cherry")),
+      (1L, Seq("banana cherry banana", "cherry banana banana")),
+      (2L, Seq("apple cherry date", "cherry date date"))))
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(TermStats.ngrams(TermStats.words(col("text")), 3).as("g"))
+      .as[Seq[String]].collect().head
+    assert(short.isEmpty)
+  }
+
+  test("crossDocNgramStats: shared-across-docs grams counted per doc") {
+    // bigrams: only "apple cherry" occurs in two docs (0 and 2)
+    val out = TermStats.crossDocNgramStats(
+        corpus, col("doc_id"), col("text"), 2)
+      .select("_id", "n_grams", "n_shared_grams", "shared_gram_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (0L, 3L, 1L, 1.0 / 3.0),
+      (1L, 3L, 0L, 0.0),
+      (2L, 3L, 1L, 1.0 / 3.0)))
+    // a within-doc repeat of a shared gram counts every position:
+    // "x y x y" has "x y" twice; shared with doc 11 → 2 of its 3 grams
+    val rep = Seq((10L, "x y x y"), (11L, "x y z")).toDF("doc_id", "text")
+    val r = TermStats.crossDocNgramStats(rep, col("doc_id"), col("text"), 2)
+      .select("_id", "n_grams", "n_shared_grams")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r === Seq((10L, 3L, 2L), (11L, 2L, 1L)))
+  }
+
   test("tfidf plan: df table joins on term, corpus size broadcasts") {
     val plan = TermStats.tfidfTopTerms(
         Tables.documents(spark, "/root/testdata/sf0.001"),
