@@ -134,8 +134,32 @@ object TermStats {
       n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
     val base = df.select(id.as("_id"), words(text).as("_ws"))
-    val perDoc = base
-      .select(col("_id"), explode(ngrams(col("_ws"), n)).as("gram"))
+    sharedGramRollup(base
+      .select(col("_id"), explode(ngrams(col("_ws"), n)).as("gram")))
+  }
+
+  /** Production-scale variant of [[crossDocNgramStats]]: the gram key
+    * is `xxhash64` of the gram string, so both shuffles and the join
+    * move 8-byte longs instead of ~(6·n)-char strings — the same
+    * key-narrowing [[graft.functions.Shingles]]/SetSimJoin use. Output
+    * is identical to the string-key path absent a 64-bit collision
+    * (expected collisions ≈ |grams|²/2⁶⁵ — immaterial even at 100 TB
+    * gram counts for a per-doc FRACTION; TermStatsSpec pins equality
+    * against the string path on real data). The string-key variant is
+    * what keeps the DuckDB oracle exact.
+    */
+  def crossDocNgramStatsHashed(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val base = df.select(id.as("_id"), words(text).as("_ws"))
+    sharedGramRollup(base
+      .select(col("_id"), explode(ngrams(col("_ws"), n)).as("_g"))
+      .select(col("_id"), xxhash64(col("_g")).as("gram")))
+  }
+
+  /** (_id, gram) positions → per-doc totals/shared counts/fraction. */
+  private def sharedGramRollup(grams: DataFrame): DataFrame = {
+    val perDoc = grams
       .groupBy(col("_id"), col("gram"))
       .agg(count(lit(1)).as("_cnt"))
     val docFreq = perDoc.groupBy(col("gram"))

@@ -137,10 +137,31 @@ class PlanAuditSpec extends AnyFunSuite {
   test("split assignment and quantization are narrow — zero exchanges below the output sort") {
     // hash-split: pure projection; int8 quantize: pure projection.
     // Their only exchange is the output-determinism orderBy.
-    for (q <- Seq("q_split_assign", "q_embed_quant")) {
+    for (q <- Seq("q_split_assign", "q_embed_quant",
+        "q_importance_sample")) {
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"), s"$q:\n${p.take(600)}")
     }
+  }
+
+  test("shared-ngram profile partial-aggregates before both shuffles") {
+    // explode → HashAggregate(partial) under the first exchange (the
+    // map-side combine that absorbs within-doc gram repeats), and a
+    // gram-keyed equi-join — never a broadcast of the vocabulary-sized
+    // doc-frequency relation built by a collect.
+    val p = plan("q_shared_ngrams")
+    assert(p.contains("Generate explode"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(800))
+    assert(!p.contains("NestedLoop"), p.take(800))
+  }
+
+  test("pagerank: equi-joins only, nothing collected to the driver") {
+    val p = plan("q_pagerank")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      p.take(800))
+    // persisted edge/node relations enter as in-memory scans
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      p.take(800))
   }
 
   test("hamming ANN broadcasts the query signatures, corpus scanned once") {

@@ -101,6 +101,19 @@ class TermStatsSpec extends AnyFunSuite {
     assert(r === Seq((10L, 3L, 2L), (11L, 2L, 1L)))
   }
 
+  test("hashed-gram shared-ngram path equals the string-key path") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val str = TermStats.crossDocNgramStats(
+        docs, col("doc_id"), col("text"), 5)
+      .select("_id", "n_grams", "n_shared_grams")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val hashed = TermStats.crossDocNgramStatsHashed(
+        docs, col("doc_id"), col("text"), 5)
+      .select("_id", "n_grams", "n_shared_grams")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(str.nonEmpty && str === hashed)
+  }
+
   test("tfidf plan: df table joins on term, corpus size broadcasts") {
     val plan = TermStats.tfidfTopTerms(
         Tables.documents(spark, "/root/testdata/sf0.001"),
