@@ -841,6 +841,42 @@ object BatchQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Exact higher central moments per group (variance/skewness/excess
+    // kurtosis) — the distribution-shape profile of a column at scale.
+    // Same DECIMAL(38,10) power-sum trick as q_corr_group: the four
+    // power sums accumulate exactly (order-independent under any
+    // partial-agg schedule), and the moment formulas combine them in
+    // ONE fixed double expression tree mirrored token-for-token by the
+    // oracle (sqrt instead of pow(x,1.5): pow is libm-dependent,
+    // sqrt is IEEE correctly-rounded in both engines).
+    "q_moments" -> ((s, d) => {
+      val x = col("l_quantity")
+      def dsum(c: org.apache.spark.sql.Column, n: String) =
+        sum(c.cast("decimal(38,10)")).cast("double").as(n)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(x, "s1"), dsum(x * x, "s2"),
+          dsum(x * x * x, "s3"), dsum(x * x * x * x, "s4"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("m2",
+          col("s2") / col("n") - col("mean") * col("mean"))
+        .withColumn("m3",
+          col("s3") / col("n") -
+            lit(3.0) * col("mean") * (col("s2") / col("n")) +
+            lit(2.0) * col("mean") * col("mean") * col("mean"))
+        .withColumn("m4",
+          col("s4") / col("n") -
+            lit(4.0) * col("mean") * (col("s3") / col("n")) +
+            lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n")) -
+            lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          col("mean"), col("m2").as("variance"),
+          (col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
+          (col("m4") / (col("m2") * col("m2")) - lit(3.0)).as("kurtosis"))
+        .orderBy("l_returnflag")
+    }),
+
     // Fixed-width value histogram per group — integer bin arithmetic.
     "q_histogram" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1412,6 +1448,32 @@ object BatchQueries {
         |  ((sxy - sx * sy / n) /
         |   (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))) AS corr
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q_moments" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
+        |      AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+        |      AS DECIMAL(38,10))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+        |      AS DECIMAL(38,10))) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |b AS (SELECT l_returnflag, n, s1 / n AS mean, s2, s3, s4 FROM a),
+        |c AS (SELECT l_returnflag, n, mean,
+        |  s2 / n - mean * mean AS m2,
+        |  s3 / n - 3.0 * mean * (s2 / n) +
+        |    2.0 * mean * mean * mean AS m3,
+        |  s4 / n - 4.0 * mean * (s3 / n) +
+        |    6.0 * mean * mean * (s2 / n) -
+        |    3.0 * mean * mean * mean * mean AS m4
+        |  FROM b)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, mean,
+        |  m2 AS variance,
+        |  m3 / (m2 * sqrt(m2)) AS skewness,
+        |  m4 / (m2 * m2) - 3.0 AS kurtosis
+        |FROM c ORDER BY l_returnflag""".stripMargin,
     "q_histogram" ->
       """SELECT l_returnflag,
         |  CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin,

@@ -207,6 +207,15 @@ object LlmQueries {
         .withColumnRenamed("_id", "doc_id")
         .orderBy("doc_id")),
 
+    // The spans substring-dedup would TRIM (Lee et al. 2021): maximal
+    // runs of cross-document duplicated 5-grams per doc — the
+    // gaps-and-islands pattern on token positions.
+    "q_dedup_spans" -> ((s, d) =>
+      graft.operators.TermStats
+        .sharedGramSpans(docs(s, d), col("doc_id"), col("text"), 5)
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id", "span_start")),
+
     // Weight-proportional deterministic sampling: keep probability
     // min(n_chars, 1000)/1000 — longer docs kept proportionally more,
     // capped at 1. Integer threshold arithmetic end-to-end, so the
@@ -949,6 +958,29 @@ object LlmQueries {
         |    / CAST(sum(c) AS DOUBLE) AS shared_gram_frac
         |FROM dg JOIN gs USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, u.pos, u.gram FROM (
+        |  SELECT doc_id, unnest([{'pos': i - 1,
+        |    'gram': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |            ws[i+3] || ' ' || ws[i+4]}
+        |    for i in range(1, len(ws) - 3)]) AS u FROM w)),
+        |df AS (SELECT gram, count(DISTINCT doc_id) AS nd
+        |       FROM g GROUP BY 1),
+        |d AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (gram)
+        |      WHERE nd > 1),
+        |i AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER
+        |    (PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END
+        |    AS brk FROM d),
+        |s AS (SELECT doc_id, pos, sum(brk) OVER
+        |  (PARTITION BY doc_id ORDER BY pos) AS island FROM i)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 4 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS span_grams
+        |FROM s GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "q_importance_sample" ->
       """WITH h AS (SELECT doc_id, n_chars,
         |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)

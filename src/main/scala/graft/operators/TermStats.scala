@@ -157,6 +157,43 @@ object TermStats {
       .select(col("_id"), xxhash64(col("_g")).as("gram")))
   }
 
+  /** Maximal duplicated spans per document — the actual REMOVAL unit
+    * of substring-level dedup (Lee et al. trim the duplicated spans,
+    * not whole documents): positions whose n-gram occurs in another
+    * document, merged into maximal runs (consecutive gram starts
+    * overlap by n-1 tokens, so a run is one contiguous duplicated
+    * region). Output per span: (_id, span_start, span_end, span_grams)
+    * with token indices 0-based and span_end inclusive
+    * (= last gram start + n-1).
+    *
+    * Shape: the same explode → gram-keyed doc-frequency join as
+    * [[crossDocNgramStats]], then gaps-and-islands inside the per-doc
+    * window (lag → break flag → running sum), the [[Sessionize]]
+    * pattern transplanted from time to token position — one extra
+    * shuffle on the doc key, spill-safe through the sort machinery.
+    */
+  def sharedGramSpans(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val base = df.select(id.as("_id"), words(text).as("_ws"))
+    val toks = base.select(col("_id"),
+      posexplode(ngrams(col("_ws"), n)).as(Seq("pos", "gram")))
+    val docFreq = toks.groupBy(col("gram"))
+      .agg(count_distinct(col("_id")).as("_nd"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("pos"))
+    toks.join(docFreq.filter(col("_nd") > 1), "gram")
+      .select(col("_id"), col("pos").cast("long").as("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) === 1L, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n.toLong - 1)).as("span_end"),
+        count(lit(1)).as("span_grams"))
+      .drop("island")
+  }
+
   /** (_id, gram) positions → per-doc totals/shared counts/fraction. */
   private def sharedGramRollup(grams: DataFrame): DataFrame = {
     val perDoc = grams

@@ -101,6 +101,23 @@ class TermStatsSpec extends AnyFunSuite {
     assert(r === Seq((10L, 3L, 2L), (11L, 2L, 1L)))
   }
 
+  test("sharedGramSpans: consecutive duplicated grams merge into maximal spans") {
+    // "x y" is the only cross-doc bigram: doc 10 has it at positions 0
+    // and 2 (non-adjacent → two spans), doc 11 once
+    val c1 = Seq((10L, "x y x y"), (11L, "x y z")).toDF("doc_id", "text")
+    val s1 = TermStats.sharedGramSpans(c1, col("doc_id"), col("text"), 2)
+      .select("_id", "span_start", "span_end", "span_grams")
+      .as[(Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(s1 === Seq((10L, 0L, 1L, 1L), (10L, 2L, 3L, 1L),
+      (11L, 0L, 1L, 1L)))
+    // adjacent duplicated positions 0 and 1 merge into ONE span 0..2
+    val c2 = Seq((20L, "a b c d"), (21L, "a b c e")).toDF("doc_id", "text")
+    val s2 = TermStats.sharedGramSpans(c2, col("doc_id"), col("text"), 2)
+      .select("_id", "span_start", "span_end", "span_grams")
+      .as[(Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(s2 === Seq((20L, 0L, 2L, 2L), (21L, 0L, 2L, 2L)))
+  }
+
   test("hashed-gram shared-ngram path equals the string-key path") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val str = TermStats.crossDocNgramStats(
