@@ -227,6 +227,32 @@ object LlmQueries {
         .select("doc_id", "n_chars", "keep_bucket")
         .orderBy("doc_id")),
 
+    // Corpus mixture planning + enforcement in one query: equal
+    // char-budget per source (the static composition-control step of
+    // corpus mixing) — per-source totals → integer keep threshold
+    // thr = min(1, target/source_chars) at 10⁻⁴ granularity, scaled to
+    // the 10⁶ bucket domain — then the content-addressed sampler
+    // applies it. The planning relation is |sources| rows (broadcast);
+    // enforcement is the pure narrow filter. All-integer arithmetic
+    // (exact while total chars < 2⁶³/10⁴ ≈ 1 PB of text; beyond that,
+    // plan per shard or drop the granularity).
+    "q_mixture_sample" -> ((s, d) => {
+      val docs0 = docs(s, d).select("doc_id", "source", "n_chars")
+      val totals = docs0.groupBy("source")
+        .agg(sum("n_chars").as("src_chars"))
+      val plan = totals.crossJoin(broadcast(totals
+          .agg(sum(col("src_chars")).as("all_chars"),
+            count(lit(1)).as("n_src"))))
+        .select(col("source"),
+          least(lit(1000000L),
+            expr("((all_chars div n_src) * 10000 div src_chars) * 100"))
+            .as("thr"))
+      graft.operators.Sampling.importanceSample(
+          docs0.join(broadcast(plan), "source"), col("doc_id"), col("thr"))
+        .select("doc_id", "source", "keep_bucket", "thr")
+        .orderBy("doc_id")
+    }),
+
     // CAPSTONE — the whole training-corpus pipeline as ONE declarative
     // query: quality gate → blocklist gate → near-dup clustering over
     // the survivors → best-quality survivor per duplicate cluster →
@@ -981,6 +1007,24 @@ object LlmQueries {
         |  CAST(count(*) AS BIGINT) AS span_grams
         |FROM s GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH t AS (SELECT source,
+        |    CAST(sum(n_chars) AS BIGINT) AS src_chars
+        |  FROM documents GROUP BY 1),
+        |a AS (SELECT CAST(sum(src_chars) AS BIGINT) AS all_chars,
+        |    count(*) AS n_src FROM t),
+        |p AS (SELECT source, CAST(least(1000000,
+        |    ((a.all_chars // a.n_src) * 10000 // t.src_chars) * 100)
+        |    AS BIGINT) AS thr
+        |  FROM t, a),
+        |h AS (SELECT doc_id, source,
+        |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
+        |     * 2654435761) % 1000000007 % 1000000 AS keep_bucket
+        |  FROM documents)
+        |SELECT h.doc_id, h.source, h.keep_bucket, p.thr
+        |FROM h JOIN p USING (source)
+        |WHERE h.keep_bucket < p.thr
+        |ORDER BY doc_id""".stripMargin,
     "q_importance_sample" ->
       """WITH h AS (SELECT doc_id, n_chars,
         |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
