@@ -28,6 +28,12 @@ object Sessions {
     spark
   }
 
+  /** Harness-main session: `SPARK_GRAFT_CPUS` override, else the
+    * contract runtime (local[32]) capped by the actual core count —
+    * a bare `runMain graft.Bench` must bench at full parallelism, not
+    * a conservative default.
+    */
   def fromEnv(): SparkSession =
-    local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    local(sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString))
 }
