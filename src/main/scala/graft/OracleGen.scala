@@ -132,6 +132,64 @@ object OracleGen {
        |     ELSE '${esc(Indicators.ReasonHold)}' END AS reason""".stripMargin
   }
 
+  /** Left-associated lag-chain sum of squared deviations from `mid` —
+    * SQL twin of the variance numerator in [[Indicators.addBollinger]].
+    */
+  def lagChainSqDev(col: String, mid: String, n: Int, w: String): String = {
+    val terms = ((n - 1) to 1 by -1).map(k => s"lag($col, $k) OVER $w") :+ col
+    terms.map(t => s"($t - $mid) * ($t - $mid)").mkString("(", " + ", ")")
+  }
+
+  val qIndBbands: String = {
+    val mid = lagChainMean("close", 20, "wb1")
+    val sq = lagChainSqDev("close", "bb_mid", 20, "wb2")
+    s"""WITH $eventsBase,
+       |b1 AS (
+       |  SELECT *, $mid AS bb_mid
+       |  FROM base WINDOW wb1 AS $W
+       |),
+       |b2 AS (
+       |  SELECT *, sqrt($sq / 19.0) AS bb_sd
+       |  FROM b1 WINDOW wb2 AS $W
+       |),
+       |b3 AS (
+       |  SELECT *, bb_mid + 2.0 * bb_sd AS bb_upper,
+       |            bb_mid - 2.0 * bb_sd AS bb_lower
+       |  FROM b2
+       |)
+       |SELECT symbol, ts, close, bb_mid, bb_sd, bb_upper, bb_lower,
+       |  CASE WHEN bb_upper <> bb_lower
+       |       THEN (close - bb_lower) / (bb_upper - bb_lower) END AS pct_b
+       |FROM b3
+       |ORDER BY symbol, ts""".stripMargin
+  }
+
+  val qIndStoch: String = {
+    val d = lagChainMean("stoch_k", 3, "ws3")
+    s"""WITH $eventsBase,
+       |s1 AS (
+       |  SELECT *, count(*) OVER wf AS cf,
+       |         min(close) OVER wf AS lo14, max(close) OVER wf AS hi14
+       |  FROM base
+       |  WINDOW wf AS (PARTITION BY symbol ORDER BY ts
+       |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |),
+       |s2 AS (
+       |  SELECT *,
+       |    CASE WHEN cf = 14 AND hi14 > lo14
+       |           THEN 100.0 * (close - lo14) / (hi14 - lo14)
+       |         WHEN cf = 14 AND hi14 = lo14 THEN 0.0 END AS stoch_k
+       |  FROM s1
+       |),
+       |s3 AS (
+       |  SELECT *, $d AS stoch_d
+       |  FROM s2 WINDOW ws3 AS $W
+       |)
+       |SELECT symbol, ts, close, stoch_k, stoch_d
+       |FROM s3
+       |ORDER BY symbol, ts""".stripMargin
+  }
+
   val qIndMa: String =
     s"""WITH $eventsBase
        |SELECT symbol, ts, close,

@@ -77,6 +77,26 @@ object SparkEntry {
           "macd_line", "macd_signal", "macd_histogram", "suggestion", "reason")
         .orderBy("symbol", "ts")),
 
+    // Bollinger bands BB(20, 2): the rolling stddev is the explicit
+    // left-associated squared-deviation chain (see Indicators.
+    // addBollinger's exactness contract), so the band columns are
+    // hash-gateable doubles, not approximately-equal ones.
+    "q_ind_bbands" -> ((s, dir) =>
+      Indicators.addBollinger(bars(s, dir), col("symbol"), Seq(col("ts")),
+          col("close"))
+        .select("symbol", "ts", "close", "bb_mid", "bb_sd", "bb_upper",
+          "bb_lower", "pct_b")
+        .orderBy("symbol", "ts")),
+
+    // Stochastic oscillator %K(14)/%D(3), close-only variant —
+    // comparison-only frame min/max plus one fixed arithmetic
+    // expression; min_periods via the frame-count gate.
+    "q_ind_stoch" -> ((s, dir) =>
+      Indicators.addStochastic(bars(s, dir), col("symbol"), Seq(col("ts")),
+          col("close"))
+        .select("symbol", "ts", "close", "stoch_k", "stoch_d")
+        .orderBy("symbol", "ts")),
+
     // The stateful streaming engine run in batch mode — MUST match the
     // same oracle as q_ind_full (the flatMapGroupsWithState fold and
     // the window pipeline are FP-bit-equal by construction), which
@@ -180,6 +200,8 @@ object SparkEntry {
     "q_ind_rsi" -> OracleGen.qIndRsi,
     "q_ind_macd" -> OracleGen.qIndMacd,
     "q_ind_full" -> OracleGen.qIndFull,
+    "q_ind_bbands" -> OracleGen.qIndBbands,
+    "q_ind_stoch" -> OracleGen.qIndStoch,
     "q_ind_stateful" -> OracleGen.qIndFull,
     "q_ind_scan" -> OracleGen.qIndFull,
     "q_dashboard_feed" -> OracleGen.qDashboardFeed,

@@ -103,6 +103,68 @@ object Indicators {
         Ema.emaSpan(col("macd_line"), 9, Seq(symbol), order))
       .withColumn("macd_histogram", col("macd_line") - col("macd_signal"))
 
+  /** Bollinger stage: append `bb_mid, bb_sd, bb_upper, bb_lower, pct_b`
+    * — the classic BB(n, width) band family over the close series, the
+    * natural next indicator after the reference's MA/RSI/MACD stack
+    * (same per-symbol window shuffle; stock_analysis.py:144-268 is the
+    * pipeline this extends).
+    *
+    * Exactness contract: the rolling stddev is NOT `stddev(...)` over a
+    * frame (engines disagree on accumulation order), but the explicit
+    * left-associated sum of squared deviations from `bb_mid` over the
+    * same lag-chain as [[rollingMean]], `/ (n-1)` (sample variance,
+    * pandas `rolling(n).std()` ddof=1), then IEEE `sqrt` — a fixed
+    * expression tree both engines evaluate identically, and null until
+    * the frame fills (min_periods, null lag poisons the sum). `pct_b`
+    * is null when the band is degenerate (sd = 0 — pandas emits NaN
+    * from 0/0 there; we contract null, and the oracle mirrors it).
+    */
+  def addBollinger(df: DataFrame, symbol: Column, order: Seq[Column],
+      close: Column, n: Int = 20, width: Double = 2.0): DataFrame = {
+    require(n >= 2, "bollinger window must be >= 2")
+    val w = Window.partitionBy(symbol).orderBy(order: _*)
+    val withMid = df.withColumn("bb_mid", rollingMean(close, n, w))
+    val terms = ((n - 1) to 1 by -1).map(k => lag(close, k).over(w)) :+ close
+    val sqDevs = terms.map(t => (t - col("bb_mid")) * (t - col("bb_mid")))
+    val variance = sqDevs.reduceLeft(_ + _) / lit((n - 1).toDouble)
+    withMid
+      .withColumn("bb_sd", sqrt(variance))
+      .withColumn("bb_upper", col("bb_mid") + lit(width) * col("bb_sd"))
+      .withColumn("bb_lower", col("bb_mid") - lit(width) * col("bb_sd"))
+      .withColumn("pct_b",
+        when(col("bb_upper") =!= col("bb_lower"),
+          (close - col("bb_lower")) /
+            (col("bb_upper") - col("bb_lower"))))
+  }
+
+  /** Stochastic-oscillator stage: append `stoch_k, stoch_d` —
+    * %K = 100·(close − min_n) / (max_n − min_n) over the trailing `n`
+    * rows, %D = SMA(`dPeriod`) of %K. Close-only variant (the events
+    * fixture carries no high/low series; with OHLC data the same frame
+    * takes `min(low)`/`max(high)`).
+    *
+    * min/max over a row frame are comparison-only (engine-exact), and
+    * the %K arithmetic is one fixed expression, so the whole stage is
+    * hash-gateable. min_periods: the frame's row count must equal `n`
+    * (pandas `rolling(n).min()` nulls a partial frame — Spark's frame
+    * min doesn't, so the count gate reproduces it). A flat window
+    * (max = min) yields %K = 0 by contract (pandas: NaN from 0/0);
+    * the oracle mirrors the CASE.
+    */
+  def addStochastic(df: DataFrame, symbol: Column, order: Seq[Column],
+      close: Column, n: Int = 14, dPeriod: Int = 3): DataFrame = {
+    require(n >= 1 && dPeriod >= 1, "stochastic periods must be >= 1")
+    val w = Window.partitionBy(symbol).orderBy(order: _*)
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val full = count(lit(1)).over(frame) === n
+    val lo = min(close).over(frame)
+    val hi = max(close).over(frame)
+    df.withColumn("stoch_k",
+        when(full && hi > lo, lit(100.0) * (close - lo) / (hi - lo))
+          .when(full && hi === lo, lit(0.0)))
+      .withColumn("stoch_d", rollingMean(col("stoch_k"), dPeriod, w))
+  }
+
   /** Decision stage: append `suggestion, reason` from the indicator
     * columns (Q5, Q6) — stock_analysis.py:194-224.
     */
