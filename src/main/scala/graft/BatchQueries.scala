@@ -915,6 +915,16 @@ object BatchQueries {
         .withColumnRenamed("_g", "l_returnflag")
         .orderBy("l_returnflag")),
 
+    // Robust outlier profile per event_type: exact median, exact MAD,
+    // and the |v − med| > 3·MAD outlier count — the heavy-tail-safe
+    // z-score gate (see operators/Robust). Exercises two chained
+    // exact-median passes through the histogram quantile machinery.
+    "q_mad_outlier" -> ((s, d) =>
+      graft.operators.Robust.madProfile(
+          events(s, d), col("event_type"), col("value"), k = 3.0)
+        .withColumnRenamed("_g", "event_type")
+        .orderBy("event_type")),
+
     // Relational MERGE/upsert (SCD-1 CDC apply): changes = max order
     // price per customer, base = customers outside one residue class
     // (so the insert path fires); matched rows take the change value,
@@ -1512,6 +1522,33 @@ object BatchQueries {
          |SELECT g AS l_returnflag,
          |$outs
          |FROM a ORDER BY l_returnflag""".stripMargin
+    },
+    "q_mad_outlier" -> {
+      // p50_cont twice (value, then |v − med|), rank formulation —
+      // same interpolation expression as the Spark side's hist path.
+      def p50(src: String, vcol: String, out: String) =
+        s"""rk_$out AS (SELECT g, $vcol AS v,
+           |  row_number() OVER (PARTITION BY g ORDER BY $vcol) AS rn,
+           |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+           |  FROM $src),
+           |agg_$out AS (SELECT g,
+           |  max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN v END) AS lo,
+           |  max(CASE WHEN rn = CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1 THEN v END) AS hi,
+           |  max(0.5 * (n - 1) - floor(0.5 * (n - 1))) AS f
+           |  FROM rk_$out GROUP BY g),
+           |$out AS (SELECT g, lo + (hi - lo) * f AS $out FROM agg_$out)""".stripMargin
+      s"""WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |${p50("r", "v", "med")},
+         |a AS (SELECT r.g, r.v, abs(r.v - med.med) AS ad, med.med AS med
+         |      FROM r JOIN med ON r.g = med.g),
+         |${p50("a", "ad", "mad")}
+         |SELECT a.g AS event_type, max(a.med) AS med, max(mad.mad) AS mad,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN a.ad > 3.0 * mad.mad THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers
+         |FROM a JOIN mad ON a.g = mad.g
+         |GROUP BY a.g ORDER BY event_type""".stripMargin
     },
     "q_upsert" ->
       """WITH base AS (SELECT * FROM customer WHERE c_custkey % 7 <> 3),

@@ -190,6 +190,16 @@ object LlmQueries {
           col("df"), col("term_rank"))
         .orderBy("doc_id", "term_rank")),
 
+    // CCNet-style LM-quality signal: per-doc average unigram surprisal
+    // against the corpus's own unigram model, integer-quantized
+    // (bit-length log2) so the whole score is exact BIGINT arithmetic
+    // — see TermStats.unigramSurprisal's quantization contract.
+    "q_unigram_lm" -> ((s, d) =>
+      graft.operators.TermStats
+        .unigramSurprisal(docs(s, d), col("doc_id"), col("text"))
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id")),
+
     // Gopher-style repetition gates: duplicate word / bigram fractions
     // and heaviest-gram counts per doc.
     "q_repetition" -> ((s, d) =>
@@ -940,6 +950,24 @@ object LlmQueries {
         |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
         |  FROM s)
         |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "q_unigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t WHERE term <> '' GROUP BY doc_id, term),
+        |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
+        |      FROM tf GROUP BY term),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS nt FROM c),
+        |s AS (SELECT tf.doc_id, tf.tf,
+        |  CAST(length(bin(nt)) - length(bin(cnt)) AS BIGINT) AS sbits
+        |  FROM tf JOIN c USING (term) CROSS JOIN n)
+        |SELECT doc_id,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf * sbits) AS BIGINT) AS total_bits,
+        |  CAST(sum(tf * sbits) AS BIGINT) * 100
+        |    // CAST(sum(tf) AS BIGINT) AS avg_centibits
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id,
         |  string_split_regex(lower(text), '\s+') AS ws FROM documents),

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier profiling: exact median, exact MAD (median
+  * absolute deviation) and the count of rows outside `med ± k·MAD` —
+  * the standard robust-z-score gate (|v − med| > k·MAD) that survives
+  * the heavy-tailed measure columns a mean/stddev z-score is wrecked
+  * by. A training-data pipeline uses this shape to drop metric
+  * outliers (absurd lengths, corrupt scores) without a tunable
+  * per-source threshold.
+  *
+  * Both medians go through [[Quantiles.exactQuantilesHist]] — (group,
+  * value)-count aggregation then a window over DISTINCT values — so
+  * the full-row per-group sort a naive median needs never happens and
+  * the scan runs at full parallelism (see Quantiles' scale note). The
+  * deviation pass re-joins the per-group median: group cardinality is
+  * tiny relative to rows, so the joins broadcast under AQE.
+  *
+  * Exactness: the PERCENTILE_CONT interpolation is a fixed expression
+  * tree (Quantiles), `abs(v − med)` and the `k·MAD` comparison are
+  * single IEEE ops — the whole profile is hash-gateable, and the
+  * oracle mirrors the rank-based formulation (same value multiset ⇒
+  * same element at every rank, tie order irrelevant).
+  */
+object Robust {
+
+  /** One row per group: `med, mad, n, n_outliers` (outlier ⇔
+    * |v − med| > k·MAD). NULL values are excluded (the aggregate
+    * contract — and the rank-parity requirement, see Quantiles).
+    */
+  def madProfile(df: DataFrame, group: Column, value: Column,
+      k: Double = 3.0): DataFrame = {
+    val base = df.select(group.as("_g"), value.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+    val med = Quantiles.exactQuantilesHist(base, col("_g"), col("_v"),
+        Seq(0.5))
+      .select(col("_g"), col("p50_cont").as("med"))
+    val withDev = base.join(med, "_g")
+      .withColumn("_ad", abs(col("_v") - col("med")))
+    val mad = Quantiles.exactQuantilesHist(withDev, col("_g"), col("_ad"),
+        Seq(0.5))
+      .select(col("_g"), col("p50_cont").as("mad"))
+    withDev.join(mad, "_g")
+      .groupBy(col("_g"))
+      .agg(
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("_ad") > lit(k) * col("mad"), lit(1L))
+          .otherwise(lit(0L))).as("n_outliers"))
+  }
+}

@@ -75,6 +75,47 @@ object TermStats {
       .drop("_n")
   }
 
+  /** Integer-quantized corpus unigram-LM surprisal per document — the
+    * CCNet-style LM-quality signal (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data",
+    * arXiv:1911.00359 rank documents by LM perplexity and keep the
+    * head/middle of the distribution; here the LM is the corpus's own
+    * unigram model).
+    *
+    * Quantization contract: token surprisal is `bits(N) − bits(cnt_t)`
+    * where `bits(x) = length(bin(x))` = ⌊log2 x⌋ + 1 and N is the
+    * corpus token count — an integer within ±1 of the real
+    * −log2(cnt/N). Everything downstream (per-doc total, the
+    * centibit average via integer division) stays in exact BIGINT
+    * arithmetic, which is what makes a transcendental-free DuckDB
+    * oracle possible: cross-engine `ln` can disagree in the final ulp
+    * (see [[tfidfTopTerms]]), so a double-precision surprisal sum is
+    * not hash-gateable, and the integer variant ranks documents
+    * near-identically (a doc's average shifts by < 1 bit).
+    *
+    * Scale shape: token counts are a distributed relation joined on
+    * the term key (never a broadcast vocabulary — corpus-scale vocabs
+    * are billions of terms); only the single-row corpus total is
+    * broadcast. Both aggregations are map-side combinable.
+    */
+  def unigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("_id"), explode(words(text)).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("_nt"))
+    tf.join(cnt, "term")
+      .crossJoin(broadcast(tot))
+      .select(col("_id"), col("tf"),
+        (length(bin(col("_nt"))) - length(bin(col("cnt"))))
+          .cast("long").as("_sbits"))
+      .groupBy(col("_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("_sbits")).as("total_bits"))
+      .withColumn("avg_centibits", expr("total_bits * 100 DIV n_tokens"))
+  }
+
   /** Per-document counts / distinct counts / heaviest gram / duplicate
     * fraction for one gram order: explode → (doc, gram) partial
     * aggregation → per-doc roll-up. */

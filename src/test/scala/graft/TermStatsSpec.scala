@@ -36,6 +36,38 @@ class TermStatsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("unigram surprisal: bits quantization matches hand computation") {
+    // corpus counts: apple 3, banana 4, cherry 3, date 2 → N = 12
+    // bits: N=12→4; cnt 3→2, 4→3, 2→2
+    val out = TermStats.unigramSurprisal(corpus, col("doc_id"), col("text"))
+      .select(col("_id"), col("n_tokens"), col("total_bits"),
+        col("avg_centibits"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 0: apple×2 (4−2=2 each) + banana (4−3=1) + cherry (2) = 7
+    // doc 1: banana×3 (1 each) + cherry (2) = 5
+    // doc 2: apple (2) + cherry (2) + date×2 (4−2=2 each) = 8
+    val expected = Seq(
+      (0L, 4L, 7L, 175L),
+      (1L, 4L, 5L, 125L),
+      (2L, 4L, 8L, 200L))
+    assert(out === expected)
+  }
+
+  test("unigram surprisal: the quantized score is within 1 bit of real " +
+      "-log2 and a rare token scores higher than a common one") {
+    val skewed = (Seq((0L, Seq.fill(30)("the").mkString(" "))) :+
+      (1L, "the zyzzyva")).toDF("doc_id", "text")
+    val out = TermStats.unigramSurprisal(skewed, col("doc_id"), col("text"))
+      .select(col("_id"), col("n_tokens"), col("total_bits"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // N=32 (bits 6); the: cnt=31 (bits 5) → s=1; zyzzyva: cnt=1 → s=5
+    assert(out === Seq((0L, 30L, 30L), (1L, 2L, 6L)))
+    val realThe = -math.log(31.0 / 32.0) / math.log(2.0) // ≈ 0.046
+    val realZy = -math.log(1.0 / 32.0) / math.log(2.0) // = 5.0
+    assert(math.abs(1.0 - realThe) <= 1.0 + 1e-9)
+    assert(math.abs(5.0 - realZy) <= 1.0 + 1e-9)
+  }
+
   test("tfidf ties on equal score break by term ascending") {
     // two df=N terms both score 0 — order must be lexicographic
     val df = Seq((0L, "zz aa"), (1L, "aa zz")).toDF("doc_id", "text")
