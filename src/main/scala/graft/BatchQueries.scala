@@ -915,6 +915,16 @@ object BatchQueries {
         .withColumnRenamed("_g", "l_returnflag")
         .orderBy("l_returnflag")),
 
+    // Winsorization at the exact per-group [p05, p95] continuous
+    // quantiles: bounded-influence clipping with a clipped flag —
+    // the feature-scaling companion to q_mad_outlier's row gate.
+    "q_winsorize" -> ((s, d) =>
+      graft.operators.Robust.winsorize(
+          events(s, d).select(col("event_id"), col("event_type"),
+            col("value")),
+          col("event_type"), col("value"), lo = 0.05, hi = 0.95)
+        .orderBy("event_id")),
+
     // Robust outlier profile per event_type: exact median, exact MAD,
     // and the |v − med| > 3·MAD outlier count — the heavy-tail-safe
     // z-score gate (see operators/Robust). Exercises two chained
@@ -1502,10 +1512,15 @@ object BatchQueries {
     // lo + (hi - lo) * (i - floor(i))
     "q_quantiles" -> {
       val ps = Seq(25 -> "0.25", 50 -> "0.5", 90 -> "0.9")
+      // CAST(p AS DOUBLE): see q_winsorize — a bare literal is DECIMAL
+      // in DuckDB and the index/fraction arithmetic silently diverges
+      // from Spark's double path (masked here only when quantile ranks
+      // land inside duplicate-value runs).
       val aggs = ps.map { case (pp, p) =>
-        s"""  max(CASE WHEN rn = CAST(floor($p * (n - 1)) AS BIGINT) + 1 THEN v END) AS p${pp}_lo,
-           |  max(CASE WHEN rn = CAST(ceil($p * (n - 1)) AS BIGINT) + 1 THEN v END) AS p${pp}_hi,
-           |  max($p * (n - 1) - floor($p * (n - 1))) AS f$pp""".stripMargin
+        val i = s"CAST($p AS DOUBLE) * (n - 1)"
+        s"""  max(CASE WHEN rn = CAST(floor($i) AS BIGINT) + 1 THEN v END) AS p${pp}_lo,
+           |  max(CASE WHEN rn = CAST(ceil($i) AS BIGINT) + 1 THEN v END) AS p${pp}_hi,
+           |  max($i - floor($i)) AS f$pp""".stripMargin
       }.mkString(",\n")
       val outs = ps.map { case (pp, _) =>
         s"""  p${pp}_lo AS p${pp}_disc,
@@ -1523,20 +1538,52 @@ object BatchQueries {
          |$outs
          |FROM a ORDER BY l_returnflag""".stripMargin
     },
+    "q_winsorize" -> {
+      // CAST(p AS DOUBLE): a bare 0.05 literal is DECIMAL in DuckDB,
+      // and decimal×BIGINT index arithmetic is exact where Spark's
+      // double path is not — the interpolated bound then differs in
+      // the last ulps. Forcing DOUBLE makes both engines perform the
+      // identical IEEE sequence.
+      def cont(p: String, tag: String) = {
+        val i = s"CAST($p AS DOUBLE) * (n - 1)"
+        s"""max(CASE WHEN rn = CAST(floor($i) AS BIGINT) + 1 THEN v END) AS lo_$tag,
+           |  max(CASE WHEN rn = CAST(ceil($i) AS BIGINT) + 1 THEN v END) AS hi_$tag,
+           |  max($i - floor($i)) AS f_$tag""".stripMargin
+      }
+      s"""WITH r AS (SELECT event_id, event_type AS g, CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |rk AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+         |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM r),
+         |b AS (SELECT g,
+         |  ${cont("0.05", "l")},
+         |  ${cont("0.95", "h")}
+         |  FROM rk GROUP BY g),
+         |bb AS (SELECT g, lo_l + (hi_l - lo_l) * f_l AS plo,
+         |               lo_h + (hi_h - lo_h) * f_h AS phi FROM b)
+         |SELECT r.event_id, r.g AS event_type, r.v AS value,
+         |  least(greatest(r.v, plo), phi) AS winsorized,
+         |  (r.v < plo OR r.v > phi) AS clipped
+         |FROM r JOIN bb USING (g) ORDER BY r.event_id""".stripMargin
+    },
     "q_mad_outlier" -> {
       // p50_cont twice (value, then |v − med|), rank formulation —
       // same interpolation expression as the Spark side's hist path.
-      def p50(src: String, vcol: String, out: String) =
+      // CAST(0.5 AS DOUBLE): see q_winsorize's DECIMAL-literal note
+      // (0.5 happens to be exact in both types; cast anyway so the
+      // helper survives a different quantile).
+      def p50(src: String, vcol: String, out: String) = {
+        val i = "CAST(0.5 AS DOUBLE) * (n - 1)"
         s"""rk_$out AS (SELECT g, $vcol AS v,
            |  row_number() OVER (PARTITION BY g ORDER BY $vcol) AS rn,
            |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
            |  FROM $src),
            |agg_$out AS (SELECT g,
-           |  max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN v END) AS lo,
-           |  max(CASE WHEN rn = CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1 THEN v END) AS hi,
-           |  max(0.5 * (n - 1) - floor(0.5 * (n - 1))) AS f
+           |  max(CASE WHEN rn = CAST(floor($i) AS BIGINT) + 1 THEN v END) AS lo,
+           |  max(CASE WHEN rn = CAST(ceil($i) AS BIGINT) + 1 THEN v END) AS hi,
+           |  max($i - floor($i)) AS f
            |  FROM rk_$out GROUP BY g),
            |$out AS (SELECT g, lo + (hi - lo) * f AS $out FROM agg_$out)""".stripMargin
+      }
       s"""WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
          |  FROM events WHERE value IS NOT NULL),
          |${p50("r", "v", "med")},

@@ -190,6 +190,39 @@ object OracleGen {
        |ORDER BY symbol, ts""".stripMargin
   }
 
+  val qDrawdown: String =
+    s"""WITH $eventsBase,
+       |p AS (
+       |  SELECT *, max(close) OVER (PARTITION BY symbol ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+       |  FROM base
+       |),
+       |d AS (SELECT symbol, ts, (close - peak) / peak AS dd FROM p),
+       |m AS (SELECT *, min(dd) OVER (PARTITION BY symbol) AS mdd FROM d)
+       |SELECT symbol, min(dd) AS max_drawdown,
+       |  min(CASE WHEN dd = mdd THEN ts END) AS trough_ts,
+       |  CAST(sum(CASE WHEN dd < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_underwater,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM m GROUP BY symbol ORDER BY symbol""".stripMargin
+
+  val qTwap: String =
+    s"""WITH $eventsBase,
+       |t AS (
+       |  SELECT symbol, ts, close,
+       |    lead(ts) OVER (PARTITION BY symbol ORDER BY ts) - ts AS dt
+       |  FROM base
+       |),
+       |f AS (SELECT symbol,
+       |  CAST(round(close * 100.0) AS BIGINT) AS units, dt
+       |  FROM t WHERE dt IS NOT NULL)
+       |SELECT symbol,
+       |  CAST(sum(CAST(units * dt AS DECIMAL(38,0))) AS DOUBLE)
+       |    / (CAST(sum(dt) AS DOUBLE) * 100.0) AS twap,
+       |  CAST(sum(dt) AS BIGINT) AS span_us,
+       |  CAST(count(*) AS BIGINT) AS n_intervals
+       |FROM f GROUP BY symbol ORDER BY symbol""".stripMargin
+
   val qIndMa: String =
     s"""WITH $eventsBase
        |SELECT symbol, ts, close,

@@ -97,6 +97,22 @@ object SparkEntry {
         .select("symbol", "ts", "close", "stoch_k", "stoch_d")
         .orderBy("symbol", "ts")),
 
+    // Per-symbol maximum drawdown: running peak is comparison-only,
+    // the dip ratio one fixed expression — fully hash-gateable.
+    "q_drawdown" -> ((s, dir) =>
+      graft.operators.Finance.drawdownProfile(bars(s, dir), col("symbol"),
+          col("ts"), col("close"))
+        .withColumnRenamed("_sym", "symbol")
+        .orderBy("symbol")),
+
+    // Interval-weighted TWAP with decimal-exact accumulation — see
+    // Finance.twap's exactness contract.
+    "q_twap" -> ((s, dir) =>
+      graft.operators.Finance.twap(bars(s, dir), col("symbol"),
+          col("ts"), col("close"))
+        .withColumnRenamed("_sym", "symbol")
+        .orderBy("symbol")),
+
     // The stateful streaming engine run in batch mode — MUST match the
     // same oracle as q_ind_full (the flatMapGroupsWithState fold and
     // the window pipeline are FP-bit-equal by construction), which
@@ -202,6 +218,8 @@ object SparkEntry {
     "q_ind_full" -> OracleGen.qIndFull,
     "q_ind_bbands" -> OracleGen.qIndBbands,
     "q_ind_stoch" -> OracleGen.qIndStoch,
+    "q_drawdown" -> OracleGen.qDrawdown,
+    "q_twap" -> OracleGen.qTwap,
     "q_ind_stateful" -> OracleGen.qIndFull,
     "q_ind_scan" -> OracleGen.qIndFull,
     "q_dashboard_feed" -> OracleGen.qDashboardFeed,

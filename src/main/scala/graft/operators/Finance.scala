@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Price-series analytics beyond the reference's indicator stack
+  * (stock_analysis.py computes MA/RSI/MACD only): maximum drawdown and
+  * time-weighted average price — the two summary statistics a trading
+  * dashboard reports next to the indicator panel.
+  *
+  * Exactness: drawdown is running-max (comparison-only) plus one fixed
+  * arithmetic expression per row, so every output double is
+  * hash-gateable; TWAP weights each close by its holding interval in
+  * exact integer microseconds and accumulates the products in DECIMAL
+  * (order-free), so the one double division happens once at the end —
+  * the same decimal-accumulation contract as the q_agg_* oracles.
+  */
+object Finance {
+
+  /** Per-symbol drawdown profile: `max_drawdown` (most negative
+    * peak-relative dip, 0.0 for a monotone rise), `trough_ts` (earliest
+    * order key attaining it), `n_underwater` (rows strictly below the
+    * running peak), `n` rows.
+    *
+    * One window pass (running max + full-partition min reuse the same
+    * symbol exchange/sort) then a hash aggregation.
+    */
+  def drawdownProfile(df: DataFrame, symbol: Column, ts: Column,
+      close: Column): DataFrame = {
+    val w = Window.partitionBy(symbol).orderBy(ts)
+    val peak = max(close).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val dd = (close - peak) / peak
+    df.select(symbol.as("_sym"), ts.as("_ts"), dd.as("_dd"))
+      .withColumn("_mdd", min(col("_dd")).over(
+        Window.partitionBy(col("_sym"))))
+      .groupBy(col("_sym"))
+      .agg(
+        min(col("_dd")).as("max_drawdown"),
+        min(when(col("_dd") === col("_mdd"), col("_ts"))).as("trough_ts"),
+        sum(when(col("_dd") < 0.0, lit(1L)).otherwise(lit(0L)))
+          .as("n_underwater"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Per-symbol time-weighted average price over the closed holding
+    * intervals: weight_i = ts_{i+1} − ts_i (exact integer µs; the last
+    * observation has no closing interval and is excluded — the
+    * standard left-closed TWAP convention).
+    *
+    * Exactness: `close` must be fixed-point with at most `scale`
+    * decimals (price feeds are; the events fixture is 2-decimal).
+    * Each price becomes an exact integer of 10^scale units, the
+    * weighted sum `units·dt` is pure BIGINT accumulated in
+    * DECIMAL(38,0) (order-free, overflow-free), and the single double
+    * division at the end is the only FP step — a DOUBLE→DECIMAL
+    * per-row rounding here would hash-diverge (engines disagree in the
+    * final ulp on messy products; measured on this very query).
+    */
+  def twap(df: DataFrame, symbol: Column, ts: Column,
+      close: Column, scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6, "scale must be in [0, 6]")
+    val factor = math.pow(10.0, scale)
+    val w = Window.partitionBy(col("_sym")).orderBy(col("_ts"))
+    df.select(symbol.as("_sym"), ts.as("_ts"), close.as("_close"))
+      .withColumn("_dt",
+        (lead(col("_ts"), 1).over(w) - col("_ts")).cast("long"))
+      .filter(col("_dt").isNotNull)
+      .withColumn("_units", round(col("_close") * lit(factor)).cast("long"))
+      .groupBy(col("_sym"))
+      .agg(
+        sum((col("_units") * col("_dt")).cast("decimal(38,0)"))
+          .as("_wsum"),
+        sum(col("_dt")).as("span_us"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("_sym"),
+        (col("_wsum").cast("double") /
+          (col("span_us").cast("double") * lit(factor))).as("twap"),
+        col("span_us"), col("n_intervals"))
+  }
+}

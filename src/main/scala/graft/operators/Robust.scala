@@ -30,6 +30,30 @@ object Robust {
     * |v − med| > k·MAD). NULL values are excluded (the aggregate
     * contract — and the rank-parity requirement, see Quantiles).
     */
+  /** Winsorization: clip `value` to its exact per-group continuous
+    * [`lo`, `hi`] quantiles (PERCENTILE_CONT interpolation, see
+    * Quantiles) and flag the clipped rows — the bounded-influence
+    * alternative to dropping outliers. All original columns pass
+    * through; NULL values are excluded. The bounds relation is one row
+    * per group, so the back-join broadcasts under AQE.
+    */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo < hi, "need 0 <= lo < hi <= 1")
+    val vd = value.cast("double")
+    val base = df.filter(vd.isNotNull)
+    val (pLo, pHi) =
+      (math.round(lo * 100).toInt, math.round(hi * 100).toInt)
+    val bounds = Quantiles.exactQuantilesHist(base, group, vd, Seq(lo, hi))
+      .select(col("_g"), col(s"p${pLo}_cont").as("_plo"),
+        col(s"p${pHi}_cont").as("_phi"))
+    base.join(bounds, group === col("_g"))
+      .withColumn("winsorized",
+        least(greatest(vd, col("_plo")), col("_phi")))
+      .withColumn("clipped", vd < col("_plo") || vd > col("_phi"))
+      .drop("_g", "_plo", "_phi")
+  }
+
   def madProfile(df: DataFrame, group: Column, value: Column,
       k: Double = 3.0): DataFrame = {
     val base = df.select(group.as("_g"), value.cast("double").as("_v"))

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Finance
+
+/** Hand-computed goldens for drawdown and TWAP. */
+class FinanceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def series(rows: Seq[(Long, Double)], symbol: String = "A") =
+    rows.map { case (t, c) => (symbol, t, c) }.toDF("symbol", "ts", "close")
+
+  test("drawdown: peak tracking, trough, underwater count") {
+    // peaks: 10,12,12,12,15,15; dd: 0, 0, -2/12, -4/12, 0, -3/15
+    val s = series(Seq(0L -> 10.0, 1L -> 12.0, 2L -> 10.0, 3L -> 8.0,
+      4L -> 15.0, 5L -> 12.0))
+    val out = Finance.drawdownProfile(s, col("symbol"), col("ts"),
+        col("close"))
+      .select("max_drawdown", "trough_ts", "n_underwater", "n")
+      .as[(Double, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(((8.0 - 12.0) / 12.0, 3L, 3L, 6L)))
+  }
+
+  test("drawdown: monotone rise has zero drawdown, trough at first row") {
+    val s = series((0L to 4L).map(i => i -> (10.0 + i)))
+    val out = Finance.drawdownProfile(s, col("symbol"), col("ts"),
+        col("close"))
+      .select("max_drawdown", "trough_ts", "n_underwater")
+      .as[(Double, Long, Long)].collect().toSeq
+    assert(out === Seq((0.0, 0L, 0L)))
+  }
+
+  test("drawdown: trough_ts is the EARLIEST row attaining the minimum") {
+    // two equal troughs at ts 2 and 4
+    val s = series(Seq(0L -> 10.0, 1L -> 8.0, 2L -> 5.0, 3L -> 9.0,
+      4L -> 5.0))
+    val out = Finance.drawdownProfile(s, col("symbol"), col("ts"),
+        col("close"))
+      .select("trough_ts").as[Long].collect().toSeq
+    assert(out === Seq(2L))
+  }
+
+  test("twap: interval weighting, last row excluded, exact value") {
+    // intervals: [0,10) close 2.00, [10,40) close 4.00 → units 200, 400
+    // twap = (200*10 + 400*30) / (40 * 100) = 14000/4000 = 3.5
+    val s = series(Seq(0L -> 2.0, 10L -> 4.0, 40L -> 99.0))
+    val out = Finance.twap(s, col("symbol"), col("ts"), col("close"))
+      .select("twap", "span_us", "n_intervals")
+      .as[(Double, Long, Long)].collect().toSeq
+    assert(out === Seq((3.5, 40L, 2L)))
+  }
+
+  test("twap: a single observation yields no intervals (empty output)") {
+    val s = series(Seq(0L -> 5.0))
+    assert(Finance.twap(s, col("symbol"), col("ts"), col("close"))
+      .count() === 0L)
+  }
+
+  test("twap equals plain mean when intervals are equal") {
+    val s = series(Seq(0L -> 1.11, 10L -> 2.22, 20L -> 3.33, 30L -> 7.0))
+    val out = Finance.twap(s, col("symbol"), col("ts"), col("close"))
+      .select("twap").as[Double].collect().head
+    assert(out === (111.0 + 222.0 + 333.0) / 300.0)
+  }
+
+  test("symbols stay independent") {
+    val two = series(Seq(0L -> 10.0, 1L -> 5.0), "A")
+      .union(series(Seq(0L -> 10.0, 1L -> 20.0), "B"))
+    val out = Finance.drawdownProfile(two, col("symbol"), col("ts"),
+        col("close"))
+      .select("_sym", "max_drawdown")
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(("A", -0.5), ("B", 0.0)))
+  }
+}

@@ -59,6 +59,30 @@ class RobustSpec extends AnyFunSuite {
     assert(out === Seq((0.0, 1L)))
   }
 
+  test("winsorize clips to the exact interpolated bounds and flags") {
+    val xs = (1 to 100).map(_.toDouble)
+    val df = xs.map(("g", _)).toDF("g", "v")
+    val out = Robust.winsorize(df, col("g"), col("v"), 0.05, 0.95)
+      .select(col("v"), col("winsorized"), col("clipped"))
+      .as[(Double, Double, Boolean)].collect().sortBy(_._1).toSeq
+    // i_lo = 0.05*99 = 4.95 → lo=5,hi=6,f=.95 → 5.95; i_hi = 94.05 → 95.05
+    out.foreach { case (v, wv, cl) =>
+      val expect = math.min(math.max(v, 5.95), 95.05)
+      assert(math.abs(wv - expect) < 1e-12, s"winsorized($v)")
+      assert(cl === (v < 5.95 || v > 95.05), s"clipped($v)")
+    }
+    assert(out.count(_._3) === 10) // 1..5 and 96..100
+  }
+
+  test("winsorize passes original columns through and drops nulls") {
+    val df = Seq((1L, "g", Some(1.0)), (2L, "g", None), (3L, "g", Some(9.0)),
+      (4L, "g", Some(5.0))).toDF("id", "g", "v")
+    val out = Robust.winsorize(df, col("g"), col("v"), 0.25, 0.75)
+    assert(out.columns.toSeq ===
+      Seq("id", "g", "v", "winsorized", "clipped"))
+    assert(out.count() === 3)
+  }
+
   test("random groups match brute force") {
     val rnd = new scala.util.Random(7)
     val data = (0 until 500).map(i =>
