@@ -28,10 +28,16 @@ object Finance {
     */
   def drawdownProfile(df: DataFrame, symbol: Column, ts: Column,
       close: Column): DataFrame = {
-    val w = Window.partitionBy(symbol).orderBy(ts)
-    val peak = max(close).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    val dd = (close - peak) / peak
-    df.select(symbol.as("_sym"), ts.as("_ts"), dd.as("_dd"))
+    // Rename FIRST, then window over the renamed attributes: windowing
+    // over the originals and projecting after costs a second hash
+    // exchange (the alias defeats the partitioning match), and an
+    // unbound `(close − peak) / peak` evaluates the peak window twice.
+    val w = Window.partitionBy(col("_sym")).orderBy(col("_ts"))
+    df.select(symbol.as("_sym"), ts.as("_ts"), close.as("_close"))
+      .withColumn("_peak", max(col("_close"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_dd",
+        (col("_close") - col("_peak")) / col("_peak"))
       .withColumn("_mdd", min(col("_dd")).over(
         Window.partitionBy(col("_sym"))))
       .groupBy(col("_sym"))
