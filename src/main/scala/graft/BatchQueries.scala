@@ -915,6 +915,19 @@ object BatchQueries {
         .withColumnRenamed("_g", "l_returnflag")
         .orderBy("l_returnflag")),
 
+    // Exact triangle counting + clustering coefficient over the
+    // support-thresholded co-purchase graph (parts adjacent when they
+    // repeatedly share an order), via degree-oriented wedge closing —
+    // the √m-bounded formulation that survives power-law graphs (see
+    // operators/Triangles). The oracle recounts with the naive
+    // ordered three-way self-join.
+    "q_triangles" -> ((s, d) =>
+      graft.operators.Triangles.nodeProfile(
+          graft.operators.Triangles.coPurchaseEdges(
+            Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+            minSupport = 2))
+        .orderBy("node")),
+
     // Winsorization at the exact per-group [p05, p95] continuous
     // quantiles: bounded-influence clipping with a clipped flag —
     // the feature-scaling companion to q_mad_outlier's row gate.
@@ -1538,6 +1551,28 @@ object BatchQueries {
          |$outs
          |FROM a ORDER BY l_returnflag""".stripMargin
     },
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT l.p AS a, r.p AS b
+        |      FROM li l JOIN li r ON l.o = r.o AND l.p < r.p
+        |      GROUP BY l.p, r.p HAVING count(*) >= 2),
+        |d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+        |  SELECT x AS node FROM t UNION ALL SELECT y FROM t
+        |  UNION ALL SELECT z FROM t) GROUP BY node)
+        |SELECT d.node, d.deg,
+        |  COALESCE(tc.t, 0) AS triangles,
+        |  CASE WHEN d.deg >= 2
+        |       THEN CAST(COALESCE(tc.t, 0) * 2 AS DOUBLE)
+        |            / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+        |       ELSE 0.0 END AS clustering
+        |FROM d LEFT JOIN tc USING (node) ORDER BY node""".stripMargin,
     "q_winsorize" -> {
       // CAST(p AS DOUBLE): a bare 0.05 literal is DECIMAL in DuckDB,
       // and decimal×BIGINT index arithmetic is exact where Spark's

@@ -186,6 +186,43 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(600))
   }
 
+  test("drawdown shuffles ONCE on symbol (peak + min windows + agg share it)") {
+    val p = plan("q_drawdown")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected 1 symbol shuffle, got $hashExchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("MAD profile broadcasts every per-group median relation") {
+    val p = plan("q_mad_outlier")
+    // the deviation subtree is planned twice (feeding the MAD quantile
+    // and the final roll-up), so ≥2 broadcasts and zero shuffle joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(value)"),
+      "null filter must reach the scan")
+  }
+
+  test("winsorize broadcasts the bounds relation back onto the rows") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bollinger/stochastic share one symbol shuffle like the MA pipeline") {
+    Seq("q_ind_bbands", "q_ind_stoch").foreach { q =>
+      val p = plan(q)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashExchanges === 1, s"$q: expected 1 shuffle, got $hashExchanges")
+    }
+  }
+
+  test("triangle counting is all equi-joins (no nested-loop wedge blowup)") {
+    val p = plan("q_triangles")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
   test("sketch/vector expressions emit real codegen (no eval-island fallback)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.WholeStageCodegenExec
