@@ -223,6 +223,25 @@ object OracleGen {
        |  CAST(count(*) AS BIGINT) AS n_intervals
        |FROM f GROUP BY symbol ORDER BY symbol""".stripMargin
 
+  val qSeasonal: String =
+    s"""WITH $eventsBase,
+       |u AS (SELECT symbol, ts,
+       |  CAST(round(close * 100.0) AS BIGINT) AS units FROM base),
+       |d AS (SELECT symbol, ((ts // 86400000000) + 3) % 7 AS dow, units
+       |      FROM u),
+       |g AS (SELECT symbol, dow, CAST(count(*) AS BIGINT) AS n,
+       |      CAST(sum(units) AS BIGINT) AS du
+       |      FROM d GROUP BY symbol, dow),
+       |w AS (SELECT *,
+       |      CAST(sum(du) OVER (PARTITION BY symbol) AS BIGINT) AS tot_u,
+       |      CAST(sum(n) OVER (PARTITION BY symbol) AS BIGINT) AS tot_n
+       |      FROM g)
+       |SELECT symbol, dow, n,
+       |  CAST(du AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS dow_mean,
+       |  CAST(du AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+       |    - CAST(tot_u AS DOUBLE) / (CAST(tot_n AS DOUBLE) * 100.0) AS dev
+       |FROM w ORDER BY symbol, dow""".stripMargin
+
   val qIndMa: String =
     s"""WITH $eventsBase
        |SELECT symbol, ts, close,

@@ -113,6 +113,14 @@ object SparkEntry {
         .withColumnRenamed("_sym", "symbol")
         .orderBy("symbol")),
 
+    // Day-of-week seasonality profile — pure integer calendar
+    // arithmetic + fixed-point means, see Finance.seasonalProfile.
+    "q_seasonal" -> ((s, dir) =>
+      graft.operators.Finance.seasonalProfile(bars(s, dir), col("symbol"),
+          col("ts"), col("close"))
+        .withColumnRenamed("_sym", "symbol")
+        .orderBy("symbol", "dow")),
+
     // The stateful streaming engine run in batch mode — MUST match the
     // same oracle as q_ind_full (the flatMapGroupsWithState fold and
     // the window pipeline are FP-bit-equal by construction), which
@@ -220,6 +228,7 @@ object SparkEntry {
     "q_ind_stoch" -> OracleGen.qIndStoch,
     "q_drawdown" -> OracleGen.qDrawdown,
     "q_twap" -> OracleGen.qTwap,
+    "q_seasonal" -> OracleGen.qSeasonal,
     "q_ind_stateful" -> OracleGen.qIndFull,
     "q_ind_scan" -> OracleGen.qIndFull,
     "q_dashboard_feed" -> OracleGen.qDashboardFeed,

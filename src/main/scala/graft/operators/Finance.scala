@@ -49,6 +49,42 @@ object Finance {
         count(lit(1)).as("n"))
   }
 
+  /** Per-(symbol, day-of-week) seasonality profile: observation count,
+    * day-of-week mean, and the deviation of that mean from the
+    * symbol's overall mean — the classic calendar-effect feature
+    * (plus a leakage-free seasonal baseline for anomaly gates).
+    *
+    * Exactness: day-of-week comes from pure epoch-µs integer
+    * arithmetic (`(epoch_day + 3) % 7`, 0 = Monday) — no timestamp
+    * conversion, so no timezone/calendar drift between engines — and
+    * means come from exact fixed-point unit sums (same `scale`
+    * contract as [[twap]]); the only FP steps are the two final
+    * divisions and one subtraction, all fixed expressions.
+    *
+    * One hash aggregation on (symbol, dow) plus a 7-row-per-symbol
+    * window for the overall mean — the window input is already tiny.
+    */
+  def seasonalProfile(df: DataFrame, symbol: Column, tsUs: Column,
+      value: Column, scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6, "scale must be in [0, 6]")
+    val factor = math.pow(10.0, scale)
+    val wSym = Window.partitionBy(col("_sym"))
+    df.select(symbol.as("_sym"), tsUs.as("_tsu"),
+        round(value.cast("double") * lit(factor)).cast("long").as("_units"))
+      .withColumn("dow", expr("((_tsu DIV 86400000000) + 3) % 7"))
+      .groupBy(col("_sym"), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("_units")).as("_du"))
+      .withColumn("_tot_u", sum(col("_du")).over(wSym))
+      .withColumn("_tot_n", sum(col("n")).over(wSym))
+      .select(col("_sym"), col("dow"), col("n"),
+        (col("_du").cast("double") /
+          (col("n").cast("double") * lit(factor))).as("dow_mean"),
+        (col("_du").cast("double") /
+          (col("n").cast("double") * lit(factor)) -
+         col("_tot_u").cast("double") /
+          (col("_tot_n").cast("double") * lit(factor))).as("dev"))
+  }
+
   /** Per-symbol time-weighted average price over the closed holding
     * intervals: weight_i = ts_{i+1} − ts_i (exact integer µs; the last
     * observation has no closing interval and is excluded — the

@@ -66,6 +66,24 @@ class FinanceSpec extends AnyFunSuite {
     assert(out === (111.0 + 222.0 + 333.0) / 300.0)
   }
 
+  test("seasonal profile: integer dow, exact means, zero-sum deviations") {
+    val us = 86400000000L // one day in µs
+    // epoch day 0 = Thu; day 4 = Mon → dow (4+3)%7 = 0. Two Mondays
+    // (days 4, 11), one Tuesday (day 5).
+    val s = series(Seq(4 * us -> 10.0, 11 * us -> 20.0, 5 * us -> 40.0))
+    val out = graft.operators.Finance.seasonalProfile(s, col("symbol"),
+        col("ts"), col("close"))
+      .select(col("dow"), col("n"), col("dow_mean"), col("dev"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val overall = (1000L + 2000L + 4000L).toDouble / (3.0 * 100.0)
+    assert(out === Seq(
+      (0L, 2L, 15.0, 15.0 - overall),
+      (1L, 1L, 40.0, 40.0 - overall)))
+    // count-weighted deviations cancel
+    val wsum = out.map { case (_, n, _, dev) => n * dev }.sum
+    assert(math.abs(wsum) < 1e-9)
+  }
+
   test("symbols stay independent") {
     val two = series(Seq(0L -> 10.0, 1L -> 5.0), "A")
       .union(series(Seq(0L -> 10.0, 1L -> 20.0), "B"))
