@@ -841,6 +841,31 @@ object BatchQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Group-wise OLS simple regression (slope/intercept/R²) from the
+    // same exact DECIMAL power sums as q_corr_group — the per-segment
+    // trend-fit a feature pipeline derives at scale; one aggregation,
+    // one fixed double expression tree mirrored by the oracle.
+    "q_ols_group" -> ((s, d) => {
+      val x = col("l_quantity")
+      val y = col("l_discount")
+      def dsum(c: org.apache.spark.sql.Column, n: String) =
+        sum(c.cast("decimal(38,10)")).cast("double").as(n)
+      val covN = col("n") * col("sxy") - col("sx") * col("sy")
+      val varN = col("n") * col("sxx") - col("sx") * col("sx")
+      val varYN = col("n") * col("syy") - col("sy") * col("sy")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(x, "sx"), dsum(y, "sy"),
+          dsum(x * y, "sxy"), dsum(x * x, "sxx"), dsum(y * y, "syy"))
+        .select(col("l_returnflag"),
+          (covN / varN).as("slope"),
+          ((col("sy") - covN / varN * col("sx")) / col("n"))
+            .as("intercept"),
+          (covN * covN / (varN * varYN)).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact higher central moments per group (variance/skewness/excess
     // kurtosis) — the distribution-shape profile of a column at scale.
     // Same DECIMAL(38,10) power-sum trick as q_corr_group: the four
@@ -1480,6 +1505,23 @@ object BatchQueries {
         |  ((sxy - sx * sy / n) / n) AS cov_pop,
         |  ((sxy - sx * sy / n) /
         |   (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))) AS corr
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q_ols_group" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS slope,
+        |  ((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+        |    AS intercept,
+        |  (((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |   ((n * sxx - sx * sx) * (n * syy - sy * sy))) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
     "q_moments" ->
       """WITH a AS (

@@ -438,6 +438,29 @@ object LlmQueries {
             .as("q_vec_str"))
         .orderBy("vec_id")),
 
+    // Per-label embedding centroids by exact element-wise integer
+    // sums: posexplode → (label, pos) aggregation — the distributed,
+    // order-independent form of the centroid build every IVF/k-means
+    // index needs (the in-operator IVF build collects O(√n) metadata;
+    // this is the full-relation path, map-side combinable, no vector
+    // ever held whole on one node). Components are quantized to 1e-10
+    // units via floor(x·1e10 + 0.5) — explicit double rounding, the
+    // BinaryEmbed pattern — because a DOUBLE→DECIMAL cast breaks
+    // half-way ties differently across engines (measured here: one
+    // element, one decimal ulp).
+    "q_embed_centroid" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .groupBy(col("label"), (col("pos0") + lit(1)).cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast("double") * lit(1e10) + lit(0.5))
+            .cast("long")).as("su"))
+        .select(col("label"), col("pos"), col("n"),
+          (col("su").cast("double") / (col("n").cast("double") * lit(1e10)))
+            .as("centroid"))
+        .orderBy("label", "pos")),
+
     // IVF variant (the other scale path): deterministic k-means coarse
     // quantizer, nprobe cluster probing, exact rerank. Approximate →
     // rows-only; SimilaritySpec pins planted recall.
@@ -950,6 +973,17 @@ object LlmQueries {
         |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
         |  FROM s)
         |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "q_embed_centroid" ->
+      """WITH t AS (SELECT label,
+        |  CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |  unnest(embedding) AS x FROM embeddings),
+        |a AS (SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e10 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS su
+        |  FROM t GROUP BY label, pos)
+        |SELECT label, pos, n,
+        |  CAST(su AS DOUBLE) / (CAST(n AS DOUBLE) * 1e10) AS centroid
+        |FROM a ORDER BY label, pos""".stripMargin,
     "q_unigram_lm" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(string_split_regex(lower(text), '\s+')) AS term
