@@ -953,6 +953,34 @@ object BatchQueries {
             minSupport = 2))
         .orderBy("node")),
 
+    // Bounded-round k-core peel of the co-purchase graph: 4 rounds of
+    // deleting degree-<3 nodes, emitting the surviving degree table —
+    // the dense-core extractor (see operators/KCore for why a FIXED
+    // round count is what makes iterative deletion hash-gateable).
+    "q_kcore" -> ((s, d) =>
+      graft.operators.KCore.peel(
+          graft.operators.Triangles.coPurchaseEdges(
+            Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+            minSupport = 2),
+          k = 3, rounds = 4)
+        .orderBy("node")),
+
+    // Blocked fuzzy (Levenshtein) self-join on part names: equi-join
+    // blocking on (brand, size-decile) through the salted BucketPairs
+    // cells, then one codegen'd edit-distance verify per candidate —
+    // the record-linkage primitive (see operators/FuzzyJoin for the
+    // blocking-recall contract). The size DIV 10 bucket keeps blocks
+    // populated at every fixture scale (brand×exact-size blocks are
+    // singletons at sf0.001) while holding the candidate count ~25×
+    // below brand-only blocking.
+    "q_fuzzy_join" -> ((s, d) =>
+      graft.operators.FuzzyJoin.selfJoin(
+          Tables.part(s, d), col("p_partkey"), col("p_name"),
+          Seq("brand" -> col("p_brand"),
+            "szb" -> expr("p_size DIV 10")),
+          maxDist = 4)
+        .orderBy("id_a", "id_b")),
+
     // Winsorization at the exact per-group [p05, p95] continuous
     // quantiles: bounded-influence clipping with a clipped flag —
     // the feature-scaling companion to q_mad_outlier's row gate.
@@ -972,6 +1000,20 @@ object BatchQueries {
           events(s, d), col("event_type"), col("value"), k = 3.0)
         .withColumnRenamed("_g", "event_type")
         .orderBy("event_type")),
+
+    // Rolling robust anomaly band per user series: trailing-15-row
+    // discrete median + discrete MAD and the |v − med| > 3·MAD flag —
+    // the fat-tail-safe rolling outlier detector (see
+    // operators/Robust.rollingRobust for the ranked-element contract
+    // that makes a rolling median hash-gateable at all).
+    "q_rolling_robust" -> ((s, d) =>
+      graft.operators.Robust.rollingRobust(
+          events(s, d).select(col("user_id"),
+            expr("ts DIV 1000").as("ts"), col("value")),
+          col("user_id"), col("ts"), col("value"), frame = 15, k = 3.0)
+        .select(col("user_id"), col("ts"), col("value"),
+          col("roll_med"), col("roll_mad"), col("is_anomaly"))
+        .orderBy("user_id", "ts")),
 
     // Relational MERGE/upsert (SCD-1 CDC apply): changes = max order
     // price per customer, base = customers outside one residue class
@@ -1615,6 +1657,42 @@ object BatchQueries {
         |            / CAST(d.deg * (d.deg - 1) AS DOUBLE)
         |       ELSE 0.0 END AS clustering
         |FROM d LEFT JOIN tc USING (node) ORDER BY node""".stripMargin,
+    "q_kcore" -> {
+      // Unrolled 4-round peel mirroring KCore.peel's loop exactly;
+      // MATERIALIZED pins each round's edge set (the default inlining
+      // re-derives e0 once per downstream reference — quadratic).
+      val rounds = 4
+      val k = 3
+      val head =
+        """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+          |    l_partkey AS p FROM lineitem),
+          |e0 AS MATERIALIZED (SELECT l.p AS a, r.p AS b
+          |  FROM li l JOIN li r ON l.o = r.o AND l.p < r.p
+          |  GROUP BY l.p, r.p HAVING count(*) >= 2)""".stripMargin
+      val peels = (0 until rounds).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+           |  SELECT a AS node FROM e$r UNION ALL SELECT b FROM e$r)
+           |  GROUP BY node),
+           |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $k),
+           |e${r + 1} AS MATERIALIZED (SELECT a, b FROM e$r
+           |  WHERE a IN (SELECT node FROM k$r)
+           |  AND b IN (SELECT node FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$peels
+         |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         |GROUP BY node ORDER BY node""".stripMargin
+    },
+    "q_fuzzy_join" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size // 10 = b.p_size // 10
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_winsorize" -> {
       // CAST(p AS DOUBLE): a bare 0.05 literal is DECIMAL in DuckDB,
       // and decimal×BIGINT index arithmetic is exact where Spark's
@@ -1674,6 +1752,29 @@ object BatchQueries {
          |FROM a JOIN mad ON a.g = mad.g
          |GROUP BY a.g ORDER BY event_type""".stripMargin
     },
+    "q_rolling_robust" ->
+      // Discrete (ranked-element) rolling median/MAD: the frame list is
+      // materialized per row with list() — membership matches Spark's
+      // collect_list because ts is unique per user and NULL values are
+      // filtered on both sides (list() keeps NULLs, collect_list drops
+      // them). Rank ⌈n/2⌉ is element selection, no interpolation.
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts,
+        |    CAST(value AS DOUBLE) AS value FROM events
+        |  WHERE value IS NOT NULL),
+        |f AS (SELECT user_id, ts, value,
+        |  list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS fr
+        |  FROM e),
+        |m AS (SELECT user_id, ts, value, fr,
+        |  fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS roll_med FROM f),
+        |d AS (SELECT user_id, ts, value, roll_med,
+        |  list_sort(list_transform(fr, x -> abs(x - roll_med))) AS dfr
+        |  FROM m)
+        |SELECT user_id, ts, value, roll_med,
+        |  dfr[CAST(ceil(len(dfr) / 2.0) AS INT)] AS roll_mad,
+        |  abs(value - roll_med)
+        |    > 3.0 * dfr[CAST(ceil(len(dfr) / 2.0) AS INT)] AS is_anomaly
+        |FROM d ORDER BY user_id, ts""".stripMargin,
     "q_upsert" ->
       """WITH base AS (SELECT * FROM customer WHERE c_custkey % 7 <> 3),
         |ch AS (SELECT o_custkey AS c_custkey, max(o_totalprice) AS new_bal

@@ -54,6 +54,51 @@ object Robust {
       .drop("_g", "_plo", "_phi")
   }
 
+  /** Rolling robust anomaly band: per-group ROWS-frame discrete median
+    * and discrete MAD of the trailing `frame` observations, plus the
+    * |v − med| > k·MAD anomaly flag — the denoising/outlier detector
+    * that survives level shifts and fat tails where a rolling
+    * mean/stddev band (Bollinger) is dragged by the outliers it is
+    * supposed to flag.
+    *
+    * "Discrete" median = the sorted frame's element at 1-based rank
+    * ⌈n/2⌉ (no interpolation): every output is an element of the frame
+    * or one abs-difference of two elements, so the whole band is
+    * hash-gateable — the oracle picks the identical ranked element from
+    * the identical frame (frame membership is deterministic because
+    * `order` is unique per group, the engine-ordering contract every
+    * window query here shares).
+    *
+    * Scale: one hash exchange on the group key, one sort, and a
+    * per-row frame copy of `frame` doubles — O(frame·log frame) per
+    * row with bounded memory, the same cost class as any rows-frame
+    * aggregate. The frame constant is the knob: it never grows with
+    * data size, so the plan at 100 TB is the q_ind_* plan. NULL values
+    * are excluded before framing (Spark's collect_list drops NULLs
+    * mid-frame while SQL `list()` keeps them — the filter makes both
+    * engines frame the same multiset).
+    */
+  def rollingRobust(df: DataFrame, group: Column, order: Column,
+      value: Column, frame: Int = 15, k: Double = 3.0): DataFrame = {
+    require(frame >= 1, "frame must be >= 1")
+    val vd = value.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(order)
+      .rowsBetween(-(frame - 1L), 0L)
+    def ranked(arr: Column): Column =
+      element_at(arr, ceil(size(arr) / lit(2.0)).cast("int"))
+    val sorted = array_sort(collect_list(vd).over(w))
+    df.filter(vd.isNotNull)
+      .withColumn("_fr", sorted)
+      .withColumn("roll_med", ranked(col("_fr")))
+      .withColumn("roll_mad",
+        ranked(array_sort(transform(col("_fr"),
+          x => abs(x - col("roll_med"))))))
+      .withColumn("is_anomaly",
+        abs(vd - col("roll_med")) > lit(k) * col("roll_mad"))
+      .drop("_fr")
+  }
+
   def madProfile(df: DataFrame, group: Column, value: Column,
       k: Double = 3.0): DataFrame = {
     val base = df.select(group.as("_g"), value.cast("double").as("_v"))

@@ -99,4 +99,57 @@ class RobustSpec extends AnyFunSuite {
     }
     assert(out === expect)
   }
+
+  // Discrete (ranked-element) statistic used by rollingRobust: the
+  // sorted sequence's 1-based element at ⌈n/2⌉ — no interpolation.
+  private def discMedian(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(math.ceil(s.size / 2.0).toInt - 1)
+  }
+
+  test("rollingRobust matches a brute-force trailing-frame scan") {
+    val rnd = new scala.util.Random(13)
+    val data = for { g <- Seq("a", "b"); t <- 0 until 60 }
+      yield (g, t.toLong, math.rint(rnd.nextGaussian() * 100) / 10.0)
+    val frame = 7
+    val out = Robust.rollingRobust(data.toDF("g", "t", "v"), col("g"),
+        col("t"), col("v"), frame = frame, k = 3.0)
+      .select(col("g"), col("t"), col("roll_med"), col("roll_mad"),
+        col("is_anomaly"))
+      .as[(String, Long, Double, Double, Boolean)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val expect = data.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val vs = rows.sortBy(_._2)
+      vs.indices.map { i =>
+        val fr = vs.slice(math.max(0, i - frame + 1), i + 1).map(_._3)
+        val med = discMedian(fr)
+        val mad = discMedian(fr.map(x => math.abs(x - med)))
+        (g, vs(i)._2, med, mad,
+          math.abs(vs(i)._3 - med) > 3.0 * mad)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(out === expect)
+  }
+
+  test("rollingRobust drops null values before framing") {
+    val df = Seq(("g", 1L, Some(1.0)), ("g", 2L, None), ("g", 3L, Some(3.0)))
+      .toDF("g", "t", "v")
+    val out = Robust.rollingRobust(df, col("g"), col("t"), col("v"),
+        frame = 2)
+      .select(col("t"), col("roll_med"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    // the null row vanishes; t=3's frame is {1.0, 3.0} → ranked ⌈2/2⌉=1st
+    assert(out === Seq((1L, 1.0), (3L, 1.0)))
+  }
+
+  test("rollingRobust frame=1 gives med=v, mad=0, no anomalies") {
+    val df = Seq(("g", 1L, 4.0), ("g", 2L, -9.0)).toDF("g", "t", "v")
+    val out = Robust.rollingRobust(df, col("g"), col("t"), col("v"),
+        frame = 1)
+      .select(col("v"), col("roll_med"), col("roll_mad"), col("is_anomaly"))
+      .as[(Double, Double, Double, Boolean)].collect().toSeq
+    out.foreach { case (v, med, mad, anom) =>
+      assert(med === v); assert(mad === 0.0); assert(!anom)
+    }
+  }
 }
