@@ -461,6 +461,29 @@ object LlmQueries {
             .as("centroid"))
         .orderBy("label", "pos")),
 
+    // Top principal direction of the embedding corpus by integer-exact
+    // power iteration — 6 rounds of the quantized v ← XᵀXv recursion
+    // with per-round integer renormalization (see
+    // operators/PowerIteration for the overflow contract and why the
+    // float version can't be hash-gated). One persisted narrow scan
+    // per round, dim partial sums shuffled, iterate v driver-resident
+    // O(dim) metadata.
+    "q_embed_pca" -> ((s, d) =>
+      graft.operators.PowerIteration.topComponent(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          iters = 6)
+        .orderBy("j")),
+
+    // Exact integer projection of every vector onto the learned
+    // direction — the ranking used to strip or inspect the dominant
+    // component ("all-but-the-top" embedding cleanup).
+    "q_embed_project" -> ((s, d) =>
+      graft.operators.PowerIteration.project(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          iters = 6)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
     // IVF variant (the other scale path): deterministic k-means coarse
     // quantizer, nprobe cluster probing, exact rerank. Approximate →
     // rows-only; SimilaritySpec pins planted recall.
@@ -554,6 +577,37 @@ object LlmQueries {
       |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
       |)""".stripMargin
+
+  /** Shared CTE chain for the power-iteration oracles: 6 unrolled
+    * rounds mirroring PowerIteration.iterate bit-for-bit. dim=64 is
+    * the fixture contract (the engine derives it from the data); the
+    * explicit sign handling exists because Spark `div` truncates
+    * toward zero while DuckDB `//` floors — they agree only on
+    * non-negative operands. MATERIALIZED pins each round (default
+    * inlining re-derives every earlier round per reference).
+    */
+  private val pcaCtes: String = {
+    val (dim, s1, s2, iters) = (64, 1000000L, 100000L, 6)
+    val head =
+      s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, j,
+         |    CAST(floor(CAST(embedding[j] AS DOUBLE) * $s1 + 0.5)
+         |      AS BIGINT) AS q
+         |  FROM embeddings, range(1, ${dim + 1}) t(j)
+         |  WHERE embedding IS NOT NULL),
+         |v0 AS (SELECT j, CAST($s2 AS BIGINT) AS v
+         |  FROM range(1, ${dim + 1}) t(j))""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT e.id, sum(e.q * v${r - 1}.v) AS d
+         |  FROM e JOIN v${r - 1} USING (j) GROUP BY e.id),
+         |w$r AS MATERIALIZED (SELECT e.j, sum(e.q * d$r.d) AS w
+         |  FROM e JOIN d$r USING (id) GROUP BY e.j),
+         |m$r AS (SELECT max(abs(w)) AS wm FROM w$r),
+         |v$r AS (SELECT j, CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END
+         |  * ((abs(w) * $s2) // wm) AS BIGINT) AS v
+         |  FROM w$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + rounds
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_text_stats" ->
@@ -984,6 +1038,13 @@ object LlmQueries {
         |SELECT label, pos, n,
         |  CAST(su AS DOUBLE) / (CAST(n AS DOUBLE) * 1e10) AS centroid
         |FROM a ORDER BY label, pos""".stripMargin,
+    "q_embed_pca" ->
+      s"""$pcaCtes
+         |SELECT j, v FROM v6 ORDER BY j""".stripMargin,
+    "q_embed_project" ->
+      s"""$pcaCtes
+         |SELECT e.id AS vec_id, CAST(sum(e.q * v6.v) AS BIGINT) AS score
+         |FROM e JOIN v6 USING (j) GROUP BY e.id ORDER BY vec_id""".stripMargin,
     "q_unigram_lm" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(string_split_regex(lower(text), '\s+')) AS term

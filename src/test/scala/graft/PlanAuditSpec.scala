@@ -223,6 +223,30 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("k-core peel: equi-joins only, per-round edges enter as persisted scans") {
+    val p = plan("q_kcore")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      p.take(800))
+    // without the RDD-persist bridge each round re-derives every prior
+    // round per consumer — the persisted scans are the guard
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      p.take(800))
+  }
+
+  test("fuzzy join: candidates come from hash-joinable block keys") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      p.take(800))
+    assert(p.contains("levenshtein"), "edit-distance verify must be in-plan")
+  }
+
+  test("rolling robust band shuffles ONCE on the group key") {
+    val p = plan("q_rolling_robust")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected 1 group shuffle, got $hashExchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("sketch/vector expressions emit real codegen (no eval-island fallback)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.WholeStageCodegenExec
