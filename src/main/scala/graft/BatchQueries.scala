@@ -601,6 +601,20 @@ object BatchQueries {
         .select(col("key").as("user_id"), col("bucket"), col("value"))
         .orderBy("user_id", "bucket")),
 
+    // Same grid, the other gap policy: linear interpolation between
+    // the surrounding observed buckets (one fixed-shape double
+    // expression per row — deterministic, hash-gateable despite the
+    // division; see Resample.gridInterp).
+    "q_resample_interp" -> ((s, d) =>
+      graft.operators.Resample.gridInterp(
+          events(s, d).select(col("user_id"), expr("ts DIV 1000").as("tsu"),
+            col("value")),
+          col("user_id"), col("tsu"), col("value"),
+          stepUs = 3600L * 1000000L)
+        .select(col("key").as("user_id"), col("bucket"), col("value"),
+          col("is_observed"))
+        .orderBy("user_id", "bucket")),
+
     // Quantile discretization (feature binning): per-group quartile
     // edges from the histogram quantiles, broadcast back; each row's
     // bin = 1 + (v > p25) + (v > p50) + (v > p75) — edge semantics
@@ -1390,6 +1404,40 @@ object BatchQueries {
         |    ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS value
         |FROM j ORDER BY user_id, bucket""".stripMargin,
+    // same CTE chain as ffill; the interpolation expression mirrors
+    // Resample.gridInterp's shape term-for-term (same association
+    // order → bit-equal doubles)
+    "q_resample_interp" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb,
+        |    value, epoch_us(ts) AS tsu FROM events),
+        |obs AS (SELECT user_id, hb, max_by(value, tsu) AS v
+        |        FROM ev GROUP BY user_id, hb),
+        |b AS (SELECT user_id, min(hb) AS mn, max(hb) AS mx
+        |      FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS hb FROM b),
+        |j AS (SELECT g.user_id, g.hb, o.v
+        |      FROM grid g LEFT JOIN obs o
+        |        ON g.user_id = o.user_id AND g.hb = o.hb),
+        |f AS (SELECT user_id, hb, v,
+        |  last_value(v IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN hb END IGNORE NULLS)
+        |    OVER wp AS pb,
+        |  first_value(v IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN hb END IGNORE NULLS)
+        |    OVER wn AS nb
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY hb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY hb
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, hb AS bucket,
+        |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |       ELSE CAST(pv AS DOUBLE)
+        |         + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+        |         * (CAST(hb - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+        |  END AS value,
+        |  v IS NOT NULL AS is_observed
+        |FROM f ORDER BY user_id, bucket""".stripMargin,
     // quartile edges via the same p*(n-1) disc rule as q_quantiles
     "q_quartile_assign" ->
       """WITH r AS (SELECT l_returnflag AS g,

@@ -41,6 +41,57 @@ object Resample {
     */
   def gridFill(df: DataFrame, key: Column, tsUs: Column, value: Column,
       stepUs: Long, maxBucketsPerKey: Long = 1L << 21): DataFrame = {
+    val w = Window.partitionBy(col("_k")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gridJoin(df, key, tsUs, value, stepUs, maxBucketsPerKey)
+      .withColumn("value", last(col("_obs"), ignoreNulls = true).over(w))
+      .select(col("_k").as("key"), col("_b").as("bucket"), col("value"))
+  }
+
+  /** Linear interpolation between the surrounding observed buckets —
+    * the other standard gap policy (ffill models step signals like
+    * "last traded price"; interpolation models continuously-varying
+    * ones like sensor readings). Output: key, bucket, value (the
+    * observation where one exists, otherwise
+    * pv + (nv − pv) · (b − pb)/(nb − pb) between the previous and
+    * next observed buckets), is_observed.
+    *
+    * Every output value is ONE fixed-shape double expression over the
+    * two neighboring observations — no accumulation — so results are
+    * bit-reproducible and oracle-gateable despite the floating-point
+    * division. Both window directions share the single key shuffle
+    * and sort (two frames over one WindowExec ordering), keeping
+    * gridFill's cost profile.
+    */
+  def gridInterp(df: DataFrame, key: Column, tsUs: Column, value: Column,
+      stepUs: Long, maxBucketsPerKey: Long = 1L << 21): DataFrame = {
+    val wp = Window.partitionBy(col("_k")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("_k")).orderBy(col("_b"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    gridJoin(df, key, tsUs, value, stepUs, maxBucketsPerKey)
+      .withColumn("_pv", last(col("_obs"), ignoreNulls = true).over(wp))
+      .withColumn("_pb", last(when(col("_obs").isNotNull, col("_b")),
+        ignoreNulls = true).over(wp))
+      .withColumn("_nv", first(col("_obs"), ignoreNulls = true).over(wn))
+      .withColumn("_nb", first(when(col("_obs").isNotNull, col("_b")),
+        ignoreNulls = true).over(wn))
+      .withColumn("value",
+        when(col("_obs").isNotNull, col("_obs").cast("double"))
+          .otherwise(col("_pv").cast("double") +
+            (col("_nv").cast("double") - col("_pv").cast("double")) *
+            ((col("_b") - col("_pb")).cast("double") /
+              (col("_nb") - col("_pb")).cast("double"))))
+      .withColumn("is_observed", col("_obs").isNotNull)
+      .select(col("_k").as("key"), col("_b").as("bucket"), col("value"),
+        col("is_observed"))
+  }
+
+  /** Shared grid construction: per-key bucketed observations left-joined
+    * onto the per-key [first, last] bucket sequence — (_k, _b, _obs).
+    */
+  private def gridJoin(df: DataFrame, key: Column, tsUs: Column,
+      value: Column, stepUs: Long, maxBucketsPerKey: Long): DataFrame = {
     require(stepUs >= 1, "step must be positive")
     require(maxBucketsPerKey >= 1, "maxBucketsPerKey must be positive")
     val ev = df.select(key.as("_k"), tsUs.as("_t"), value.as("_v"))
@@ -59,10 +110,6 @@ object Resample {
               lit(s" buckets > maxBucketsPerKey=$maxBucketsPerKey — "),
               lit("use a coarser step or filter the key"))))))
           .as("_b"))
-    val w = Window.partitionBy(col("_k")).orderBy(col("_b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(obs, Seq("_k", "_b"), "left")
-      .withColumn("value", last(col("_obs"), ignoreNulls = true).over(w))
-      .select(col("_k").as("key"), col("_b").as("bucket"), col("value"))
   }
 }
