@@ -995,6 +995,23 @@ object BatchQueries {
           maxDist = 4)
         .orderBy("id_a", "id_b")),
 
+    // Z-order layout profile: Morton-interleave the 12-bit
+    // range-reduced (l_partkey, l_suppkey) coordinates, group by the
+    // aligned 3-bit-pair key prefix ("the file") and emit per-bucket
+    // min/max of both dimensions — the relational proof that the
+    // clustered layout bounds every file's span in BOTH dimensions
+    // (< 2⁹ out of a 2¹² domain; what a parquet min-max pruner
+    // exploits — see operators/ZOrder and ZOrderSpec). The % 4096
+    // range reduction fixes the coordinate domain at every fixture
+    // scale; both engines' % agree on non-negative keys.
+    "q_zorder" -> ((s, d) =>
+      graft.operators.ZOrder.bucketProfile(
+          Tables.lineitem(s, d),
+          pmod(col("l_partkey"), lit(4096L)),
+          pmod(col("l_suppkey"), lit(4096L)),
+          bits = 12, prefixBits = 3)
+        .orderBy("bucket")),
+
     // Winsorization at the exact per-group [p05, p95] continuous
     // quantiles: bounded-influence clipping with a clipped flag —
     // the feature-scaling companion to q_mad_outlier's row gate.
@@ -1741,6 +1758,15 @@ object BatchQueries {
         |  AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 4
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_zorder" ->
+      s"""WITH c AS (SELECT l_partkey % 4096 AS x, l_suppkey % 4096 AS y
+         |  FROM lineitem),
+         |z AS (SELECT x, y,
+         |  ${graft.operators.ZOrder.zkey2Sql("x", "y", 12)} AS z FROM c)
+         |SELECT z >> 18 AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_winsorize" -> {
       // CAST(p AS DOUBLE): a bare 0.05 literal is DECIMAL in DuckDB,
       // and decimal×BIGINT index arithmetic is exact where Spark's
