@@ -23,11 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object BatchQueries {
 
-  /** Events with the nanos conf ensured at the entry boundary (the
-    * driver calls queries with its own session — see SparkEntry.bars).
+  /** Events with the UTC session timezone pinned at the entry boundary
+    * (the driver calls queries with its own session — see
+    * SparkEntry.bars; the loader's timestamp→ns-long conversion is
+    * only the identity instant under UTC).
     */
   private def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     Tables.events(s, d)
   }
 
@@ -979,6 +981,18 @@ object BatchQueries {
           k = 3, rounds = 4)
         .orderBy("node")),
 
+    // Community detection on the same co-purchase graph: 2 rounds of
+    // deterministic synchronous label propagation (smallest-label
+    // tie-break) — see operators/LabelProp for the BSP fixed-round
+    // contract.
+    "q_community" -> ((s, d) =>
+      graft.operators.LabelProp.propagate(
+          graft.operators.Triangles.coPurchaseEdges(
+            Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+            minSupport = 2),
+          rounds = 2)
+        .orderBy("node")),
+
     // Blocked fuzzy (Levenshtein) self-join on part names: equi-join
     // blocking on (brand, size-decile) through the salted BucketPairs
     // cells, then one codegen'd edit-distance verify per candidate —
@@ -1072,6 +1086,33 @@ object BatchQueries {
           size(regexp_extract_all(col("c_name"), lit("[0-9]{4,}"), lit(0)))
             .cast("long").as("n_hits"))
         .orderBy("c_custkey")),
+
+    // k-anonymity audit — the re-identification-risk companion to
+    // q_pii_redact (Sweeney, "k-Anonymity: A Model for Protecting
+    // Privacy", 2002): group by the quasi-identifier tuple
+    // (nation, segment, coarsened balance band) and flag equivalence
+    // classes smaller than k=5, whose members a linker could single
+    // out. One map-side-combinable aggregation; the band floor keeps
+    // the QI space coarse enough to be meaningful at any scale.
+    "q_kanon" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", col("n") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")),
+
+    // 2-D Pareto skyline over part: the cheapest-price-for-its-size
+    // frontier (minimize retail price, maximize size) via the
+    // sort + prefix-max collapse — see operators/Skyline for why this
+    // is NOT the O(n²) NOT-EXISTS self-join.
+    "q_skyline" -> ((s, d) =>
+      graft.operators.Skyline
+        .frontier2(Tables.part(s, d), col("p_retailprice"), col("p_size"))
+        .select(col("x").as("price"),
+          col("y").cast("long").as("best_size"))
+        .orderBy("price")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1749,6 +1790,34 @@ object BatchQueries {
          |  SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
          |GROUP BY node ORDER BY node""".stripMargin
     },
+    "q_community" -> {
+      // Unrolled 2-round synchronous LPA mirroring LabelProp.propagate:
+      // directed edge doubling, neighbor-label vote counts, and the
+      // identical (cnt DESC, label ASC) row_number tie-break per round.
+      val rounds = 2
+      val head =
+        """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+          |    l_partkey AS p FROM lineitem),
+          |eu AS MATERIALIZED (SELECT l.p AS a, r.p AS b
+          |  FROM li l JOIN li r ON l.o = r.o AND l.p < r.p
+          |  GROUP BY l.p, r.p HAVING count(*) >= 2),
+          |e AS MATERIALIZED (SELECT a, b FROM eu
+          |  UNION ALL SELECT b AS a, a AS b FROM eu),
+          |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label
+          |  FROM e)""".stripMargin
+      val steps = (0 until rounds).map { r =>
+        s"""v${r + 1} AS MATERIALIZED (SELECT e.a AS node, l.label,
+           |  count(*) AS cnt FROM e JOIN l$r l ON e.b = l.node
+           |  GROUP BY e.a, l.label),
+           |l${r + 1} AS MATERIALIZED (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER (PARTITION BY node
+           |    ORDER BY cnt DESC, label ASC) AS rn FROM v${r + 1})
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$steps
+         |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
+    },
     "q_fuzzy_join" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  a.p_name AS name_a, b.p_name AS name_b,
@@ -1864,5 +1933,23 @@ object BatchQueries {
         |  regexp_replace(c_name, '[0-9]{4,}', '[ID]', 'g') AS redacted,
         |  CAST(len(regexp_extract_all(c_name, '[0-9]{4,}')) AS BIGINT) AS n_hits
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_kanon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_skyline" ->
+      """WITH g AS (SELECT p_retailprice AS price, max(p_size) AS best_size
+        |           FROM part
+        |           WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        |           GROUP BY 1),
+        |w AS (SELECT price, best_size,
+        |  max(best_size) OVER (ORDER BY price
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+        |  FROM g)
+        |SELECT price, CAST(best_size AS BIGINT) AS best_size FROM w
+        |WHERE best IS NULL OR best_size > best
+        |ORDER BY price""".stripMargin,
   )
 }

@@ -200,6 +200,15 @@ object LlmQueries {
         .withColumnRenamed("_id", "doc_id")
         .orderBy("doc_id")),
 
+    // Order-2 refinement: conditional bigram surprisal — the
+    // KenLM-style filter signal that catches common words in
+    // uncommon ORDERS, where the unigram model is blind.
+    "q_bigram_lm" -> ((s, d) =>
+      graft.operators.TermStats
+        .bigramSurprisal(docs(s, d), col("doc_id"), col("text"))
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id")),
+
     // Gopher-style repetition gates: duplicate word / bigram fractions
     // and heaviest-gram counts per doc.
     "q_repetition" -> ((s, d) =>
@@ -1059,6 +1068,28 @@ object LlmQueries {
         |  FROM tf JOIN c USING (term) CROSS JOIN n)
         |SELECT doc_id,
         |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf * sbits) AS BIGINT) AS total_bits,
+        |  CAST(sum(tf * sbits) AS BIGINT) * 100
+        |    // CAST(sum(tf) AS BIGINT) AS avg_centibits
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bigram_lm" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |b AS (SELECT doc_id,
+        |  unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+        |  FROM w),
+        |tf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+        |       FROM b GROUP BY doc_id, bg),
+        |c AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cnt
+        |      FROM tf GROUP BY bg),
+        |p AS (SELECT split_part(bg, ' ', 1) AS pre,
+        |  CAST(sum(cnt) AS BIGINT) AS pcnt FROM c GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.tf,
+        |  CAST(length(bin(pcnt)) - length(bin(cnt)) AS BIGINT) AS sbits
+        |  FROM tf JOIN c USING (bg)
+        |  JOIN p ON split_part(tf.bg, ' ', 1) = p.pre)
+        |SELECT doc_id,
+        |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
         |  CAST(sum(tf * sbits) AS BIGINT) AS total_bits,
         |  CAST(sum(tf * sbits) AS BIGINT) * 100
         |    // CAST(sum(tf) AS BIGINT) AS avg_centibits

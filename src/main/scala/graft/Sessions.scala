@@ -12,8 +12,11 @@ import org.apache.spark.sql.SparkSession
   *    to executor count;
   *  - UTC session timezone (all reference date math is naive
   *    `yyyy-MM-dd`);
-  *  - `nanosAsLong` so the events fixture's TIMESTAMP(NANOS) column
-  *    reads as exact int64 nanoseconds (see [[Tables.events]]).
+  *  - `nanosAsLong` kept for fixture-schema robustness: some rounds
+  *    ship `events.ts` as TIMESTAMP(NANOS), which only reads (as exact
+  *    int64 nanoseconds) under this conf; current fixtures are
+  *    TIMESTAMP(MICROS), where the conf is a no-op and [[Tables.events]]
+  *    normalizes the timestamp back to the ns-long contract.
   */
 object Sessions {
   def local(cpus: String): SparkSession = {

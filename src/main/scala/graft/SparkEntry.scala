@@ -27,10 +27,11 @@ object SparkEntry {
     * integer match.
     */
   private[graft] def bars(s: SparkSession, dir: String): DataFrame = {
-    // The driver invokes entry/queries with ITS session, so the events
-    // nanos conf can't be assumed from the builder — ensure it here, at
-    // the entry boundary (not inside Tables loaders).
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The driver invokes entry/queries with ITS session, so the UTC
+    // session timezone (which makes the events loader's NTZ→LTZ cast
+    // the identity) can't be assumed from the builder — pin it here,
+    // at the entry boundary (not inside Tables loaders).
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     Tables.events(s, dir)
       .select(col("user_id").as("symbol"),
         expr("ts DIV 1000").as("ts"), col("value").as("close"))

@@ -27,18 +27,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is a parquet TIMESTAMP(NANOS) column, which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]) unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` is set, in which case it
-    * reads as an int64 of epoch-nanoseconds — exact, total-ordered, and
-    * reproducible in the DuckDB oracle as `epoch_ns(ts)`. Callers needing
-    * a real timestamp can `(ts / 1000).cast("timestamp")` (µs precision).
-    *
-    * The conf is REQUIRED and must be set at session construction (see
-    * `Sessions.configure` / `SparkEntry.bars`) — this loader deliberately
-    * does not mutate session state.
+  /** `events.ts` normalized to the engine-wide contract: an int64 of
+    * epoch-NANOSECONDS — exact, total-ordered, and reproducible in the
+    * DuckDB oracle as `epoch_us(ts) * 1000` / `epoch_us(ts)` after the
+    * downstream `DIV 1000`. The fixture has shipped both parquet
+    * physical types across rounds — TIMESTAMP(NANOS) (reads as int64
+    * under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * TIMESTAMP(MICROS) (reads as a timestamp) — so the loader
+    * dispatches on the resolved type instead of assuming one:
+    * timestamps convert via `unix_micros` (µs-exact, then ×1000; the
+    * NTZ→LTZ cast is the identity under the UTC session timezone the
+    * entry boundary pins), int64 passes through. Callers needing a
+    * real timestamp can `(ts / 1000).cast("timestamp")`.
     */
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

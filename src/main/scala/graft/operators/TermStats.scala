@@ -116,6 +116,44 @@ object TermStats {
       .withColumn("avg_centibits", expr("total_bits * 100 DIV n_tokens"))
   }
 
+  /** Integer-quantized bigram-LM conditional surprisal per document —
+    * the order-2 refinement of [[unigramSurprisal]]: each bigram
+    * (w, w') costs `bits(cnt_prefix(w)) − bits(cnt_bigram(w, w'))`
+    * quantized bits, i.e. −log2 of the corpus conditional frequency
+    * P(w'|w) = cnt(w,w')/Σ_v cnt(w,v), rounded to an integer via the
+    * same ⌊log2⌋+1 trick. A KenLM-style filter ranks by exactly this
+    * conditional (not marginal) cost: templated text with common
+    * words in UNCOMMON orders scores high where the unigram model is
+    * blind. Same quantization contract as the unigram variant — all
+    * BIGINT downstream, transcendental-free, oracle-exact.
+    *
+    * Scale shape: bigram counts and prefix counts are distributed
+    * relations joined on the gram / prefix-word key (vocab² is far
+    * beyond any broadcast); the prefix relation derives from the
+    * already-reduced bigram-count relation, so the token blow-up is
+    * absorbed by map-side combine exactly once. Documents with < 2
+    * words have no bigrams and are absent (mirrored by the oracle).
+    */
+  def bigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("_id"), words(text).as("_ws"))
+    val toks = base.select(col("_id"),
+      explode(bigrams(col("_ws"))).as("bg"))
+    val tf = toks.groupBy(col("_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("bg")).agg(sum(col("tf")).as("cnt"))
+    val pre = cnt.groupBy(substring_index(col("bg"), " ", 1).as("_pre"))
+      .agg(sum(col("cnt")).as("pcnt"))
+    tf.join(cnt, "bg")
+      .join(pre, substring_index(col("bg"), " ", 1) === col("_pre"))
+      .select(col("_id"), col("tf"),
+        (length(bin(col("pcnt"))) - length(bin(col("cnt"))))
+          .cast("long").as("_sbits"))
+      .groupBy(col("_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("_sbits")).as("total_bits"))
+      .withColumn("avg_centibits", expr("total_bits * 100 DIV n_bigrams"))
+  }
+
   /** Per-document counts / distinct counts / heaviest gram / duplicate
     * fraction for one gram order: explode → (doc, gram) partial
     * aggregation → per-doc roll-up. */
