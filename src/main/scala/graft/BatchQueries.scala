@@ -978,7 +978,10 @@ object BatchQueries {
           graft.operators.Triangles.coPurchaseEdges(
             Tables.lineitem(s, d), "l_orderkey", "l_partkey",
             minSupport = 2),
-          k = 3, rounds = 4)
+          // k=2 (the cycle core): the co-purchase graph thins as SF
+          // grows (fixed parts, spread orders), and k=3 peels sf0.1
+          // to empty — k=2 keeps a nonzero core at every test scale.
+          k = 2, rounds = 4)
         .orderBy("node")),
 
     // Community detection on the same co-purchase graph: 2 rounds of
@@ -1768,7 +1771,7 @@ object BatchQueries {
       // MATERIALIZED pins each round's edge set (the default inlining
       // re-derives e0 once per downstream reference — quadratic).
       val rounds = 4
-      val k = 3
+      val k = 2
       val head =
         """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
           |    l_partkey AS p FROM lineitem),
