@@ -1116,6 +1116,68 @@ object BatchQueries {
         .select(col("x").as("price"),
           col("y").cast("long").as("best_size"))
         .orderBy("price")),
+
+    // RFM segmentation — the classic customer-scoring warehouse query:
+    // per-customer recency/frequency/monetary roll-up (DECIMAL-exact
+    // money sum, order-free), then quintile scores via ntile with a
+    // custkey tie-break so every assignment is deterministic. The
+    // three global ntiles run over the REDUCED per-customer relation
+    // (|customers| rows, not |orders|); at extreme scale the scores
+    // come from broadcast histogram-quantile edges (Quantiles) instead
+    // of a global sort — same trade as Skyline's prefix-max note.
+    "q_rfm" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(unix_micros(col("o_orderdate").cast("timestamp")))
+            .as("last_us"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(38,10)")).cast("double")
+            .as("monetary"))
+      val wr = Window.orderBy(col("last_us").desc, col("o_custkey"))
+      val wf = Window.orderBy(col("freq").desc, col("o_custkey"))
+      val wm = Window.orderBy(col("monetary").desc, col("o_custkey"))
+      base
+        .withColumn("r_score", ntile(5).over(wr).cast("long"))
+        .withColumn("f_score", ntile(5).over(wf).cast("long"))
+        .withColumn("m_score", ntile(5).over(wm).cast("long"))
+        .withColumn("segment",
+          concat(col("r_score").cast("string"),
+            col("f_score").cast("string"),
+            col("m_score").cast("string")))
+        .orderBy("o_custkey")
+    }),
+
+    // First-order Markov transition counts over each user's event
+    // sequence — the path/flow analytics primitive (Sankey feeds,
+    // next-action models): lag within the per-user (ts, event_id)
+    // total order, then (prev, next) counts and the row-conditional
+    // probability in exact ppm integers. One key shuffle for the lag,
+    // two map-side-combinable aggregations.
+    "q_transition" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val cnt = ev.groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy("prev").agg(sum("cnt").as("tot"))
+      cnt.join(tot, "prev")
+        .select(col("prev"), col("next"), col("cnt"),
+          expr("cnt * 1000000L DIV tot").as("p_ppm"))
+        .orderBy("prev", "next")
+    }),
+
+    // Association rules on order baskets: the A-Priori pair step with
+    // exact integer confidence/lift — see operators/MarketBasket.
+    "q_basket_rules" -> ((s, d) =>
+      graft.operators.MarketBasket.pairRules(
+          Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"),
+          minSupport = 2)
+        .orderBy("a", "b")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1954,5 +2016,55 @@ object BatchQueries {
         |SELECT price, CAST(best_size AS BIGINT) AS best_size FROM w
         |WHERE best IS NULL OR best_size > best
         |ORDER BY price""".stripMargin,
+    "q_rfm" ->
+      """WITH b AS (SELECT o_custkey,
+        |    max(epoch_us(o_orderdate)) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+        |      AS monetary
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT o_custkey, last_us, freq, monetary,
+        |  CAST(ntile(5) OVER (ORDER BY last_us DESC, o_custkey)
+        |    AS BIGINT) AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey)
+        |    AS BIGINT) AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+        |    AS BIGINT) AS m_score
+        |  FROM b)
+        |SELECT o_custkey, last_us, freq, monetary,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+    "q_transition" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    event_type FROM events),
+        |lg AS (SELECT event_type AS next,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id) AS prev FROM ev),
+        |c AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM lg WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS tot
+        |      FROM c GROUP BY 1)
+        |SELECT c.prev, c.next, c.cnt,
+        |  c.cnt * 1000000 // t.tot AS p_ppm
+        |FROM c JOIN t USING (prev) ORDER BY prev, next""".stripMargin,
+    "q_basket_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nb FROM bi),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS supp
+        |       FROM bi GROUP BY 1),
+        |p AS (SELECT l.i AS a, r.i AS b,
+        |    CAST(count(*) AS BIGINT) AS supp_ab
+        |  FROM bi l JOIN bi r ON l.o = r.o AND l.i < r.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.a, p.b, p.supp_ab,
+        |  ia.supp AS supp_a, ib.supp AS supp_b,
+        |  p.supp_ab * 1000000 // ia.supp AS conf_ab_ppm,
+        |  p.supp_ab * 1000000 // ib.supp AS conf_ba_ppm,
+        |  p.supp_ab * nb * 1000000 // (ia.supp * ib.supp) AS lift_ppm
+        |FROM p JOIN ic ia ON p.a = ia.i JOIN ic ib ON p.b = ib.i
+        |CROSS JOIN n ORDER BY a, b""".stripMargin,
   )
 }
