@@ -53,6 +53,40 @@ object Packing {
       .drop("_pid", "_psv", "_local_before", "_off")
   }
 
+  /** Adds `out` = EXCLUSIVE prefix max of `value` in `orderCol` order
+    * (NULL for the globally first row) — the scan primitive behind
+    * [[Skyline]]'s frontier test, in the same two-phase shape as
+    * [[withGlobalCumsum]]: range-partition on the order key, local
+    * running max per partition, per-partition maxima rolled into
+    * broadcast offsets (the only single-task window runs over
+    * |partitions| rows). `orderCol` must be unique. `greatest` merges
+    * the partition offset with the local prefix (it skips NULLs, so
+    * partition-first and global-first rows fall out naturally).
+    */
+  def withGlobalPrefixMax(df: DataFrame, orderCol: Column, value: Column,
+      out: String): DataFrame = {
+    // No cast: max is type-preserving, so the scan works for any
+    // orderable value type (int sizes, double prices, timestamps) —
+    // unlike the cumsum, which needs the widening to long.
+    val ranged = org.apache.spark.sql.graft.Bridge.persistRows(
+      df.withColumn("_pmv", value)
+        .repartitionByRange(orderCol)
+        .withColumn("_pid", spark_partition_id()))
+    val wLocal = Window.partitionBy("_pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("_local_before",
+      max(col("_pmv")).over(wLocal))
+    val wOff = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("_pid")
+      .agg(max(col("_pmv")).as("_pmax"))
+      .withColumn("_off", max(col("_pmax")).over(wOff))
+      .select("_pid", "_off")
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(out, greatest(col("_off"), col("_local_before")))
+      .drop("_pid", "_pmv", "_local_before", "_off")
+  }
+
   /** Per-document sliding-window chunking (the retrieval-pipeline
     * chunker): overlapping token windows of `window` tokens every
     * `stride` tokens, last window clamped to the document end. A doc

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** 2-D Pareto skyline — the preference-query operator (Börzsönyi,
@@ -14,15 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * Plan: (1) per-x reduction `groupBy(x).agg(max(y))` — a map-side
   * combinable aggregation that shrinks n rows to |distinct x|;
-  * (2) a running max over the x-ordered reduced relation; a point is
-  * on the frontier iff its y strictly exceeds every smaller-x
-  * point's y. The window is a single ROWS frame over the REDUCED
-  * relation — |distinct x| rows, not n (for the part-price fixture
-  * ~30k at sf1 vs 200k rows). If distinct x itself were huge the
-  * running max becomes the two-phase partition-offset prefix scan
-  * [[Packing]] already implements; the single-task window here is a
-  * deliberate simplicity trade documented like Packing's, not an
-  * oversight.
+  * (2) the exclusive prefix max over the x-ordered reduced relation
+  * via [[Packing.withGlobalPrefixMax]] — the two-phase
+  * partition-offset scan, so even a huge distinct-x relation never
+  * funnels through one task (the only single-task window runs over
+  * |partitions| rows). A point is on the frontier iff its y strictly
+  * exceeds every smaller-x point's y.
   *
   * Output is the frontier POINT SET (x, best y at that x) — a pure
   * function of the input value multiset, so the whole result is
@@ -41,9 +37,7 @@ object Skyline {
   def frontier2(df: DataFrame, minDim: Column, maxDim: Column): DataFrame = {
     val g = df.filter(minDim.isNotNull && maxDim.isNotNull)
       .groupBy(minDim.as("x")).agg(max(maxDim).as("y"))
-    val w = Window.orderBy(col("x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("_best", max(col("y")).over(w))
+    Packing.withGlobalPrefixMax(g, col("x"), col("y"), "_best")
       .filter(col("_best").isNull || col("y") > col("_best"))
       .select(col("x"), col("y"))
   }
