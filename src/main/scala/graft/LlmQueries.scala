@@ -190,6 +190,18 @@ object LlmQueries {
           col("df"), col("term_rank"))
         .orderBy("doc_id", "term_rank")),
 
+    // BM25 top terms — the retrieval scorer TF-IDF approximates
+    // (saturating tf, doc-length normalization). Gate surface is the
+    // integer columns + rank, same contract as q_tfidf: the raw
+    // double score is engine-ulp-sensitive, the rank only flips if
+    // two scores collide within 1 ulp.
+    "q_bm25" -> ((s, d) =>
+      graft.operators.TermStats
+        .bm25TopTerms(docs(s, d), col("doc_id"), col("text"), 3)
+        .select(col("_id").as("doc_id"), col("term"), col("tf"),
+          col("df"), col("dl"), col("term_rank"))
+        .orderBy("doc_id", "term_rank")),
+
     // CCNet-style LM-quality signal: per-doc average unigram surprisal
     // against the corpus's own unigram model, integer-quantized
     // (bit-length log2) so the whole score is exact BIGINT arithmetic
@@ -1036,6 +1048,37 @@ object LlmQueries {
         |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
         |  FROM s)
         |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "q_bm25" -> {
+      // Interpolated k1+1 keeps the exact Scala double (round-trip
+      // printed); bare fractional literals are DECIMAL in DuckDB, so
+      // every constant is CAST to DOUBLE — the q_winsorize lesson.
+      val a = s"CAST(${1.2 + 1.0} AS DOUBLE)"
+      s"""WITH t AS (SELECT doc_id,
+         |  unnest(string_split_regex(lower(text), '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM t WHERE term <> '' GROUP BY doc_id, term),
+         |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |         FROM tf GROUP BY doc_id),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS td FROM dlen),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, dlen.dl,
+         |  ln((nn - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+         |      + CAST(1.0 AS DOUBLE)) *
+         |    (tf * $a) /
+         |    (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+         |      CAST(0.75 AS DOUBLE) * (dl / (CAST(td AS DOUBLE) / nn))))
+         |    AS bm25
+         |  FROM tf JOIN dfq USING (term) JOIN dlen USING (doc_id)
+         |  CROSS JOIN n CROSS JOIN tot)
+         |SELECT doc_id, term, tf, df, dl, term_rank FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS term_rank
+         |  FROM s)
+         |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin
+    },
     "q_embed_centroid" ->
       """WITH t AS (SELECT label,
         |  CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,

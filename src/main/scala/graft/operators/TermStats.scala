@@ -75,6 +75,52 @@ object TermStats {
       .drop("_n")
   }
 
+  /** Top-`k` BM25 terms per document (Robertson & Zaragoza, "The
+    * Probabilistic Relevance Framework: BM25 and Beyond", 2009) —
+    * the retrieval scorer TF-IDF approximates: saturating term
+    * frequency (k1), document-length normalization (b), and the
+    * +1-smoothed RSJ idf. Output: _id, term, tf, df, dl, bm25,
+    * term_rank.
+    *
+    * Every score is ONE fixed-shape double expression over integer
+    * inputs (tf, df, dl, N, Σdl) — no accumulation — written with the
+    * identical literal/operation order the oracle uses, the same
+    * bit-reproducibility contract as [[tfidfTopTerms]] and
+    * Resample.gridInterp. Shape: the (doc, term) and per-term df
+    * relations of tfidf plus one |docs| doc-length relation joined on
+    * the doc key and a single broadcast scalar row (N, Σdl) — still
+    * no vocabulary broadcast.
+    */
+  def bm25TopTerms(df: DataFrame, id: Column, text: Column,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val terms = df.select(id.as("_id"),
+        explode(words(text)).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy(col("_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("_n"))
+      .crossJoin(dlen.agg(sum(col("dl")).as("_tot")))
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("bm25").desc, col("term"))
+    tf.join(dfreq, "term")
+      .join(dlen, "_id")
+      .crossJoin(broadcast(n))
+      .withColumn("_avgdl", col("_tot").cast("double") / col("_n"))
+      .withColumn("bm25",
+        log((col("_n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl") / col("_avgdl")))))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col("_id"), col("term"), col("tf"), col("df"), col("dl"),
+        col("bm25"), col("term_rank"))
+  }
+
   /** Integer-quantized corpus unigram-LM surprisal per document — the
     * CCNet-style LM-quality signal (Wenzek et al., "CCNet: Extracting
     * High Quality Monolingual Datasets from Web Crawl Data",

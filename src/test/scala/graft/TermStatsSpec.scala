@@ -36,6 +36,41 @@ class TermStatsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("bm25: scores and ranks match a hand-rolled reference") {
+    val out = TermStats.bm25TopTerms(corpus, col("doc_id"), col("text"), 3)
+      .select(col("_id"), col("term"), col("tf"), col("df"), col("dl"),
+        col("bm25"), col("term_rank"))
+      .as[(Long, String, Long, Long, Long, Double, Int)].collect()
+      .sortBy(t => (t._1, t._7)).toSeq
+
+    val docs = Seq(0L -> "apple banana apple cherry",
+      1L -> "banana cherry banana banana",
+      2L -> "apple cherry date date")
+    val tf = docs.flatMap { case (id, t) =>
+      t.split("\\s+").groupBy(identity).map { case (w, ws) =>
+        (id, w, ws.length.toLong)
+      }
+    }
+    val dfm = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val dlm = tf.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val n = docs.size.toLong
+    val avgdl = dlm.values.sum.toDouble / n
+    def score(t: Long, df: Long, dl: Long): Double =
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0) *
+        (t * 2.2) / (t + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+    val ref = tf.map { case (id, w, t) =>
+      (id, w, t, dfm(w), dlm(id), score(t, dfm(w), dlm(id)))
+    }.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._6, r._2)).take(3).zipWithIndex
+        .map { case (r, i) => (r._1, r._2, r._3, r._4, r._5, r._6, i + 1) }
+    }.sortBy(t => (t._1, t._7))
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5, r._7)) ===
+      ref.map(r => (r._1, r._2, r._3, r._4, r._5, r._7)))
+    out.zip(ref).foreach { case (o, r) =>
+      assert(math.abs(o._6 - r._6) < 1e-12, s"score ${o._2}")
+    }
+  }
+
   test("unigram surprisal: bits quantization matches hand computation") {
     // corpus counts: apple 3, banana 4, cherry 3, date 2 → N = 12
     // bits: N=12→4; cnt 3→2, 4→3, 2→2
