@@ -18,6 +18,29 @@ object PackingProperties extends Properties("Packing") {
     s <- Gen.choose(1, w)
   } yield (n, w, s)
 
+  property("withGlobalPrefixMax == sequential exclusive prefix max " +
+    "under any partitioning") =
+    Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.choose(-1000L, 1000L),
+        Gen.choose(-50L, 50L))).map(_.distinctBy(_._1)),
+      Gen.choose(1, 7)) { (rows, parts) =>
+      import spark.implicits._
+      if (rows.isEmpty) Prop.passed else {
+        val df = rows.toDF("ord", "v").repartition(parts)
+        val out = Packing
+          .withGlobalPrefixMax(df, col("ord"), col("v"), "pm")
+          .select("ord", "v", "pm")
+          .as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+        val sorted = rows.sortBy(_._1)
+        val ref = sorted.indices.map { i =>
+          val before = sorted.take(i).map(_._2)
+          (sorted(i)._1, sorted(i)._2,
+            if (before.isEmpty) None else Some(before.max))
+        }
+        Prop(out == ref) :| s"parts=$parts out=$out ref=$ref"
+      }
+    }
+
   property("slidingChunks: coverage, alignment, clamp, count") =
     Prop.forAll(Gen.listOfN(5, caseGen)) { cases =>
       import spark.implicits._
