@@ -416,6 +416,16 @@ object LlmQueries {
           n = 3, threshold = 0.7)
         .orderBy("doc_a", "doc_b")),
 
+    // Asymmetric containment: A-mostly-inside-B subsumption pairs that
+    // symmetric Jaccard misses (quoted paragraphs, boilerplate
+    // inclusion) — one-sided prefix filter, full-relation probe side;
+    // see SetSimJoin.containmentPairs.
+    "q_containment" -> ((s, d) =>
+      graft.operators.SetSimJoin
+        .wordNgramContainmentPairs(docs(s, d), col("doc_id"),
+          col("text"), n = 3, threshold = 0.8)
+        .orderBy("doc", "container")),
+
     // SimHash near-dup pairs (Hamming-banded, exact bit_count verify),
     // run with the SQL-parity md5 gram hash so the oracle recomputes
     // the signatures, the bit-majority vote, and the Hamming distances
@@ -750,6 +760,24 @@ object LlmQueries {
       s"""WITH $shingleCte
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    // brute-force directional containment over the same shingle sets;
+    // the len(a.sh) > 0 guard mirrors the engine's no-grams-no-rows
+    // contract (DuckDB NaN compares GREATER than everything, so an
+    // unguarded 0/0 row would pass the threshold filter)
+    "q_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(text, '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                 for i in range(1, len(w)-1)]) AS sh FROM t),
+        |p AS (SELECT a.doc_id AS doc, b.doc_id AS container,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |    AS containment
+        |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |  WHERE len(a.sh) > 0)
+        |SELECT doc, container, containment FROM p
+        |WHERE containment >= CAST(0.8 AS DOUBLE)
+        |ORDER BY doc, container""".stripMargin,
     // clusters via the same recursive transitive closure as
     // q_dedup_clusters; survivor = argmax quality (q_quality's exact
     // formula), ties to the smaller doc_id

@@ -153,6 +153,83 @@ object SetSimJoin {
         col("jaccard"))
   }
 
+  /** Asymmetric containment join — pairs with
+    * C(A→B) = |A∩B| / |A| ≥ `threshold`: "A is mostly inside B", the
+    * subsumption signal symmetric Jaccard misses (a paragraph quoted
+    * verbatim inside a much longer document scores near-zero Jaccard
+    * but containment 1.0 — the boilerplate/quotation dedup case).
+    *
+    * The prefix guarantee is one-sided: C(A→B) ≥ t means A and B
+    * share ≥ ⌈t·|A|⌉ grams, while A minus its (|A| − ⌈t·|A|⌉ + 1)-gram
+    * rare-first prefix holds only ⌈t·|A|⌉ − 1 grams — so at least one
+    * shared gram lies in A's prefix, and the candidate join is
+    * A-prefix × the FULL gram relation (B has no size or prefix
+    * bound; a container can be arbitrarily large — exactly why the
+    * symmetric [[jaccardPairs]] machinery can't express this).
+    * Candidate volume is Σ_prefix-gram df — rare-first prefixes keep
+    * it near-linear, hot grams land in prefixes only for tiny docs at
+    * low thresholds, and the shuffle itself is AQE-skew-split. Exact
+    * verification on the full sorted gram arrays, same merge-scan
+    * kernel as Jaccard.
+    *
+    * Output: doc, container, containment — DIRECTIONAL (both
+    * directions emitted when mutual). Docs with zero grams never
+    * appear on either side (mirrored by the oracle's length guard).
+    */
+  def containmentPairs(df: DataFrame, id: Column, grams: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    import org.apache.spark.sql.graft.Bridge.persistRows
+    val rawToks = df.select(id.as("_id"), grams.as("_toks"))
+    val isLongGrams = rawToks.schema("_toks").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    val toks = persistRows((if (isLongGrams)
+        rawToks.withColumn("_toks", sort_array(col("_toks")))
+      else rawToks)
+      .withColumn("_sz", size(col("_toks"))))
+    val gramRows = persistRows(toks.select(col("_id"), col("_sz"),
+      explode(col("_toks")).as("_tok")))
+    val freq = gramRows.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    val byDoc = Window.partitionBy("_id").orderBy(col("_df"), col("_tok"))
+    val prefix = gramRows.join(freq, "_tok")
+      .withColumn("_rnk", row_number().over(byDoc))
+      .filter(col("_rnk") <=
+        col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1)
+      .select(col("_tok"), col("_id").as("_id_a"))
+    val cand = prefix
+      .join(gramRows.select(col("_tok"), col("_id").as("_id_b")), "_tok")
+      .filter(col("_id_a") =!= col("_id_b"))
+      .select("_id_a", "_id_b")
+      .dropDuplicates("_id_a", "_id_b")
+    val a = toks.select(col("_id").as("_id_a"), col("_toks").as("_t_a"),
+      col("_sz").as("_sz_a"))
+    val b = toks.select(col("_id").as("_id_b"), col("_toks").as("_t_b"))
+    val overlap =
+      if (isLongGrams)
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.SortedOverlapCount(
+            org.apache.spark.sql.graft.Bridge.expression(col("_t_a")),
+            org.apache.spark.sql.graft.Bridge.expression(col("_t_b"))))
+      else size(array_intersect(col("_t_a"), col("_t_b")))
+    cand.join(a, "_id_a").join(b, "_id_b")
+      .withColumn("_ovl", overlap)
+      .withColumn("containment",
+        col("_ovl").cast("double") / col("_sz_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("_id_a").as("doc"), col("_id_b").as("container"),
+        col("containment"))
+  }
+
+  /** Word n-gram containment pairs — hashed-shingle production path,
+    * same gram equivalence as [[wordNgramJaccardPairs]].
+    */
+  def wordNgramContainmentPairs(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.8): DataFrame =
+    containmentPairs(df, id, Dedup.hashedShingles(text, n), threshold)
+
   /** Word n-gram Jaccard pairs — the production path for natural
     * language (see gram-space note above). Grams are 64-bit hashes from
     * the single-pass [[graft.functions.Shingles]] expression; Jaccard

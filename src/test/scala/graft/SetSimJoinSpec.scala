@@ -114,4 +114,63 @@ class SetSimJoinSpec extends AnyFunSuite {
       2L -> "ab", 3L -> "x")
     assert(run(docs, 0.9) === Set.empty)
   }
+
+  private def wordGramStrs(text: String, n: Int): Set[String] = {
+    val w = text.split("\\s+")
+    if (w.length < n) Set.empty
+    else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+  }
+
+  test("containment matches brute force; finds subsumed quote Jaccard misses") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val host = ("iota kappa lambda mu nu xi omicron pi rho sigma tau " +
+      "upsilon phi chi psi omega one two three four five six seven " +
+      "eight nine ten ") + quote
+    val docs = Seq(0L -> quote, 1L -> host,
+      2L -> "totally different words entirely here now",
+      3L -> quote.split(" ").take(6).mkString(" ")) // prefix of the quote
+    val t = 0.8
+    val out = SetSimJoin.wordNgramContainmentPairs(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        n = 3, threshold = t)
+      .as[(Long, Long, Double)].collect().toSet
+    val g = docs.map { case (id, txt) => id -> wordGramStrs(txt, 3) }
+    val brute = (for {
+      (ia, ga) <- g; (ib, gb) <- g if ia != ib && ga.nonEmpty
+      c = (ga intersect gb).size.toDouble / ga.size if c >= t
+    } yield (ia, ib, c)).toSet
+    assert(out === brute)
+    // The quote is fully inside the host (containment 1.0) while its
+    // Jaccard against the host is far below any dedup threshold —
+    // the case this operator exists for.
+    assert(out.contains((0L, 1L, 1.0)))
+    val ja = {
+      val (ga, gb) = (g(0)._2, g(1)._2)
+      (ga intersect gb).size.toDouble / (ga union gb).size
+    }
+    assert(ja < 0.3)
+    // Directional: the big host is NOT contained in the quote.
+    assert(!out.exists(p => p._1 == 1L && p._2 == 0L))
+  }
+
+  test("containment brute-force parity on a random mixed corpus") {
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("a","b","c","d","e","f","g","h","i","j","k","l")
+    val docs = (0L until 40L).map { id =>
+      val len = 3 + rng.nextInt(25)
+      id -> Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    for (t <- Seq(0.6, 0.8, 0.95)) {
+      val out = SetSimJoin.wordNgramContainmentPairs(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val g = docs.map { case (id, txt) => id -> wordGramStrs(txt, 3) }
+      val brute = (for {
+        (ia, ga) <- g; (ib, gb) <- g if ia != ib && ga.nonEmpty
+        c = (ga intersect gb).size.toDouble / ga.size if c >= t
+      } yield (ia, ib, c)).toSet
+      assert(out === brute, s"threshold $t")
+    }
+  }
 }
