@@ -33,6 +33,18 @@ object BatchQueries {
     Tables.events(s, d)
   }
 
+  /** Pin the UTC session timezone at a query's entry boundary. Any
+    * query whose plan contains an NTZ→LTZ cast (`o_orderdate.cast(
+    * "timestamp")` feeding unix_micros) depends on
+    * spark.sql.session.timeZone at execution; the driver calls queries
+    * with ITS session, so UTC can't be assumed from our builder
+    * (round-7 ADVICE — same contract as [[events]]/SparkEntry.bars).
+    */
+  private def utc(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 count — whole-table count, one row out.
     "q_count" -> ((s, d) =>
@@ -742,7 +754,8 @@ object BatchQueries {
     // revenue roll-up, top-10 via TakeOrdered. The end-to-end
     // "shipping priority" query shape — every piece individually
     // audited elsewhere, composed here.
-    "q_revenue_topk" -> ((s, d) => {
+    "q_revenue_topk" -> ((s0, d) => {
+      val s = utc(s0)
       val cutoff = lit("1998-06-01 00:00:00").cast("timestamp_ntz")
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") > cutoff)
@@ -1125,8 +1138,8 @@ object BatchQueries {
     // (|customers| rows, not |orders|); at extreme scale the scores
     // come from broadcast histogram-quantile edges (Quantiles) instead
     // of a global sort — same trade as Skyline's prefix-max note.
-    "q_rfm" -> ((s, d) => {
-      val base = Tables.orders(s, d)
+    "q_rfm" -> ((s0, d) => {
+      val base = Tables.orders(utc(s0), d)
         .groupBy(col("o_custkey"))
         .agg(
           max(unix_micros(col("o_orderdate").cast("timestamp")))

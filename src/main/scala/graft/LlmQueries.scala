@@ -1145,7 +1145,8 @@ object LlmQueries {
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bigram_lm" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    w -> w <> '') AS ws FROM documents),
         |b AS (SELECT doc_id,
         |  unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
         |  FROM w),
@@ -1167,7 +1168,8 @@ object LlmQueries {
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    w -> w <> '') AS ws FROM documents),
         |wc AS (SELECT doc_id, word, count(*) AS c
         |       FROM (SELECT doc_id, unnest(ws) AS word FROM w)
         |       GROUP BY doc_id, word),
@@ -1194,7 +1196,8 @@ object LlmQueries {
         |FROM wp JOIN bp USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_shared_ngrams" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    w -> w <> '') AS ws FROM documents),
         |g AS (SELECT doc_id,
         |  unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
         |          ws[i+3] || ' ' || ws[i+4]
@@ -1211,7 +1214,8 @@ object LlmQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_spans" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    w -> w <> '') AS ws FROM documents),
         |g AS (SELECT doc_id, u.pos, u.gram FROM (
         |  SELECT doc_id, unnest([{'pos': i - 1,
         |    'gram': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||

@@ -37,10 +37,13 @@ object Clusters {
       .union(edges.select(col("v").as("u"), col("u").as("v")))
     val mins = und.groupBy("u").agg(min(col("v")).as("_mn"))
       .select(col("u"), least(col("u"), col("_mn")).as("_m"))
+    // No trailing distinct: duplicates here are bounded (≤ 2|E| rows)
+    // and the following smallStar ends in a distinct anyway — dropping
+    // it removes one shuffle stage per round (round-8 fixpoint-loop
+    // cost trim; the loop was pure stage overhead on tiny edge sets).
     und.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("_m").as("v"))
-      .distinct()
   }
 
   /** One small-star round: every node connects its smaller-or-equal
@@ -59,13 +62,14 @@ object Clusters {
     * the fixpoint test. Edge sets are distinct, so XORing a 64-bit
     * hash of each row (overflow-free under ANSI mode, unlike sum)
     * detects any change with collision probability ~2⁻⁶⁴ per round.
+    * Returned as a 1-row frame so two rounds' signatures can be
+    * unioned into a SINGLE driver action (see the batched loop below).
     */
-  private def signature(edges: DataFrame): (Long, Long) = {
-    val r = edges.agg(
-      count(lit(1)),
-      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-    (r.getLong(0), r.getLong(1))
-  }
+  private def signatureDf(edges: DataFrame, round: Int): DataFrame =
+    edges.agg(
+      count(lit(1)).as("_n"),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("_x"))
+      .select(lit(round).as("_r"), col("_n"), col("_x"))
 
   /** Connected components of the undirected graph given by
     * (`src`, `dst`) pairs (long-castable ids; self-loops ignored).
@@ -77,11 +81,18 @@ object Clusters {
     *
     * Runs large-star + small-star rounds until the edge set reaches a
     * fixpoint (a star forest: every node points directly at its
-    * component root), checked by a per-round scalar signature — driver
-    * control flow only, never a data collect. Intermediate edge sets
-    * are persisted at the RDD layer (each round reads its input twice:
-    * min-aggregate + join) and freed by the ContextCleaner as the
-    * previous round's frame goes out of scope.
+    * component root), checked by an order-independent set signature —
+    * driver control flow only, never a data collect. Rounds run in
+    * BATCHES OF TWO per driver action: both rounds' plans are built
+    * lazily and their two 1-row signature aggregates unioned into one
+    * job, halving driver round-trips and letting the scheduler
+    * pipeline all stages of both rounds (round-8 fix: the per-round
+    * action structure made the fixpoint loop pure job-scheduling
+    * overhead — the sf0.1 dedup graph is 244 edges converging in 1
+    * round, yet the loop cost ~2.5 s). Intermediate edge sets are
+    * persisted at the RDD layer (each round reads its input twice:
+    * min-aggregate + join; batch-mate reads it again) and freed by the
+    * ContextCleaner as earlier rounds' frames go out of scope.
     */
   def connectedComponents(edges: DataFrame, src: Column, dst: Column,
       maxIter: Int = 25): DataFrame = {
@@ -91,16 +102,30 @@ object Clusters {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct())
-    var sig = signature(cur)
+    // sig of the previous round's edge set; None before any round has
+    // run (the initial set's signature is never computed on its own —
+    // it would cost a whole extra job just to catch the rare
+    // already-a-star-forest input one round earlier).
+    var sig: Option[(Long, Long)] = None
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = Bridge.persistRows(smallStar(largeStar(cur)))
-      val nextSig = signature(next)
-      converged = nextSig == sig
-      sig = nextSig
-      cur = next
-      it += 1
+      val n1 = Bridge.persistRows(smallStar(largeStar(cur)))
+      val n2 = Bridge.persistRows(smallStar(largeStar(n1)))
+      val sigs = signatureDf(n1, 1).union(signatureDf(n2, 2))
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getLong(1), r.getLong(2)))
+      val (s1, s2) = (sigs(0), sigs(1))
+      if (sig.contains(s1)) { // round it+1 was a no-op; n1 == cur
+        converged = true
+        cur = n1
+        it += 1
+      } else {
+        converged = s2 == s1
+        sig = Some(s2)
+        cur = n2
+        it += 2
+      }
     }
     // star forest: every edge is (node, root); roots appear only on the
     // v side and label themselves

@@ -22,6 +22,17 @@ object TermStats {
   /** Tokenize to lowercase whitespace-separated words. */
   def words(text: Column): Column = split(lower(text), "\\s+")
 
+  /** [[words]] with empty tokens removed. Java's split DROPS trailing
+    * empty strings while DuckDB's string_split_regex KEEPS them, so
+    * any path that feeds a words ARRAY into n-gram windows must
+    * filter empties on BOTH sides or a trailing-whitespace document
+    * diverges from the oracle by one gram (round-7 ADVICE; the
+    * exploded unigram paths already filter post-explode). Matching
+    * oracle form: `list_filter(string_split_regex(...), w -> w <> '')`.
+    */
+  def cleanWords(text: Column): Column =
+    filter(words(text), w => w =!= lit(""))
+
   /** Adjacent word pairs ("w[i] w[i+1]") from a words array. */
   def bigrams(ws: Column): Column = ngrams(ws, 2)
 
@@ -181,7 +192,7 @@ object TermStats {
     * words have no bigrams and are absent (mirrored by the oracle).
     */
   def bigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val base = df.select(id.as("_id"), words(text).as("_ws"))
+    val base = df.select(id.as("_id"), cleanWords(text).as("_ws"))
     val toks = base.select(col("_id"),
       explode(bigrams(col("_ws"))).as("bg"))
     val tf = toks.groupBy(col("_id"), col("bg"))
@@ -228,7 +239,7 @@ object TermStats {
     * this query at sf0.1 unbound vs 1.7 s bound).
     */
   def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val base = df.select(id.as("_id"), words(text).as("_ws"))
+    val base = df.select(id.as("_id"), cleanWords(text).as("_ws"))
     gramProfile(base, col("_id"), col("_ws"), "word", "words")
       .join(gramProfile(base, col("_id"), bigrams(col("_ws")), "bigram",
         "bigrams"), "_id")
@@ -258,7 +269,7 @@ object TermStats {
   def crossDocNgramStats(df: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val base = df.select(id.as("_id"), words(text).as("_ws"))
+    val base = df.select(id.as("_id"), cleanWords(text).as("_ws"))
     sharedGramRollup(base
       .select(col("_id"), explode(ngrams(col("_ws"), n)).as("gram")))
   }
@@ -276,7 +287,7 @@ object TermStats {
   def crossDocNgramStatsHashed(df: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val base = df.select(id.as("_id"), words(text).as("_ws"))
+    val base = df.select(id.as("_id"), cleanWords(text).as("_ws"))
     sharedGramRollup(base
       .select(col("_id"), explode(ngrams(col("_ws"), n)).as("_g"))
       .select(col("_id"), xxhash64(col("_g")).as("gram")))
@@ -300,7 +311,7 @@ object TermStats {
   def sharedGramSpans(df: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val base = df.select(id.as("_id"), words(text).as("_ws"))
+    val base = df.select(id.as("_id"), cleanWords(text).as("_ws"))
     val toks = base.select(col("_id"),
       posexplode(ngrams(col("_ws"), n)).as(Seq("pos", "gram")))
     val docFreq = toks.groupBy(col("gram"))

@@ -198,6 +198,24 @@ class TermStatsSpec extends AnyFunSuite {
     assert(str.nonEmpty && str === hashed)
   }
 
+  test("trailing whitespace adds no phantom grams (split-parity hazard)") {
+    // Java split DROPS trailing empty tokens, DuckDB string_split_regex
+    // KEEPS them; cleanWords pins both engines to the filtered array so
+    // a trailing-whitespace doc can't diverge from the oracle by one
+    // bigram (round-7 ADVICE). Same text ± trailing/leading whitespace
+    // must produce identical profiles.
+    val clean = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val messy = Seq((0L, "  a b a c \t ")).toDF("doc_id", "text")
+    def profile(df: org.apache.spark.sql.DataFrame) = Seq(
+      TermStats.repetitionStats(df, col("doc_id"), col("text"))
+        .drop("_id").collect().toSeq,
+      TermStats.bigramSurprisal(df, col("doc_id"), col("text"))
+        .drop("_id").collect().toSeq,
+      TermStats.sharedGramSpans(df, col("doc_id"), col("text"), 2)
+        .drop("_id").collect().toSeq)
+    assert(profile(clean) === profile(messy))
+  }
+
   test("tfidf plan: df table joins on term, corpus size broadcasts") {
     val plan = TermStats.tfidfTopTerms(
         Tables.documents(spark, "/root/testdata/sf0.001"),
