@@ -61,23 +61,36 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rowCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-rep (seconds, loadavg-at-rep-start) — lets a later round
+    // separate warmup/JIT and background-load artifacts from real
+    // regressions instead of guessing from a single median
+    // (round-7 verdict task #7)
+    val repDetail =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double)]]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       try {
         var r = 0
         while (r < reps) {
+          val la = loadavg()
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          samples += (System.nanoTime() - t0) / 1e9
+          samples += (((System.nanoTime() - t0) / 1e9, la))
           r += 1
         }
-        val sorted = samples.sorted
+        val sorted = samples.map(_._1).sorted
         timings(name) = sorted(sorted.size / 2)
+        repDetail(name) = samples.toSeq
         rowCounts(name) = fn(spark, sfDir).count()
       } catch {
         case e: Throwable =>
@@ -87,9 +100,13 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val rs = rowCounts.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val reph = repDetail.map { case (k, v) =>
+      s"${jstr(k)}:" + v.map { case (sec, la) => s"[$sec,$la]" }
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$es,"reps":$reps,"loadavg_start":$loadavgStart,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$es,"reps":$reps,"rep_secs_loadavg":$reph,"loadavg_start":$loadavgStart,"sf":${jstr(sfDir)}}"""
     println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),

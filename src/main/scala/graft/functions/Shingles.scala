@@ -24,12 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * (~|grams|²/2⁶⁵ — negligible at any realistic gram-space size, and
   * the same equivalence the MinHash band path already relies on).
   */
-case class Shingles(child: Expression, n: Int, hashed: Boolean = false)
+case class Shingles(child: Expression, n: Int, hashed: Boolean = false,
+    md5Parity: Boolean = false)
     extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
-  override def prettyName: String = if (hashed) "shingles_hashed" else "shingles"
+  override def prettyName: String =
+    if (md5Parity) "shingles_md5" else if (hashed) "shingles_hashed" else "shingles"
   override def dataType: DataType =
-    if (hashed) ArrayType(LongType, containsNull = false)
+    if (hashed || md5Parity) ArrayType(LongType, containsNull = false)
     else ArrayType(StringType, containsNull = false)
 
   private val space = UTF8String.fromString(" ")
@@ -56,7 +58,8 @@ case class Shingles(child: Expression, n: Int, hashed: Boolean = false)
         j += 1
       }
       val gram = UTF8String.concat(parts: _*)
-      if (hashed)
+      if (md5Parity) seen.add(Shingles.md5Prefix60(gram))
+      else if (hashed)
         seen.add(XXH64.hashUnsafeBytes(
           gram.getBaseObject, gram.getBaseOffset, gram.numBytes, 42L))
       else seen.add(gram)
@@ -67,4 +70,31 @@ case class Shingles(child: Expression, n: Int, hashed: Boolean = false)
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
+}
+
+object Shingles {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The oracle-parity 60-bit gram hash, computed from digest BYTES:
+    * the integer value of the first 15 hex chars of md5(gram) equals
+    * the big-endian unsigned value of the digest's first 8 bytes
+    * logically shifted right by 4 (one hex char = one nibble), so no
+    * hex string is ever materialized. Value-identical to SQL
+    * `conv(substring(md5(g),1,15),16,10)` / DuckDB
+    * `('0x' || substr(md5(g),1,15))::BIGINT` — pinned by
+    * ShinglesSpec's side-by-side SQL comparison. Always non-negative
+    * (top 4 bits zeroed), fitting both engines' signed BIGINT.
+    */
+  def md5Prefix60(gram: UTF8String): Long = {
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(gram.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
 }

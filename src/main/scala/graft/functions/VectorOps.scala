@@ -104,6 +104,53 @@ case class MatVecDots(child: Expression, rows: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Exact 64-bit dot of an `array<long>` column against a constant
+  * long vector: `Σⱼ q(j)·v(j)` — the per-row projection of the
+  * integer power-iteration recursion ([[graft.operators.PowerIteration]]).
+  *
+  * Why not `v.indices.map(j => element_at(q, j+1) * lit(v(j))).reduce(_+_)`:
+  * that form embeds `dim` LITERALS in the plan, so every iteration
+  * round (new v) generates DIFFERENT whole-stage-codegen source and
+  * pays a fresh janino compile — measured as the dominant cost of the
+  * 6-round loop at sf0.1 (the arithmetic itself is trivial). Holding v
+  * as a reference object keeps the generated source identical across
+  * rounds and queries: one compile, then cache hits. Integer sums are
+  * order-free, so the result is bit-identical to the literal form on
+  * any partitioning.
+  *
+  * `v` is a Seq for structural equality in the plan tree; a primitive
+  * copy is built lazily per task for the loop.
+  */
+case class LongVecDot(child: Expression, v: Seq[Long])
+    extends UnaryExpression {
+  override def prettyName: String = "long_vec_dot"
+  override def dataType: DataType = LongType
+
+  @transient private lazy val flat: Array[Long] = v.toArray
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lvdot", this, classOf[LongVecDot].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(q: ArrayData): Long = {
+    val n = math.min(q.numElements(), flat.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += q.getLong(i) * flat(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LongVecDot =
+    copy(child = newChild)
+}
+
 /** All `tables` sign-LSH bucket keys of a vector in one pass:
   * key(t) = fold over bits b of `key*2 + (dot(v, plane(t)(b)) >= 0)`.
   *

@@ -1,8 +1,10 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected edge list, and the dedup
   * clustering built on it (near-duplicate PAIRS → duplicate CLUSTERS →
@@ -16,60 +18,93 @@ import org.apache.spark.sql.graft.Bridge
   * "Connected Components in MapReduce and Beyond", SoCC'14) — the
   * shuffle-native formulation that converges in O(log² n) rounds on any
   * graph (O(log n) in practice; dedup graphs, whose components are
-  * near-cliques with tiny diameters, converge in 2-3 rounds). Each
-  * round is two aggregate+join stages keyed on the node id — no
+  * near-cliques with tiny diameters, converge in 1-2 rounds). No
   * adjacency list is ever materialized per node (no collect_list, no
   * driver-side graph), so a 100 TB edge set with a billion-node
   * component flows through the same bounded-memory shuffles as any
   * group-by. The min-label invariant makes the output deterministic
   * under any partitioning: every node labels itself with the smallest
   * node id reachable from it.
+  *
+  * WHY THE LOOP BODY IS RDD, NOT DataFrame (round-8 rewrite): the loop
+  * is a driver-controlled fixpoint whose body has ONE fixed physical
+  * shape — min-reduce, co-partitioned join, distinct — yet as a
+  * DataFrame each round re-paid Catalyst analysis/optimization, AQE
+  * re-planning per shuffle stage, and whole-stage-codegen class
+  * loads/JIT; measured 3-9 s at sf0.1 for a 244-EDGE graph (the work
+  * itself is microseconds). Iterative graph fixpoints are exactly the
+  * workload Spark itself keeps at the RDD layer (GraphX/Pregel); the
+  * rewrite keeps the identical Kiveris shuffle DAG but runs it on
+  * keyed-RDD primitives with a single [[HashPartitioner]] shared by
+  * every round, so every `reduceByKey` output is co-partitioned with
+  * its `join` probe (the min-relation side of each star is a NARROW
+  * dependency — strictly fewer shuffles than the SQL plan, which
+  * re-exchanged both sides). The partition count is derived from the
+  * materialized edge count (~[[Clusters.EdgesPerPartition]] pairs ≈
+  * 100 MB per task), so the same code runs one task per stage at test
+  * scale and thousands at 100 TB — identical semantics, ClustersSpec
+  * pins label equality against a local union-find and across input
+  * partitionings.
   */
 object Clusters {
 
+  /** Target long-pairs per fixpoint-loop partition: 6M × 16 B ≈ 100 MB
+    * of raw keys per task (plus shuffle overhead) — comfortably inside
+    * executor memory while keeping task counts proportional to data.
+    */
+  val EdgesPerPartition: Long = 6000000L
+
   /** One large-star round: every node connects its strictly-larger
     * neighbors to the smallest node of its closed neighborhood.
-    * Formulated as min-aggregate + equi-join on the center id (both
-    * co-partitioned), never as a gathered neighbor list.
+    * min-reduce + join on the center id; the min side is co-partitioned
+    * with the probe side (same partitioner), so only `und` shuffles.
     */
-  private def largeStar(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-    val mins = und.groupBy("u").agg(min(col("v")).as("_mn"))
-      .select(col("u"), least(col("u"), col("_mn")).as("_m"))
-    // No trailing distinct: duplicates here are bounded (≤ 2|E| rows)
-    // and the following smallStar ends in a distinct anyway — dropping
-    // it removes one shuffle stage per round (round-8 fixpoint-loop
-    // cost trim; the loop was pure stage overhead on tiny edge sets).
-    und.join(mins, "u")
-      .filter(col("v") > col("u"))
-      .select(col("v").as("u"), col("_m").as("v"))
+  private def largeStar(e: RDD[(Long, Long)], part: HashPartitioner)
+      : RDD[(Long, Long)] = {
+    val und = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+    val mins = und.reduceByKey(part, math.min(_, _))
+      .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
+        preservesPartitioning = true)
+    und.join(mins, part).flatMap { case (u, (v, m)) =>
+      if (v > u) Iterator((v, m)) else Iterator.empty
+    }
   }
 
   /** One small-star round: every node connects its smaller-or-equal
     * neighbors (and itself) to the smallest of them. Input and output
-    * edges are oriented u > v.
+    * edges are oriented u > v; output is distinct.
     */
-  private def smallStar(edges: DataFrame): DataFrame = {
-    val mins = edges.groupBy("u").agg(min(col("v")).as("_m"))
-    val moved = edges.join(mins, "u")
-      .filter(col("v") =!= col("_m"))
-      .select(col("v").as("u"), col("_m").as("v"))
-    moved.union(mins.select(col("u"), col("_m").as("v"))).distinct()
+  private def smallStar(e: RDD[(Long, Long)], part: HashPartitioner)
+      : RDD[(Long, Long)] = {
+    val mins = e.reduceByKey(part, math.min(_, _))
+    val moved = e.join(mins, part).flatMap { case (_, (v, m)) =>
+      if (v != m) Iterator((v, m)) else Iterator.empty
+    }
+    moved.union(mins).distinct(part.numPartitions)
   }
 
-  /** (count, order-independent checksum) — a cheap set signature for
-    * the fixpoint test. Edge sets are distinct, so XORing a 64-bit
-    * hash of each row (overflow-free under ANSI mode, unlike sum)
-    * detects any change with collision probability ~2⁻⁶⁴ per round.
-    * Returned as a 1-row frame so two rounds' signatures can be
-    * unioned into a SINGLE driver action (see the batched loop below).
+  /** splitmix64 finalizer — full-avalanche 64-bit mix for the set
+    * signature below.
     */
-  private def signatureDf(edges: DataFrame, round: Int): DataFrame =
-    edges.agg(
-      count(lit(1)).as("_n"),
-      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("_x"))
-      .select(lit(round).as("_r"), col("_n"), col("_x"))
+  private def mix(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** (count, order-independent checksum) in ONE pass — the fixpoint
+    * test. Edge sets are distinct, so XORing a mixed 64-bit hash of
+    * each pair detects any change with collision probability ~2⁻⁶⁴ per
+    * round. This action also materializes (and thus populates the
+    * persist of) its input.
+    */
+  private def signature(e: RDD[(Long, Long)]): (Long, Long) =
+    e.mapPartitions { it =>
+      var n = 0L; var x = 0L
+      it.foreach { case (u, v) => n += 1; x ^= mix(mix(u) ^ v) }
+      Iterator((n, x))
+    }.fold((0L, 0L)) { case ((n1, x1), (n2, x2)) => (n1 + n2, x1 ^ x2) }
 
   /** Connected components of the undirected graph given by
     * (`src`, `dst`) pairs (long-castable ids; self-loops ignored).
@@ -81,57 +116,58 @@ object Clusters {
     *
     * Runs large-star + small-star rounds until the edge set reaches a
     * fixpoint (a star forest: every node points directly at its
-    * component root), checked by an order-independent set signature —
-    * driver control flow only, never a data collect. Rounds run in
-    * BATCHES OF TWO per driver action: both rounds' plans are built
-    * lazily and their two 1-row signature aggregates unioned into one
-    * job, halving driver round-trips and letting the scheduler
-    * pipeline all stages of both rounds (round-8 fix: the per-round
-    * action structure made the fixpoint loop pure job-scheduling
-    * overhead — the sf0.1 dedup graph is 244 edges converging in 1
-    * round, yet the loop cost ~2.5 s). Intermediate edge sets are
-    * persisted at the RDD layer (each round reads its input twice:
-    * min-aggregate + join; batch-mate reads it again) and freed by the
-    * ContextCleaner as earlier rounds' frames go out of scope.
+    * component root), detected by the order-independent set signature —
+    * driver control flow only, never a data collect. Each round's edge
+    * set is persisted (its signature action materializes it) and the
+    * previous round's blocks are freed eagerly; lineage stays intact,
+    * so block loss recomputes instead of failing.
     */
   def connectedComponents(edges: DataFrame, src: Column, dst: Column,
       maxIter: Int = 25): DataFrame = {
-    var cur = Bridge.persistRows(edges
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val init = edges
       .select(src.cast("long").as("u"), dst.cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct())
-    // sig of the previous round's edge set; None before any round has
-    // run (the initial set's signature is never computed on its own —
-    // it would cost a whole extra job just to catch the rare
-    // already-a-star-forest input one round earlier).
-    var sig: Option[(Long, Long)] = None
+      .distinct()
+      .as[(Long, Long)].rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var curSig = signature(init) // materializes init's persist
+    val part = new HashPartitioner(
+      math.max(1L, curSig._1 / EdgesPerPartition).min(65536L).toInt)
+    val debug = sys.props.contains("graft.debug.cc")
+    var cur = init
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val n1 = Bridge.persistRows(smallStar(largeStar(cur)))
-      val n2 = Bridge.persistRows(smallStar(largeStar(n1)))
-      val sigs = signatureDf(n1, 1).union(signatureDf(n2, 2))
-        .collect().sortBy(_.getInt(0))
-        .map(r => (r.getLong(1), r.getLong(2)))
-      val (s1, s2) = (sigs(0), sigs(1))
-      if (sig.contains(s1)) { // round it+1 was a no-op; n1 == cur
-        converged = true
-        cur = n1
-        it += 1
-      } else {
-        converged = s2 == s1
-        sig = Some(s2)
-        cur = n2
-        it += 2
-      }
+      val t0 = if (debug) System.nanoTime() else 0L
+      val next = smallStar(largeStar(cur, part), part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSig = signature(next)
+      converged = nextSig == curSig
+      if (debug) System.err.println(
+        f"[cc] round $it took ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+          s" sig=$nextSig")
+      if (!(cur eq init)) cur.unpersist(blocking = false)
+      cur = next
+      curSig = nextSig
+      it += 1
     }
     // star forest: every edge is (node, root); roots appear only on the
     // v side and label themselves
-    cur.select(col("u").as("node"), col("v").as("component"))
-      .union(cur.select(col("v")).distinct()
-        .select(col("v").as("node"), col("v").as("component")))
+    val labeled = cur
+      .flatMap { case (u, v) => Iterator((u, v, false), (v, v, true)) }
+    // root self-labels are emitted once per child edge → distinct them;
+    // child labels are already unique (one root per node in a forest)
+    val out = labeled.flatMap { case (n, c, isRoot) =>
+        if (isRoot) Iterator((n, c)) else Iterator.empty }
+      .distinct(part.numPartitions)
+      .union(labeled.flatMap { case (n, c, isRoot) =>
+        if (isRoot) Iterator.empty else Iterator((n, c)) })
+    init.unpersist(blocking = false)
+    out.toDF("node", "component")
   }
 
   /** Duplicate clusters over a document table: MinHash-LSH near-dup

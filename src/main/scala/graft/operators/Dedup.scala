@@ -140,17 +140,22 @@ object Dedup {
     Bridge.column(graft.functions.SimHash(Bridge.expression(shingleCol)))
 
   /** SQL-parity 60-bit gram hash: the integer value of the first 15
-    * hex chars of md5(gram). Strictly slower than the xxh64 kernel
-    * path (per-gram md5 + hex round-trip inside an interpreted HOF
-    * lambda), but EXACTLY reproducible in the DuckDB oracle
+    * hex chars of md5(gram), computed inside the shingle kernel's
+    * single pass directly from digest bytes (no hex string, no conv
+    * parse — see [[graft.functions.Shingles.md5Prefix60]]). Slower
+    * than xxh64 (md5 is a cryptographic digest) but EXACTLY
+    * reproducible in the DuckDB oracle
     * (`('0x' || substr(md5(g), 1, 15))::BIGINT`), which puts the
     * entire SimHash pipeline under the hash gate instead of a
     * rows-only check. 60 bits keeps the value positive in both
-    * engines' signed BIGINT.
+    * engines' signed BIGINT. The earlier `transform(..., g =>
+    * conv(substring(md5(g),1,15),16,10))` form paid interpreted
+    * per-element lambda evaluation plus two string round-trips per
+    * gram — measured as ~4 s of q_simhash_pairs' 5.2 s at sf0.1.
     */
   def md5GramHashes(toks: Column, n: Int): Column =
-    transform(shinglesFromTokens(toks, n),
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    Bridge.column(graft.functions.Shingles(
+      Bridge.expression(toks), n, md5Parity = true))
 
   /** Near-duplicate pairs by SimHash Hamming distance <= `maxHamming`.
     *

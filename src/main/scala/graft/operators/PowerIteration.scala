@@ -68,11 +68,15 @@ object PowerIteration {
   }
 
   /** Codegen'd exact dot of the quantized vector column against a
-    * driver-resident integer iterate (left-associated 64-bit sum).
+    * driver-resident integer iterate. The iterate rides as a reference
+    * object, not `dim` literals, so the generated source is identical
+    * across rounds — one janino compile for the whole loop instead of
+    * one per round (see [[graft.functions.LongVecDot]]; the per-round
+    * recompiles were the measured dominant cost at sf0.1).
     */
   private def dot(v: Array[Long]): Column =
-    v.indices.map(j => element_at(col("q"), j + 1) * lit(v(j)))
-      .reduce(_ + _)
+    Bridge.column(graft.functions.LongVecDot(
+      Bridge.expression(col("q")), v.toSeq))
 
   private def iterate(emb: DataFrame, id: Column, vec: Column,
       iters: Int, s1: Long, s2: Long): (DataFrame, Array[Long]) = {

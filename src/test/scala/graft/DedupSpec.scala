@@ -131,6 +131,21 @@ class DedupSpec extends AnyFunSuite {
     assert(far > 10, s"unrelated hamming $far")
   }
 
+  test("md5Prefix60 kernel equals the SQL conv(substring(md5)) definition") {
+    // the oracle-parity contract: the byte-level digest-prefix kernel
+    // must agree with the SQL/hex formulation on every gram, including
+    // unicode and digests whose leading nibble is >= 8 (sign hazard)
+    val sqlForm = transform(Dedup.shinglesFromTokens(col("_t"), 3),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    val rows = bigDocs.union(Seq((9L, "tiếng Việt có dấu thử nghiệm φ ∂ 漢字 test"))
+        .toDF("doc_id", "text"))
+      .select(split(col("text"), "\\s+").as("_t"))
+      .select(Dedup.md5GramHashes(col("_t"), 3).as("fast"), sqlForm.as("sql"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (fast, sql) => assert(fast === sql) }
+    assert(rows.exists(_._1.nonEmpty))
+  }
+
   test("simhashNearDupPairs finds the planted cluster, skips unrelated") {
     val pairs = Dedup.simhashNearDupPairs(bigDocs, col("doc_id"), col("text"))
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
