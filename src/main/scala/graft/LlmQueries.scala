@@ -438,13 +438,18 @@ object LlmQueries {
           sqlParityHash = true)
         .orderBy("doc_a", "doc_b")),
 
-    // Embedding-cosine near-dup over documents' companion embeddings:
-    // LSH-bucketed self-join + exact cosine (approximate recall →
-    // rows-only; SimilaritySpec pins planted-pair behavior).
+    // Embedding-cosine near-dup over documents' companion embeddings,
+    // promoted (round 8) from rows-only to a FULL hash gate: the
+    // sign-LSH hyperplanes are ±1 md5-parity vectors and every dot /
+    // norm / threshold comparison is exact integer arithmetic, so the
+    // oracle recomputes the ENTIRE pipeline — bucketing included —
+    // bit-for-bit (BinaryEmbed.intCosineNearDupPairs; the float
+    // Gaussian-plane path remains as the Similarity operator with
+    // SimilaritySpec pinning planted-pair recall).
     "q_cos_near_dup" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
-          col("vec_id"), col("embedding"), threshold = 0.3, dim = 64)
-        .select("id_a", "id_b")
+      graft.operators.BinaryEmbed.intCosineNearDupPairs(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          tPct = 30, dim = 64)
         .orderBy("id_a", "id_b")),
 
     // Binary-signature Hamming ANN: sign-binarized embeddings packed
@@ -992,6 +997,57 @@ object LlmQueries {
          |JOIN sp sb ON p.doc_b = sb.doc_id
          |WHERE p.jaccard >= 0.8 AND sa.split <> sb.split
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // full-pipeline recomputation: quantize -> ±1 md5-parity sign-LSH
+    // buckets -> intra-bucket candidate pairs -> exact integer cosine
+    // threshold. The bucketing is part of the query semantics, so the
+    // oracle mirrors it instead of needing a recall-completeness
+    // argument; HUGEINT stands in for Spark's DECIMAL(38,0).
+    "q_cos_near_dup" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) FOR x IN embedding] AS q
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |),
+        |w AS (SELECT id, q,
+        |  CAST(list_sum([x*x FOR x IN q]) AS BIGINT) AS na FROM v),
+        |planes AS (
+        |  SELECT t.t, b.b, i.i,
+        |    CASE WHEN (('0x' || substr(md5(
+        |             t.t::VARCHAR || ':' || b.b::VARCHAR || ':' || i.i::VARCHAR),
+        |           1, 15))::BIGINT & 1) = 1
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM range(0, 6) t(t), range(0, 8) b(b), range(1, 65) i(i)
+        |),
+        |dots AS (
+        |  SELECT w.id, p.t, p.b, sum(p.sgn * w.q[CAST(p.i AS INTEGER)]) AS d
+        |  FROM w, planes p
+        |  GROUP BY w.id, p.t, p.b
+        |),
+        |keys AS (
+        |  SELECT id, t,
+        |    CAST(sum(CASE WHEN d >= 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS key
+        |  FROM dots GROUP BY id, t
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM keys a JOIN keys b ON a.t = b.t AND a.key = b.key AND a.id < b.id
+        |),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(list_sum([wa.q[i] * wb.q[i] for i in range(1, 65)]) AS BIGINT) AS num,
+        |    wa.na AS na, wb.na AS nb
+        |  FROM cand c
+        |  JOIN w wa ON wa.id = c.id_a
+        |  JOIN w wb ON wb.id = c.id_b
+        |)
+        |SELECT id_a, id_b, num,
+        |  CAST(num AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine
+        |FROM scored
+        |WHERE num > 0
+        |  AND 10000 * CAST(num AS HUGEINT) * num >= 900 * CAST(na AS HUGEINT) * nb
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_ham_topk" ->
       """WITH s AS (SELECT vec_id,
         |  CAST(list_sum([CASE WHEN embedding[i] > 0

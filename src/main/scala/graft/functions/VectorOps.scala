@@ -151,6 +151,110 @@ case class LongVecDot(child: Expression, v: Seq[Long])
     copy(child = newChild)
 }
 
+/** Exact 64-bit dot of two `array<long>` columns — the pairwise form
+  * of [[LongVecDot]], used for the integer-cosine verification of
+  * embedding near-dup candidates. Integer sums are order-free, so the
+  * value is partitioning-invariant and oracle-reproducible
+  * (`list_sum([a.q[i]*b.q[i] ...])` in DuckDB).
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "long_dot"
+  override def dataType: DataType = LongType
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("longdot", this, classOf[LongDot].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  def compute(x: ArrayData, y: ArrayData): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** All `tables` INTEGER sign-LSH bucket keys of a quantized
+  * `array<long>` vector in one pass — the oracle-reproducible analogue
+  * of [[SignLshBuckets]]. Hyperplanes have ±1 entries derived from the
+  * md5 parity of the string "t:b:i" (table, bit, 1-based dimension —
+  * exactly `('0x'||substr(md5(t||':'||b||':'||i),1,15))::BIGINT & 1`
+  * in DuckDB, the [[Shingles.md5Prefix60]] hash), so bucket membership
+  * is exact integer arithmetic both engines compute bit-identically:
+  * bit(t,b) = (Σᵢ sgn(t,b,i)·q(i) >= 0), key(t) = Σ_b bit(t,b)·2^b.
+  * ±1-entry random projections are a standard sign-LSH family
+  * (Charikar'02 hyperplanes with Rademacher instead of Gaussian
+  * entries; Achlioptas'01 shows database-friendly ±1 projections
+  * preserve angles with the same guarantees), so recall behaves like
+  * the float path while every value stays oracle-gateable. The signs
+  * are derived once per expression instance (tables×bits×dim md5
+  * calls), never per row.
+  */
+case class IntSignLshKeys(child: Expression, dim: Int, bits: Int,
+    tables: Int) extends UnaryExpression {
+  override def prettyName: String = "int_sign_lsh_keys"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // row-major (table, bit, component); +1 when the md5 parity bit is
+  // set, -1 otherwise
+  @transient private lazy val flat: Array[Int] =
+    Array.tabulate(tables * bits * dim) { x =>
+      val i = x % dim + 1
+      val b = x / dim % bits
+      val t = x / (dim * bits)
+      val h = Shingles.md5Prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$t:$b:$i"))
+      if ((h & 1L) == 1L) 1 else -1
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intlsh", this, classOf[IntSignLshKeys].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(q: ArrayData): ArrayData = {
+    val n = math.min(q.numElements(), dim)
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var s = 0L
+        var i = 0
+        while (i < n) {
+          s += q.getLong(i) * flat(base + i)
+          i += 1
+        }
+        if (s >= 0L) key |= (1L << b)
+        b += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IntSignLshKeys =
+    copy(child = newChild)
+}
+
 /** All `tables` sign-LSH bucket keys of a vector in one pass:
   * key(t) = fold over bits b of `key*2 + (dot(v, plane(t)(b)) >= 0)`.
   *

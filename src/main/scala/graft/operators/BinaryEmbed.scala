@@ -72,6 +72,67 @@ object BinaryEmbed {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs, EXACT-integer end to end —
+    * the fully oracle-gateable form of
+    * [[Similarity.cosineNearDupPairs]] (whose Gaussian hyperplanes and
+    * float dots are not SQL-reproducible, leaving it rows-only).
+    *
+    * Pipeline, every stage bit-identical in the DuckDB oracle:
+    *  1. quantize: qᵢ = ⌊xᵢ·s + ½⌋ (exact BIGINT), nₐ = Σ qᵢ²;
+    *  2. bucket: `tables` integer sign-LSH keys from ±1 md5-parity
+    *     hyperplanes ([[graft.functions.IntSignLshKeys]]) — the
+    *     bucketing itself is part of the query semantics, so the gate
+    *     needs no completeness argument: engine and oracle enumerate
+    *     the SAME candidate set (all intra-bucket pairs, deduped);
+    *  3. verify: num = Σ qₐᵢ·qᵦᵢ > 0 and
+    *     10⁴·num² ≥ tPct²·nₐ·nᵦ in exact DECIMAL — equivalent to
+    *     cosine ≥ tPct/100 over the quantized vectors with no FP
+    *     comparison anywhere;
+    *  4. report cosine = num / √(nₐ·nᵦ): nₐ·nᵦ < 2⁵³ is double-exact
+    *     and IEEE sqrt/division are correctly rounded in both engines,
+    *     so even the double column hash-matches.
+    *
+    * Scale shape: identical to the float path — narrow quantize/bucket
+    * projections, salted band-key equi-join ([[BucketPairs]]), never
+    * all-pairs. Overflow contract: |x| ≤ 1 and dim·s² < 2⁶² keeps num
+    * and nₐ in 64-bit range; the threshold products live in
+    * DECIMAL(38,0) (HUGEINT oracle-side).
+    */
+  def intCosineNearDupPairs(emb: DataFrame, id: Column, vec: Column,
+      tPct: Int = 30, dim: Int = 64, bits: Int = 8, tables: Int = 6,
+      s: Long = 1000L, bucketCap: Int = 1000): DataFrame = {
+    require(tPct >= 1 && tPct <= 99, "tPct is an integer percent")
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.{IntSignLshKeys, LongDot}
+    def longDot(a: Column, b: Column): Column =
+      Bridge.column(LongDot(Bridge.expression(a), Bridge.expression(b)))
+    // persisted pre-explode: BucketPairs consumes its input three
+    // times (size lookup + both join sides); one row per vector
+    val q = Bridge.persistRows(emb
+      .filter(vec.isNotNull)
+      .select(id.as("_id"),
+        transform(vec, x => floor(x.cast("double") * s + lit(0.5))
+          .cast("long")).as("_q"))
+      .withColumn("_na", longDot(col("_q"), col("_q")))
+      .withColumn("_keys", Bridge.column(IntSignLshKeys(
+        Bridge.expression(col("_q")), dim, bits, tables))))
+    val bucketed = q.select(col("_id"), col("_q"), col("_na"),
+      posexplode(col("_keys")).as(Seq("_table", "_key")))
+    val dec = "decimal(38,0)"
+    BucketPairs
+      .boundedPairs(bucketed, Seq("_table", "_key"), "_id",
+        Seq("_q", "_na"), bucketCap)
+      .dropDuplicates("_id_a", "_id_b")
+      .withColumn("num", longDot(col("_q_a"), col("_q_b")))
+      .filter(col("num") > 0 &&
+        col("num").cast(dec) * col("num") * lit(10000) >=
+          col("_na_a").cast(dec) * col("_na_b") * lit(tPct * tPct))
+      .select(col("_id_a").as("id_a"), col("_id_b").as("id_b"),
+        col("num"),
+        (col("num").cast("double") /
+          sqrt((col("_na_a") * col("_na_b")).cast("double"))).as("cosine"))
+  }
+
   /** Symmetric int8 scalar quantization with a per-vector scale:
     * scale = 127 / max(|x_i|), q_i = floor(x_i * scale + 0.5). The
     * quantized array plus the (double) scale reproduce the vector to

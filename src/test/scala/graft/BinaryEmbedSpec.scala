@@ -74,6 +74,36 @@ class BinaryEmbedSpec extends AnyFunSuite {
     }
   }
 
+  test("intCosineNearDupPairs finds planted near-dups, skips unrelated") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val near = base.clone(); near(7) += 0.01f // cosine ~ 1
+    val anti = base.map(-_)                   // cosine -1: num <= 0 gate
+    val noise = (0 until 20).map(i =>
+      (10L + i, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = (Seq((0L, base), (1L, near), (2L, anti)) ++ noise)
+      .toDF("vec_id", "embedding")
+    val pairs = BinaryEmbed.intCosineNearDupPairs(df, col("vec_id"),
+        col("embedding"), tPct = 90)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("intCosineNearDupPairs is invariant under input partitioning") {
+    val rnd = new scala.util.Random(3)
+    val docs = (0 until 40).map { i =>
+      val v = Array.fill(64)(rnd.nextFloat() - 0.5f)
+      (i.toLong, v)
+    }
+    def run(parts: Int) = BinaryEmbed.intCosineNearDupPairs(
+        docs.toDF("vec_id", "embedding").repartition(parts),
+        col("vec_id"), col("embedding"), tPct = 30)
+      .select("id_a", "id_b", "num").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(run(1) === run(7))
+  }
+
   test("signature build plans as a narrow projection — no shuffle") {
     val plan = BinaryEmbed.withBinarySignature(
         Tables.embeddings(spark, "/root/testdata/sf0.001"), col("embedding"))
