@@ -542,6 +542,52 @@ object LlmQueries {
         .select(col("media_id").as("doc_id"), col("n_bytes"))
         .orderBy("doc_id")
     }),
+
+    // Integer-exact Lloyd k-means over the embedding corpus (k=8,
+    // 2 assignment rounds, deterministic lowest-id seeds) — the coarse
+    // clustering SemDeDup-style semantic dedup partitions by. Every
+    // distance, argmin tie-break, and centroid floor-division is exact
+    // integer arithmetic, so the full clustering recursion hash-gates
+    // (see operators/KMeans for the quantization and sign contracts).
+    "q_kmeans_assign" -> ((s, d) =>
+      graft.operators.KMeans.assign(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), k = 8, rounds = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
+    // SemDeDup semantic near-duplicate pruning (Abbas et al. 2023):
+    // k-means cells bound the candidate pairs (BucketPairs-salted,
+    // never all-pairs), exact integer cosine >= 0.30 within a cell
+    // drops every member but the lowest id. The oracle replays the
+    // whole pipeline — clustering included — relationally.
+    "q_semantic_dedup" -> ((s, d) =>
+      graft.operators.KMeans.semanticDedup(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), k = 8, rounds = 2, tPct = 30)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
+    // Deterministic weighted systematic sampling: ~50 documents drawn
+    // with probability proportional to length over an md5-shuffled
+    // frame — quality/length-weighted corpus subsampling with zero RNG
+    // state; prefix sums ride the two-phase global-cumsum scan (no
+    // single-task window).
+    "q_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedSystematic(
+          docs(s, d).select("doc_id", "n_chars"),
+          col("doc_id"), col("n_chars"), target = 50)
+        .select("doc_id", "sample_w", "sample_cum")
+        .orderBy("doc_id")),
+
+    // Count-min sketch heavy hitters with the md5-prefix hash family:
+    // top-20 corpus terms by CMS estimate with the exact count
+    // alongside — deterministic counters make the sketch itself (not
+    // just its output rows) oracle-checkable, unlike Spark's seeded
+    // HLL/KLL surface (q_approx_stats).
+    "q_cms_topk" -> ((s, d) =>
+      graft.operators.Sketch.cmsHeavyHitters(docs(s, d), col("text"),
+          d = 3, w = 64, k = 20)
+        .select("term", "est", "cnt", "rank")
+        .orderBy("rank")),
   )
 
   private val langScoresSql: String =
@@ -1322,5 +1368,122 @@ object LlmQueries {
     "q_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // k-means CTE shared by q_kmeans_assign / q_semantic_dedup: the
+    // full 2-round Lloyd recursion rebuilt relationally — quantize,
+    // lowest-id seeds, exact integer argmin (ties -> lowest cluster),
+    // sign-explicit floor-division centroid update (empty clusters
+    // carry their seed forward).
+    "q_kmeans_assign" ->
+      (kmeansCte + """
+        |SELECT vec_id, cl AS cluster, CAST(dist AS BIGINT) AS dist
+        |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    "q_semantic_dedup" ->
+      (kmeansCte + """,
+        |fin AS (SELECT vec_id, cl FROM a2 WHERE rn = 1),
+        |w AS (SELECT vec_id AS id, q,
+        |  CAST(list_sum([x*x FOR x IN q]) AS BIGINT) AS nq FROM q),
+        |scored AS (
+        |  SELECT b.vec_id AS ib,
+        |    CAST(list_sum([wa.q[i] * wb.q[i] for i in range(1, 65)])
+        |      AS BIGINT) AS num,
+        |    wa.nq AS na, wb.nq AS nb
+        |  FROM fin a JOIN fin b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |  JOIN w wa ON wa.id = a.vec_id
+        |  JOIN w wb ON wb.id = b.vec_id
+        |),
+        |dropped AS (
+        |  SELECT DISTINCT ib AS id FROM scored
+        |  WHERE num > 0
+        |    AND 10000 * CAST(num AS HUGEINT) * num
+        |          >= 900 * CAST(na AS HUGEINT) * nb
+        |)
+        |SELECT f.vec_id, f.cl AS cluster FROM fin f
+        |WHERE f.vec_id NOT IN (SELECT id FROM dropped)
+        |ORDER BY f.vec_id""".stripMargin),
+    "q_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, greatest(n_chars, 1) AS sample_w,
+        |    md5(doc_id::VARCHAR) AS h
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, sample_w,
+        |    coalesce(sum(sample_w) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS sample_cum,
+        |    sum(sample_w) OVER () AS total
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(sample_w AS BIGINT) AS sample_w,
+        |  CAST(sample_cum AS BIGINT) AS sample_cum
+        |FROM c
+        |WHERE sample_cum // greatest(total // 50, 1)
+        |    < (sample_cum + sample_w) // greatest(total // 50, 1)
+        |ORDER BY doc_id""".stripMargin,
+    "q_cms_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), w -> w <> '')) AS term
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |exact AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |cells AS (
+        |  SELECT r.r,
+        |    ('0x' || substr(md5(r.r::VARCHAR || ':' || e.term), 1, 15))
+        |      ::BIGINT % 64 AS cell,
+        |    e.term, e.cnt
+        |  FROM exact e, range(0, 3) r(r)
+        |),
+        |counters AS (SELECT r, cell, sum(cnt) AS c
+        |             FROM cells GROUP BY r, cell),
+        |est AS (
+        |  SELECT ce.term, min(co.c) AS est, min(ce.cnt) AS cnt
+        |  FROM cells ce JOIN counters co ON co.r = ce.r AND co.cell = ce.cell
+        |  GROUP BY ce.term
+        |)
+        |SELECT term, CAST(est AS BIGINT) AS est, CAST(cnt AS BIGINT) AS cnt,
+        |  rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY est DESC, term) AS rank
+        |      FROM est)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
   )
+
+  /** The 2-round integer Lloyd recursion as DuckDB CTEs — shared
+    * between the assignment and SemDeDup oracles. Mirrors
+    * [[graft.operators.KMeans]] stage for stage (same quantization,
+    * seed rule, tie-break, and sign-explicit centroid division).
+    */
+  private def kmeansCte: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      |     FOR x IN embedding] AS q
+      |  FROM embeddings WHERE embedding IS NOT NULL
+      |),
+      |qx AS (SELECT vec_id, generate_subscripts(q, 1) AS pos,
+      |              unnest(q) AS v FROM q),
+      |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+      |          FROM q ORDER BY vec_id LIMIT 8),
+      |c0 AS (SELECT s.cl, qx.pos, qx.v AS c
+      |       FROM seeds s JOIN qx ON qx.vec_id = s.vec_id),
+      |d1 AS (SELECT qx.vec_id, c0.cl,
+      |         sum((qx.v - c0.c) * (qx.v - c0.c)) AS dist
+      |       FROM qx JOIN c0 ON qx.pos = c0.pos GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cl, dist, row_number() OVER
+      |         (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d1),
+      |a1f AS (SELECT vec_id, cl FROM a1 WHERE rn = 1),
+      |c1s AS (SELECT a.cl, qx.pos, sum(qx.v) AS sm, count(*) AS n
+      |        FROM a1f a JOIN qx ON qx.vec_id = a.vec_id GROUP BY 1, 2),
+      |c1 AS (SELECT cl, pos,
+      |         CAST(CASE WHEN sm >= 0 THEN sm // n
+      |              ELSE -((-sm) // n) END AS BIGINT) AS c
+      |       FROM c1s
+      |       UNION ALL
+      |       SELECT c0.cl, c0.pos, c0.c FROM c0
+      |       WHERE c0.cl NOT IN (SELECT cl FROM c1s)),
+      |d2 AS (SELECT qx.vec_id, c1.cl,
+      |         sum((qx.v - c1.c) * (qx.v - c1.c)) AS dist
+      |       FROM qx JOIN c1 ON qx.pos = c1.pos GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cl, dist, row_number() OVER
+      |         (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d2)""".stripMargin
 }

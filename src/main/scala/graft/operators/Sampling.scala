@@ -145,4 +145,51 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Deterministic weighted systematic sampling: ≈`target` rows drawn
+    * with inclusion probability proportional to `weight` — the
+    * quality-weighted corpus subsampling step (sample long/high-score
+    * documents proportionally more) in a form with zero RNG state.
+    *
+    * Classic systematic sampling over a shuffled frame: order rows by
+    * a content hash (md5 of the key — a deterministic global shuffle),
+    * take the running weight total, and keep every row whose weight
+    * span [cum, cum + w) crosses a multiple of stride = ⌊W / target⌋.
+    * A row with w ≥ stride is always kept (span covers a boundary);
+    * inclusion probability is w/stride otherwise — exactly the
+    * probability-proportional-to-size design, with the md5 order
+    * standing in for the random permutation. All arithmetic is
+    * integral (weights clamped to ≥ 1, floor division on non-negative
+    * operands), so every kept row is oracle-reproducible.
+    *
+    * Scale shape: the only global state is the prefix sum, computed by
+    * [[Packing.withGlobalCumsum]]'s two-phase scan (range partition on
+    * the hash → local window → broadcast per-partition offsets) — no
+    * single-task window; the total rides a broadcast-scalar join. The
+    * md5 order key doubles as the anti-clustering guarantee systematic
+    * sampling needs: adjacent input rows land far apart, so stride
+    * periodicity cannot alias with any data periodicity.
+    */
+  def weightedSystematic(df: DataFrame, key: Column, weight: Column,
+      target: Int): DataFrame = {
+    require(target >= 1, "target must be >= 1")
+    val base = df
+      .withColumn("_wsw", greatest(weight.cast("long"), lit(1L)))
+      .withColumn("_wsh", md5(key.cast("string")))
+    val ord = struct(col("_wsh"), key)
+    val cum = Packing.withGlobalCumsum(base, ord, col("_wsw"), "_wscum")
+    val total = cum.agg(sum(col("_wsw")).as("_wstotal"))
+    // integer DIV throughout: `/` on longs is double division, and
+    // floor(double) loses exactness past 2^53 — a real hazard when the
+    // cumulative weight is corpus-scale
+    cum.crossJoin(broadcast(total))
+      .withColumn("_wsstride",
+        greatest(expr("_wstotal DIV " + target.toLong), lit(1L)))
+      .filter(
+        expr("_wscum DIV _wsstride") <
+          expr("(_wscum + _wsw) DIV _wsstride"))
+      .drop("_wsh", "_wstotal", "_wsstride")
+      .withColumnRenamed("_wsw", "sample_w")
+      .withColumnRenamed("_wscum", "sample_cum")
+  }
 }
