@@ -588,6 +588,30 @@ object LlmQueries {
           d = 3, w = 64, k = 20)
         .select("term", "est", "cnt", "rank")
         .orderBy("rank")),
+
+    // Fasttext-shaped hashed bag-of-char-trigrams linear classifier
+    // inference: codegen'd one-pass gram→bucket kernel, broadcast
+    // weight matrix, map-side-combinable (doc, class) scores, argmax
+    // via one struct-min aggregate — the model-based corpus gating
+    // path with a deterministic stand-in weight matrix so inference
+    // hash-gates end to end (operators/Classifier).
+    "q_hash_classifier" -> ((s, d) =>
+      graft.operators.Classifier.hashNgramPredict(docs(s, d),
+          col("doc_id"), col("text"), classes = 3, n = 3, buckets = 64)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // Deterministic interleaved epoch ordering: per-source md5
+    // shuffle + round-robin interleave, global position via the
+    // two-phase prefix-sum scan — the reproducible "shuffle the
+    // corpus for training" order with a uniform source mix in every
+    // prefix.
+    "q_epoch_order" -> ((s, d) =>
+      graft.operators.Sampling.epochOrder(
+          docs(s, d).select("doc_id", "source"),
+          col("doc_id"), col("source"))
+        .select("doc_id", "source", "epoch_rn", "epoch_pos")
+        .orderBy("epoch_pos")),
   )
 
   private val langScoresSql: String =
@@ -1446,6 +1470,48 @@ object LlmQueries {
         |FROM (SELECT *, row_number() OVER (ORDER BY est DESC, term) AS rank
         |      FROM est)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q_hash_classifier" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    unnest([substr(lower(text), i, 3)
+        |            for i in range(1, length(text) - 1)]) AS g
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 3
+        |),
+        |feats AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS b,
+        |    count(*) AS cnt
+        |  FROM grams GROUP BY doc_id, b
+        |),
+        |wts AS (
+        |  SELECT c.c, b.b,
+        |    ('0x' || substr(md5('w:' || c.c::VARCHAR || ':' || b.b::VARCHAR),
+        |       1, 15))::BIGINT % 7 - 3 AS w
+        |  FROM range(0, 3) c(c), range(0, 64) b(b)
+        |),
+        |scores AS (
+        |  SELECT f.doc_id, w.c, sum(w.w * f.cnt) AS score
+        |  FROM feats f JOIN wts w ON w.b = f.b
+        |  GROUP BY f.doc_id, w.c
+        |),
+        |best AS (
+        |  SELECT doc_id, c, score, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+        |  FROM scores
+        |)
+        |SELECT doc_id, c AS cls, CAST(score AS BIGINT) AS score
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_epoch_order" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS epoch_rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, epoch_rn,
+        |  row_number() OVER (ORDER BY epoch_rn, source, doc_id) - 1
+        |    AS epoch_pos
+        |FROM r ORDER BY epoch_pos""".stripMargin,
   )
 
   /** The 2-round integer Lloyd recursion as DuckDB CTEs — shared

@@ -193,3 +193,64 @@ case class GramSetCount(child: Expression, grams: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): GramSetCount =
     copy(child = newChild)
 }
+
+/** Hashed character n-gram feature buckets: one 60-bit-md5 bucket id
+  * per gram position (multiplicity preserved, first-to-last order) —
+  * the feature-extraction pass of a fasttext-shaped hashed
+  * bag-of-n-grams linear classifier. One tight JVM pass per row
+  * instead of a `transform(sequence(...), substr)` HOF chain (HOF
+  * lambdas evaluate interpreted per element, and the md5 would run
+  * through three string expressions per gram).
+  *
+  * Gram extraction is CODE-POINT based (not UTF-16 units), matching
+  * DuckDB `substr(text, i, n)` / `length(text)` semantics so the
+  * bucket ids are oracle-reproducible for any valid UTF-8: bucket =
+  * `('0x' || substr(md5(substr(lower(text), i, n)), 1, 15))::BIGINT
+  * % mod` — md5 over the gram's UTF-8 bytes via
+  * [[Shingles.md5Prefix60]], always non-negative, so `%` and `pmod`
+  * agree.
+  */
+case class CharGramBuckets(child: Expression, n: Int, mod: Int)
+    extends UnaryExpression {
+  require(n >= 1, "gram length must be >= 1")
+  require(mod >= 1, "bucket count must be >= 1")
+  override def prettyName: String = "char_gram_buckets"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charGramBuckets", this,
+      classOf[CharGramBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    // code-point index: cp(i) = UTF-16 offset of the i-th code point
+    val cps = s.codePointCount(0, s.length)
+    if (cps < n) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    }
+    val offs = new Array[Int](cps + 1)
+    var o = 0
+    var i = 0
+    while (i < cps) { offs(i) = o; o = s.offsetByCodePoints(o, 1); i += 1 }
+    offs(cps) = s.length
+    val out = new Array[Any](cps - n + 1)
+    var g = 0
+    while (g <= cps - n) {
+      val gram = s.substring(offs(g), offs(g + n))
+      out(g) = java.lang.Long.valueOf(
+        Shingles.md5Prefix60(UTF8String.fromString(gram)) % mod)
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramBuckets =
+    copy(child = newChild)
+}

@@ -192,4 +192,32 @@ object Sampling {
       .withColumnRenamed("_wsw", "sample_w")
       .withColumnRenamed("_wscum", "sample_cum")
   }
+
+  /** Deterministic training-epoch ordering with source interleaving:
+    * each source's rows are shuffled by content hash, then the
+    * sources are interleaved round-robin (row 0 of every source, then
+    * row 1, …) so any prefix of the epoch carries a near-uniform
+    * source mix — the property a streaming training loader needs from
+    * its input order, with zero RNG state and append-stability inside
+    * each source prefix.
+    *
+    * Adds `epoch_rn` (the row's rank within its source's md5 shuffle)
+    * and `epoch_pos` (the 0-based global position in the interleaved
+    * order: sort by (epoch_rn, source, key)).
+    *
+    * Scale shape: one shuffle on the source key for the per-source
+    * rank window, then the global position comes from
+    * [[Packing.withGlobalCumsum]]'s two-phase scan over value 1 —
+    * a range partition on the interleave key, never a single-task
+    * window. (At 100 TB you would usually SORT by the interleave key
+    * and let position stay implicit; the explicit `epoch_pos` is what
+    * makes the order hash-gateable.)
+    */
+  def epochOrder(df: DataFrame, key: Column, source: Column): DataFrame = {
+    val w = Window.partitionBy(source)
+      .orderBy(md5(key.cast("string")), key)
+    val ranked = df.withColumn("epoch_rn", row_number().over(w) - 1)
+    Packing.withGlobalCumsum(ranked,
+      struct(col("epoch_rn"), source, key), lit(1L), "epoch_pos")
+  }
 }

@@ -247,6 +247,41 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("k-means assignment is one narrow scan — no joins, no hash shuffle") {
+    // centroids ride as driver-resident reference objects, so the
+    // final assignment is a codegen'd projection over the persisted
+    // quantized corpus: the ONLY exchange is the output-order sort
+    val p = plan("q_kmeans_assign")
+    assert(!p.contains("Join"), "assignment must not join centroids:\n" +
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 0, s"expected 0 hash shuffles, got $hashExchanges")
+  }
+
+  test("semantic dedup pairs ride equi-joins on the cluster key") {
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("NestedLoop"),
+      "within-cluster pairs must come from an equi-join, not a loop join")
+  }
+
+  test("weighted sampling: broadcast offsets + scalar total, no merge join") {
+    val p = plan("q_weighted_sample")
+    // the per-partition offset join and the grand-total join both
+    // broadcast index-metadata relations; the data side never shuffles
+    // for a join
+    assert(p.contains("BroadcastHashJoin"), "offset join must broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin"), "scalar total must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no data-sized join side may shuffle:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("CMS top-k prunes through TakeOrdered before the rank window") {
+    val p = plan("q_cms_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must prune to k rows before the single-partition rank window")
+  }
+
   test("sketch/vector expressions emit real codegen (no eval-island fallback)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.WholeStageCodegenExec
