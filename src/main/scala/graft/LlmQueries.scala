@@ -601,6 +601,18 @@ object LlmQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // Hard-negative mining for contrastive training: nearest
+    // different-label corpus vectors per query under exact signature
+    // Hamming distance — broadcast queries, one corpus scan, label
+    // inequality folded into the join predicate.
+    "q_hard_negatives" -> ((s, d) =>
+      graft.operators.BinaryEmbed.hammingHardNegatives(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          col("label"), Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .select("query_id", "neighbor_id", "neighbor_label", "hamming",
+          "rank")
+        .orderBy("query_id", "rank")),
+
     // Deterministic interleaved epoch ordering: per-source md5
     // shuffle + round-robin interleave, global position via the
     // two-phase prefix-sum scan — the reproducible "shuffle the
@@ -1501,6 +1513,28 @@ object LlmQueries {
         |)
         |SELECT doc_id, c AS cls, CAST(score AS BIGINT) AS score
         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH s AS (SELECT vec_id, label,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0
+        |      THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END
+        |    for i in range(1, 33)]) AS BIGINT) AS sig_lo,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0
+        |      THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE CAST(0 AS BIGINT) END
+        |    for i in range(33, 65)]) AS BIGINT) AS sig_hi
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_lab,
+        |             sig_lo AS q_lo, sig_hi AS q_hi
+        |      FROM s WHERE vec_id < 5),
+        |d AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+        |  s.label AS neighbor_label,
+        |  CAST(bit_count(xor(q.q_lo, s.sig_lo))
+        |     + bit_count(xor(q.q_hi, s.sig_hi)) AS BIGINT) AS hamming
+        |  FROM q JOIN s ON s.vec_id <> q.query_id AND s.label <> q.q_lab)
+        |SELECT query_id, neighbor_id, neighbor_label, hamming, rank FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+        |  FROM d)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_epoch_order" ->
       """WITH r AS (
         |  SELECT doc_id, source,

@@ -72,6 +72,35 @@ object BinaryEmbed {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: the `k` NEAREST
+    * corpus vectors per query that carry a DIFFERENT label — the
+    * highest-value negatives an embedding trainer can sample, and the
+    * standard mining pass over a labeled corpus. Same broadcast-query
+    * × corpus-scan shape and exact signature Hamming arithmetic as
+    * [[hammingTopK]], with the label inequality folded into the join
+    * predicate so disqualified rows never reach the rank window.
+    */
+  def hammingHardNegatives(df: DataFrame, id: Column, vec: Column,
+      label: Column, queryIds: Seq[Long], k: Int): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1, "need query ids and k >= 1")
+    val sigs = withBinarySignature(
+      df.select(id.as("_id"), vec.as("_v"), label.as("_lab")), col("_v"))
+      .select("_id", "_lab", "sig_lo", "sig_hi")
+    val q = sigs.filter(col("_id").isin(queryIds: _*))
+      .select(col("_id").as("query_id"), col("_lab").as("q_lab"),
+        col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+    val scored = sigs.join(broadcast(q),
+        col("_id") =!= col("query_id") && col("_lab") =!= col("q_lab"))
+      .select(col("query_id"), col("_id").as("neighbor_id"),
+        col("_lab").as("neighbor_label"),
+        hammingDist(col("q_lo"), col("q_hi"), col("sig_lo"), col("sig_hi"))
+          .as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, EXACT-integer end to end —
     * the fully oracle-gateable form of
     * [[Similarity.cosineNearDupPairs]] (whose Gaussian hyperplanes and

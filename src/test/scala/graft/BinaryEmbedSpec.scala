@@ -49,6 +49,25 @@ class BinaryEmbedSpec extends AnyFunSuite {
     assert(out === Seq((1L, 1L, 1), (5L, 1L, 2), (2L, 2L, 3), (3L, 3L, 4)))
   }
 
+  test("hammingHardNegatives excludes same-label rows however close") {
+    // id 1 is IDENTICAL to the query but shares its label — a perfect
+    // positive, never a negative; the mined negatives must be the
+    // nearest different-label rows only
+    val df = Seq(
+      (0L, vec(Set.empty[Int]), 7),
+      (1L, vec(Set.empty[Int]), 7), // same label, hamming 0 — excluded
+      (2L, vec(Set(5)), 8), // d=1, different label
+      (3L, vec(Set(5, 40)), 9), // d=2, different label
+      (4L, vec(Set(1, 2, 3)), 7), // same label — excluded
+      (5L, vec(Set(6)), 8) // d=1, tie with id 2 → after it
+    ).toDF("vec_id", "embedding", "label")
+    val out = BinaryEmbed.hammingHardNegatives(df, col("vec_id"),
+        col("embedding"), col("label"), Seq(0L), 3)
+      .select("neighbor_id", "neighbor_label", "hamming", "rank")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._4).toSeq
+    assert(out === Seq((2L, 8, 1L, 1), (5L, 8, 1L, 2), (3L, 9, 2L, 3)))
+  }
+
   test("quantizeInt8: golden values, max maps to ±127") {
     val df = Seq((0L, Array(1.0f, -0.5f, 0.25f, 0.0f, -1.0f)))
       .toDF("vec_id", "embedding")
