@@ -10,9 +10,9 @@ import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{DotProduct, Ema, GramSetCount, MinHashBands,
-  MinHashSignature, PunctCount, Shingles, SimHash, SortedOverlapCount,
-  SubtokenCount, WordSetCount}
+import graft.functions.{CharGramBuckets, DotProduct, Ema, GramSetCount,
+  LongDot, MinHashBands, MinHashSignature, PunctCount, Shingles, SimHash,
+  SortedOverlapCount, SubtokenCount, WordSetCount}
 
 /** SQL surface for graft's custom expressions.
   *
@@ -85,7 +85,14 @@ object GraftFunctions {
     ("gram_set_count",
       "gram_set_count(text, 'g1,g2,…') - non-overlapping ordered-alternation literal-gram count",
       c => GramSetCount(c(0),
-        strArg(c(1), "gram_set_count grams").split(',').toSeq)))
+        strArg(c(1), "gram_set_count grams").split(',').toSeq)),
+    ("long_dot",
+      "long_dot(array<bigint>, array<bigint>) - exact 64-bit integer dot product",
+      c => LongDot(c(0), c(1))),
+    ("char_gram_buckets",
+      "char_gram_buckets(text, n, mod) - md5-prefix bucket id per code-point n-gram",
+      c => CharGramBuckets(c(0), intArg(c(1), "char_gram_buckets n"),
+        intArg(c(2), "char_gram_buckets mod"))))
 
   def inject(ext: SparkSessionExtensions): Unit = {
     all.foreach { case (name, usage, builder) =>

@@ -601,6 +601,16 @@ object LlmQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // Embedding-quality probe audit: leave-one-out kNN label
+    // consistency over a content-addressed probe sample (broadcast
+    // probes, one corpus signature scan, majority vote by struct-min)
+    // — per-label accuracy counts, integer-exact end to end.
+    "q_knn_eval" -> ((s, d) =>
+      graft.operators.BinaryEmbed.knnLabelEval(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), col("label"),
+          probeMod = 10, k = 5)
+        .orderBy("label")),
+
     // Hard-negative mining for contrastive training: nearest
     // different-label corpus vectors per query under exact signature
     // Hamming distance — broadcast queries, one corpus scan, label
@@ -1513,6 +1523,42 @@ object LlmQueries {
         |)
         |SELECT doc_id, c AS cls, CAST(score AS BIGINT) AS score
         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_knn_eval" ->
+      """WITH s AS (SELECT vec_id, label,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0
+        |      THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END
+        |    for i in range(1, 33)]) AS BIGINT) AS sig_lo,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0
+        |      THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE CAST(0 AS BIGINT) END
+        |    for i in range(33, 65)]) AS BIGINT) AS sig_hi
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_lab,
+        |             sig_lo AS q_lo, sig_hi AS q_hi
+        |      FROM s
+        |      WHERE (((((vec_id % 1000000007) * 2654435761) % 1000000007)
+        |              + 40503) * 2654435761) % 1000000007 % 10 = 0),
+        |d AS (SELECT q.query_id, q.q_lab, s.vec_id AS nid,
+        |  s.label AS n_lab,
+        |  CAST(bit_count(xor(q.q_lo, s.sig_lo))
+        |     + bit_count(xor(q.q_hi, s.sig_hi)) AS BIGINT) AS hamming
+        |  FROM q JOIN s ON s.vec_id <> q.query_id),
+        |topk AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY hamming, nid) AS rnk FROM d)
+        |  WHERE rnk <= 5),
+        |votes AS (
+        |  SELECT query_id, q_lab, n_lab, count(*) AS v
+        |  FROM topk GROUP BY query_id, q_lab, n_lab),
+        |pred AS (
+        |  SELECT query_id, q_lab, n_lab AS pred_lab FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY v DESC, n_lab) AS pr
+        |    FROM votes)
+        |  WHERE pr = 1)
+        |SELECT q_lab AS label, count(*) AS n_probes,
+        |  CAST(sum(CASE WHEN pred_lab = q_lab THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct
+        |FROM pred GROUP BY q_lab ORDER BY label""".stripMargin,
     "q_hard_negatives" ->
       """WITH s AS (SELECT vec_id, label,
         |  CAST(list_sum([CASE WHEN embedding[i] > 0

@@ -101,6 +101,58 @@ object BinaryEmbed {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-quality probe audit: leave-one-out k-NN label
+    * consistency over a deterministically sampled probe set — the
+    * standard cheap eval a pipeline runs after (re)building an
+    * embedding index, answering "do nearest neighbors share labels?"
+    * per label class.
+    *
+    * Probes are the rows with `hashBucket(id, probeMod) == 0` (content
+    * addressed — the probe set is reproducible and append-stable, and
+    * its expected size |corpus|/probeMod is what you size to fit a
+    * broadcast). Each probe votes among its `k` nearest corpus
+    * vectors by signature Hamming distance (ties → lowest neighbor
+    * id), prediction is the majority label (ties → lowest label), and
+    * the output is one row per true label: (label, n_probes,
+    * n_correct).
+    *
+    * Scale shape: the probe relation broadcasts against ONE corpus
+    * signature scan ([[hammingTopK]]'s contract); everything after the
+    * rank window is (probe, label)-keyed aggregation over ≤ |probes|·k
+    * rows. All integer arithmetic — full DuckDB oracle.
+    */
+  def knnLabelEval(df: DataFrame, id: Column, vec: Column, label: Column,
+      probeMod: Int = 10, k: Int = 5): DataFrame = {
+    require(probeMod >= 1 && k >= 1, "probeMod and k must be >= 1")
+    val sigs = withBinarySignature(
+      df.select(id.as("_id"), vec.as("_v"), label.as("_lab")), col("_v"))
+      .select("_id", "_lab", "sig_lo", "sig_hi")
+    val q = sigs.filter(Sampling.hashBucket(col("_id"), probeMod) === 0)
+      .select(col("_id").as("query_id"), col("_lab").as("q_lab"),
+        col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+    val scored = sigs.join(broadcast(q), col("_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_lab"), col("_lab").as("n_lab"),
+        col("_id").as("nid"),
+        hammingDist(col("q_lo"), col("q_hi"), col("sig_lo"), col("sig_hi"))
+          .as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("nid"))
+    val topk = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val pred = topk.groupBy(col("query_id"), col("q_lab"), col("n_lab"))
+      .agg(count(lit(1)).as("v"))
+      // majority label, ties to the lowest label id — one struct-min
+      // aggregate, no second window
+      .groupBy(col("query_id"), col("q_lab"))
+      .agg(min(struct((-col("v")).as("nv"), col("n_lab").as("pl")))
+        .as("best"))
+      .select(col("q_lab"), col("best.pl").as("pred_lab"))
+    pred.groupBy(col("q_lab").as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("pred_lab") === col("q_lab"), 1L).otherwise(0L))
+          .as("n_correct"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, EXACT-integer end to end —
     * the fully oracle-gateable form of
     * [[Similarity.cosineNearDupPairs]] (whose Gaussian hyperplanes and

@@ -49,6 +49,33 @@ class BinaryEmbedSpec extends AnyFunSuite {
     assert(out === Seq((1L, 1L, 1), (5L, 1L, 2), (2L, 2L, 3), (3L, 3L, 4)))
   }
 
+  test("knnLabelEval: separable labels score perfectly, probes content-addressed") {
+    import graft.operators.Sampling
+    // two well-separated sign clusters, one per label: every probe's
+    // 5 nearest neighbors share its label, so accuracy must be 100%
+    val df = (0L until 60L).map { i =>
+      val lab = (i % 2).toInt
+      val flip = (i % 7).toInt + 1 // small within-cluster variation
+      val dims = if (lab == 0) Set(flip) else (1 to 64).toSet - flip
+      (i, vec(dims), lab)
+    }.toDF("vec_id", "embedding", "label")
+    val out = BinaryEmbed.knnLabelEval(df, col("vec_id"), col("embedding"),
+        col("label"), probeMod = 4, k = 5)
+      .select("label", "n_probes", "n_correct")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.forall { case (_, n, c) => c === n })
+    // the probe count per label matches the content-addressed sample
+    val probes = df.filter(Sampling.hashBucket(col("vec_id"), 4) === 0)
+      .groupBy("label").count().as[(Int, Long)].collect().toMap
+    assert(out.map(t => t._1 -> t._2).toMap === probes)
+    // invariant under partitioning
+    val again = BinaryEmbed.knnLabelEval(df.repartition(9), col("vec_id"),
+        col("embedding"), col("label"), probeMod = 4, k = 5)
+      .select("label", "n_probes", "n_correct")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again === out)
+  }
+
   test("hammingHardNegatives excludes same-label rows however close") {
     // id 1 is IDENTICAL to the query but shares its label — a perfect
     // positive, never a negative; the mined negatives must be the

@@ -74,6 +74,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getAs[Int]("ovl") === 2)    // {3, 5}
   }
 
+  test("long_dot()/char_gram_buckets() run from SQL text") {
+    val row = spark.sql(
+      """SELECT
+        |  long_dot(array(2L, 3L), array(5L, 7L)) AS ld,
+        |  char_gram_buckets('abcd', 3, 64) AS cgb,
+        |  cast(conv(substring(md5('abc'), 1, 15), 16, 10) as bigint) % 64
+        |    AS oracle_b0
+        |""".stripMargin).collect().head
+    assert(row.getAs[Long]("ld") === 31L)
+    val cgb = row.getSeq[Long](1)
+    assert(cgb.length === 2) // "abc", "bcd"
+    assert(cgb.head === row.getAs[Long]("oracle_b0"))
+  }
+
   test("misuse: non-literal k yields a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_signature(array('a'), doc_id) FROM (SELECT 1L AS doc_id)").collect()
