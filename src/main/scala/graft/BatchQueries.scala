@@ -1132,12 +1132,14 @@ object BatchQueries {
 
     // RFM segmentation — the classic customer-scoring warehouse query:
     // per-customer recency/frequency/monetary roll-up (DECIMAL-exact
-    // money sum, order-free), then quintile scores via ntile with a
-    // custkey tie-break so every assignment is deterministic. The
-    // three global ntiles run over the REDUCED per-customer relation
-    // (|customers| rows, not |orders|); at extreme scale the scores
-    // come from broadcast histogram-quantile edges (Quantiles) instead
-    // of a global sort — same trade as Skyline's prefix-max note.
+    // money sum, order-free), then quintile scores with a custkey
+    // tie-break so every assignment is deterministic. The scores are
+    // NOT global ntile windows (a single-partition sort of the whole
+    // customer relation — the one shape this engine bans): each comes
+    // from Quantiles.withGlobalNtile's two-phase ranked scan, whose
+    // closed form reproduces ntile(5) bit-for-bit (the oracle still
+    // says ntile). Descending metrics enter negated (exact for longs
+    // and IEEE doubles), custkey breaks ties.
     "q_rfm" -> ((s0, d) => {
       val base = Tables.orders(utc(s0), d)
         .groupBy(col("o_custkey"))
@@ -1147,13 +1149,14 @@ object BatchQueries {
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast("decimal(38,10)")).cast("double")
             .as("monetary"))
-      val wr = Window.orderBy(col("last_us").desc, col("o_custkey"))
-      val wf = Window.orderBy(col("freq").desc, col("o_custkey"))
-      val wm = Window.orderBy(col("monetary").desc, col("o_custkey"))
-      base
-        .withColumn("r_score", ntile(5).over(wr).cast("long"))
-        .withColumn("f_score", ntile(5).over(wf).cast("long"))
-        .withColumn("m_score", ntile(5).over(wm).cast("long"))
+      val scored = Seq(
+        ("r_score", struct((-col("last_us")).as("m"), col("o_custkey").as("t"))),
+        ("f_score", struct((-col("freq")).as("m"), col("o_custkey").as("t"))),
+        ("m_score", struct((-col("monetary")).as("m"), col("o_custkey").as("t")))
+      ).foldLeft(base) { case (acc, (name, ord)) =>
+        graft.operators.Quantiles.withGlobalNtile(acc, ord, 5, name)
+      }
+      scored
         .withColumn("segment",
           concat(col("r_score").cast("string"),
             col("f_score").cast("string"),

@@ -105,4 +105,39 @@ object Quantiles {
     ranked.groupBy(col("_g"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Adds `out` = the exact `ntile(k)` bucket of each row in
+    * `orderCol` order, WITHOUT a single-partition window: the global
+    * rank comes from [[Packing.withGlobalCumsum]]'s two-phase scan
+    * (range partition on the order key → per-partition window →
+    * broadcast offsets) and the bucket from ntile's piecewise closed
+    * form. With q = n div k and rem = n mod k, buckets 1..rem hold
+    * q+1 rows and the rest q, so rank r (1-based) maps to
+    *   r ≤ rem·(q+1):  (r−1) div (q+1) + 1
+    *   otherwise:      rem + (r − rem·(q+1) − 1) div q + 1
+    * (NOT the tempting single expression (r−1)·k div n + 1, which
+    * drifts by one bucket whenever k ∤ n — it coincides only on the
+    * front-loaded boundary ranks; QuantilesSpec pins a 997-row case).
+    * `orderCol` must be unique (use a struct with a key tie-break;
+    * negate components for descending order) — the same determinism
+    * contract every hash-gated ranking here carries. The row count
+    * rides a broadcast-scalar join; all arithmetic is integer DIV.
+    */
+  def withGlobalNtile(df: DataFrame, orderCol: Column, k: Int,
+      out: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ranked = Packing.withGlobalCumsum(df, orderCol, lit(1L), "_gnt_cum")
+    val n = ranked.agg(count(lit(1)).as("_gnt_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("_gnt_q", expr(s"_gnt_n DIV $k"))
+      .withColumn("_gnt_rem", expr(s"_gnt_n % $k"))
+      .withColumn(out,
+        when(col("_gnt_cum") < col("_gnt_rem") * (col("_gnt_q") + 1),
+          expr("_gnt_cum DIV (_gnt_q + 1)") + lit(1L))
+          .otherwise(col("_gnt_rem") +
+            expr("(_gnt_cum - _gnt_rem * (_gnt_q + 1)) DIV _gnt_q") +
+            lit(1L))
+          .cast("long"))
+      .drop("_gnt_cum", "_gnt_n", "_gnt_q", "_gnt_rem")
+  }
 }

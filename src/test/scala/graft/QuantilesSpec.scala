@@ -56,4 +56,26 @@ class QuantilesSpec extends AnyFunSuite {
       col("g"), col("v"), Seq(0.5, 0.9)).collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("withGlobalNtile reproduces ntile() exactly, incl. front-loading") {
+    import org.apache.spark.sql.expressions.Window
+    // 997 rows, k = 5 → n mod k = 2: buckets 1 and 2 get the extra row;
+    // the closed form must match Spark's window ntile on every rank
+    val df = (0 until 997).map(i => (i.toLong, ((i * 7919) % 1009).toLong))
+      .toDF("id", "v")
+    val expected = df
+      .withColumn("nt", ntile(5).over(Window.orderBy(col("v"), col("id")))
+        .cast("long"))
+      .select("id", "nt").as[(Long, Long)].collect().toMap
+    val got = Quantiles.withGlobalNtile(df.repartition(13),
+        struct(col("v"), col("id")), 5, "nt")
+      .select("id", "nt").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // tiny edge: n < k assigns each rank its own bucket (like ntile)
+    val tiny = Quantiles.withGlobalNtile(
+        Seq((1L, 10L), (2L, 5L)).toDF("id", "v"),
+        struct(col("v"), col("id")), 5, "nt")
+      .select("id", "nt").as[(Long, Long)].collect().toMap
+    assert(tiny === Map(2L -> 1L, 1L -> 2L))
+  }
 }
