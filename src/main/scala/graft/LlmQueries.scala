@@ -601,6 +601,15 @@ object LlmQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // Sign-LSH ANN top-k with md5-parity integer hyperplanes — the
+    // fully hash-gated twin of the float q_sim_lsh: same bucket-join
+    // shape, exact integer cosine rerank, bucketing included in the
+    // oracle so no recall argument is needed.
+    "q_sim_lsh_int" -> ((s, d) =>
+      graft.operators.BinaryEmbed.intLshTopK(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .orderBy("query_id", "rank")),
+
     // Embedding-quality probe audit: leave-one-out kNN label
     // consistency over a content-addressed probe sample (broadcast
     // probes, one corpus signature scan, majority vote by struct-min)
@@ -1523,6 +1532,56 @@ object LlmQueries {
         |)
         |SELECT doc_id, c AS cls, CAST(score AS BIGINT) AS score
         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_sim_lsh_int" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) FOR x IN embedding] AS q
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |),
+        |w AS (SELECT id, q,
+        |  CAST(list_sum([x*x FOR x IN q]) AS BIGINT) AS na FROM v),
+        |planes AS (
+        |  SELECT t.t, b.b, i.i,
+        |    CASE WHEN (('0x' || substr(md5(
+        |             t.t::VARCHAR || ':' || b.b::VARCHAR || ':' || i.i::VARCHAR),
+        |           1, 15))::BIGINT & 1) = 1
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM range(0, 6) t(t), range(0, 8) b(b), range(1, 65) i(i)
+        |),
+        |dots AS (
+        |  SELECT w.id, p.t, p.b, sum(p.sgn * w.q[CAST(p.i AS INTEGER)]) AS d
+        |  FROM w, planes p
+        |  GROUP BY w.id, p.t, p.b
+        |),
+        |keys AS (
+        |  SELECT id, t,
+        |    CAST(sum(CASE WHEN d >= 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS key
+        |  FROM dots GROUP BY id, t
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id
+        |  FROM keys a JOIN keys b ON a.t = b.t AND a.key = b.key
+        |    AND a.id < 5 AND b.id <> a.id
+        |),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    CAST(list_sum([wa.q[i] * wb.q[i] for i in range(1, 65)])
+        |      AS BIGINT) AS num,
+        |    wa.na AS na, wb.na AS nb
+        |  FROM cand c
+        |  JOIN w wa ON wa.id = c.query_id
+        |  JOIN w wb ON wb.id = c.neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, num,
+        |  CAST(num AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine,
+        |  rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY CAST(num AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))
+        |          DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_knn_eval" ->
       """WITH s AS (SELECT vec_id, label,
         |  CAST(list_sum([CASE WHEN embedding[i] > 0

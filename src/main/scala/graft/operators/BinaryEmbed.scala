@@ -101,6 +101,59 @@ object BinaryEmbed {
       .filter(col("rank") <= k)
   }
 
+  /** Sign-LSH ANN top-k, EXACT-integer end to end — the hash-gateable
+    * twin of [[Similarity.lshTopK]] (whose Gaussian hyperplanes and
+    * float dots leave it rows-only): bucket keys from ±1 md5-parity
+    * hyperplanes ([[graft.functions.IntSignLshKeys]]), candidates via
+    * the (table, key) equi-join against the broadcast query side,
+    * exact integer-cosine rerank. The bucketing is part of the query
+    * semantics, so engine and oracle enumerate the SAME candidate set
+    * and the gate needs no recall argument. The reported cosine
+    * num/√(nₐ·nᵦ) is double-exact (nₐ·nᵦ < 2⁵³ under the |x| ≤ 1,
+    * dim·s² < 2⁶² contract; IEEE sqrt/div are correctly rounded), so
+    * ranking by it is deterministic in both engines.
+    *
+    * Scale shape: identical to the float path — narrow quantize +
+    * key projections, query side broadcasts, candidates dedup on
+    * (query, neighbor), rank window over per-query candidates only.
+    */
+  def intLshTopK(emb: DataFrame, id: Column, vec: Column,
+      queryIds: Seq[Long], k: Int, dim: Int = 64, bits: Int = 8,
+      tables: Int = 6, s: Long = 1000L): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1, "need query ids and k >= 1")
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.{IntSignLshKeys, LongDot}
+    def longDot(a: Column, b: Column): Column =
+      Bridge.column(LongDot(Bridge.expression(a), Bridge.expression(b)))
+    val q = Bridge.persistRows(emb
+      .filter(vec.isNotNull)
+      .select(id.as("_id"),
+        transform(vec, x => floor(x.cast("double") * s + lit(0.5))
+          .cast("long")).as("_q"))
+      .withColumn("_na", longDot(col("_q"), col("_q")))
+      .withColumn("_keys", Bridge.column(IntSignLshKeys(
+        Bridge.expression(col("_q")), dim, bits, tables))))
+    val bucketed = q.select(col("_id"), col("_q"), col("_na"),
+      posexplode(col("_keys")).as(Seq("_table", "_key")))
+    val qb = bucketed.filter(col("_id").isin(queryIds: _*))
+      .select(col("_table"), col("_key"), col("_id").as("query_id"),
+        col("_q").as("_qq"), col("_na").as("_qna"))
+    val cands = bucketed.join(broadcast(qb), Seq("_table", "_key"))
+      .filter(col("_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "_id")
+    val scored = cands
+      .withColumn("num", longDot(col("_qq"), col("_q")))
+      .withColumn("cosine",
+        col("num").cast("double") /
+          sqrt((col("_qna") * col("_na")).cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("_id").as("neighbor_id"),
+        col("num"), col("cosine"), col("rank"))
+  }
+
   /** Embedding-quality probe audit: leave-one-out k-NN label
     * consistency over a deterministically sampled probe set — the
     * standard cheap eval a pipeline runs after (re)building an

@@ -49,6 +49,27 @@ class BinaryEmbedSpec extends AnyFunSuite {
     assert(out === Seq((1L, 1L, 1), (5L, 1L, 2), (2L, 2L, 3), (3L, 3L, 4)))
   }
 
+  test("intLshTopK surfaces a planted near-parallel neighbor at rank 1") {
+    // id 10 is id 0 with a tiny perturbation — near-parallel, so all
+    // sign-LSH tables bucket them together and the exact cosine rerank
+    // must put it first; orthogonal-ish noise rows rank below or miss
+    val base = Array.tabulate(64)(j => if (j % 3 == 0) 0.8f else -0.5f)
+    val near = base.clone(); near(1) = near(1) + 0.01f
+    val rows = Seq((0L, base), (10L, near)) ++ (1L until 8L).map { i =>
+      (i, Array.tabulate(64)(j => if ((j + i) % 7 < 3) 0.6f else -0.6f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = BinaryEmbed.intLshTopK(df, col("vec_id"), col("embedding"),
+        Seq(0L), 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out.find(_._2 == 1).map(_._1) === Some(10L))
+    // invariant under partitioning
+    val again = BinaryEmbed.intLshTopK(df.repartition(7), col("vec_id"),
+        col("embedding"), Seq(0L), 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(again === out)
+  }
+
   test("knnLabelEval: separable labels score perfectly, probes content-addressed") {
     import graft.operators.Sampling
     // two well-separated sign clusters, one per label: every probe's
