@@ -601,6 +601,18 @@ object LlmQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // IVF ANN top-k over the integer k-means coarse quantizer — the
+    // hash-gated twin of the float q_sim_ivf: probe the 2 nearest
+    // final centroids per query (exact integer distances), candidates
+    // from the cluster-keyed assignment relation, exact-cosine rerank.
+    // Probing is part of the gate, so the oracle replays the whole
+    // build + probe + rerank relationally.
+    "q_sim_ivf_int" -> ((s, d) =>
+      graft.operators.KMeans.ivfTopK(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), Seq(0L, 1L, 2L, 3L, 4L),
+          topK = 5, nprobe = 2, k = 8, rounds = 2)
+        .orderBy("query_id", "rank")),
+
     // Sign-LSH ANN top-k with md5-parity integer hyperplanes — the
     // fully hash-gated twin of the float q_sim_lsh: same bucket-join
     // shape, exact integer cosine rerank, bucketing included in the
@@ -1532,6 +1544,42 @@ object LlmQueries {
         |)
         |SELECT doc_id, c AS cls, CAST(score AS BIGINT) AS score
         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_sim_ivf_int" ->
+      (kmeansCte + """,
+        |fin AS (SELECT vec_id, cl FROM a2 WHERE rn = 1),
+        |w AS (SELECT vec_id AS id, q,
+        |  CAST(list_sum([x*x FOR x IN q]) AS BIGINT) AS nq FROM q),
+        |pd AS (
+        |  SELECT qx.vec_id AS query_id, c1.cl,
+        |    sum((qx.v - c1.c) * (qx.v - c1.c)) AS dist
+        |  FROM qx JOIN c1 ON qx.pos = c1.pos
+        |  WHERE qx.vec_id < 5
+        |  GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT query_id, cl FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY dist, cl) AS pr FROM pd)
+        |  WHERE pr <= 2),
+        |cand AS (
+        |  SELECT p.query_id, f.vec_id AS neighbor_id
+        |  FROM probe p JOIN fin f ON f.cl = p.cl
+        |  WHERE f.vec_id <> p.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    CAST(list_sum([wa.q[i] * wb.q[i] for i in range(1, 65)])
+        |      AS BIGINT) AS num,
+        |    wa.nq AS na, wb.nq AS nb
+        |  FROM cand c
+        |  JOIN w wa ON wa.id = c.query_id
+        |  JOIN w wb ON wb.id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, num,
+        |  CAST(num AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine,
+        |  rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY CAST(num AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))
+        |          DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "q_sim_lsh_int" ->
       """WITH v AS (
         |  SELECT vec_id AS id,

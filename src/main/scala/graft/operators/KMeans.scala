@@ -65,7 +65,7 @@ object KMeans {
     */
   def assign(emb: DataFrame, id: Column, vec: Column,
       k: Int = 8, rounds: Int = 2, s: Long = 1000L): DataFrame =
-    assigned(emb, id, vec, k, rounds, s).select("id", "cluster", "dist")
+    assigned(emb, id, vec, k, rounds, s)._1.select("id", "cluster", "dist")
 
   /** SemDeDup survivors: vectors that have NO same-cluster neighbor
     * with a lower id whose exact integer cosine is ≥ tPct/100. One row
@@ -81,7 +81,7 @@ object KMeans {
       bucketCap: Int = 1000): DataFrame = {
     require(tPct >= 1 && tPct <= 99, "tPct is an integer percent")
     val a = Bridge.persistRows(
-      assigned(emb, id, vec, k, rounds, s)
+      assigned(emb, id, vec, k, rounds, s)._1
         .select(col("id"), col("cluster"), col("q"), col("nq")))
     val pairs = BucketPairs.boundedPairs(
       a.select(col("cluster"), col("id"), col("q"), col("nq")),
@@ -103,12 +103,70 @@ object KMeans {
   private def refDot(q: Column, c: Array[Long]): Column =
     Bridge.column(LongVecDot(Bridge.expression(q), c.toSeq))
 
+  /** IVF ANN top-k over the integer k-means coarse quantizer — the
+    * hash-gateable twin of [[Similarity.ivfTopK]]: each query probes
+    * its `nprobe` nearest final centroids (exact integer distances,
+    * ties → lowest cluster), candidates are the corpus rows assigned
+    * to a probed cell, rerank is exact integer cosine with the
+    * double-exact num/√(nₐ·nᵦ) sort key (ties → neighbor id). Probing
+    * is part of the gate's semantics, so — like the banded-LSH gates —
+    * the oracle enumerates the SAME candidate set and no recall
+    * argument is needed.
+    *
+    * Scale shape: one k-means build (see above), then the query side
+    * (|queries|·nprobe cells) broadcasts against the cluster-keyed
+    * assignment relation — an equi-join on the cell id, the IVF probe
+    * pattern exactly.
+    */
+  def ivfTopK(emb: DataFrame, id: Column, vec: Column,
+      queryIds: Seq[Long], topK: Int, nprobe: Int = 2, k: Int = 8,
+      rounds: Int = 2, s: Long = 1000L): DataFrame = {
+    require(queryIds.nonEmpty && topK >= 1, "need query ids and topK >= 1")
+    require(nprobe >= 1 && nprobe <= k, "nprobe must be in [1, k]")
+    import org.apache.spark.sql.expressions.Window
+    val (a0, cs) = assigned(emb, id, vec, k, rounds, s)
+    val a = Bridge.persistRows(
+      a0.select(col("id"), col("cluster"), col("q"), col("nq")))
+    // probe cells per query: the nprobe smallest exact distances to
+    // the final centroids, computed row-side against the
+    // driver-resident matrix (same reference-object discipline as the
+    // assignment scan)
+    val cells = cs.zipWithIndex.map { case (c, j) =>
+      val nc = c.map(x => x * x).sum
+      struct(
+        (col("nq") - lit(2L) * refDot(col("q"), c) + lit(nc)).as("dist"),
+        lit(j.toLong).as("cluster"))
+    }
+    val probed = a.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("q").as("_qq"),
+        col("nq").as("_qna"),
+        slice(array_sort(array(cells.toIndexedSeq: _*)), 1, nprobe)
+          .as("_probe"))
+      .select(col("query_id"), col("_qq"), col("_qna"),
+        explode(col("_probe")).as("_cell"))
+      .select(col("query_id"), col("_qq"), col("_qna"),
+        col("_cell.cluster").as("cluster"))
+    val cands = a.join(broadcast(probed), Seq("cluster"))
+      .filter(col("id") =!= col("query_id"))
+    val scored = cands
+      .withColumn("num", longDot(col("_qq"), col("q")))
+      .withColumn("cosine",
+        col("num").cast("double") /
+          sqrt((col("_qna") * col("nq")).cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("num"), col("cosine"), col("rank"))
+  }
+
   /** Quantize → seed → `rounds` × (assign [, update]) → final
     * assignment joined with the quantized vectors:
-    * (id, q, nq, cluster, dist).
+    * (id, q, nq, cluster, dist), plus the final centroid matrix.
     */
   private def assigned(emb: DataFrame, id: Column, vec: Column,
-      k: Int, rounds: Int, s: Long): DataFrame = {
+      k: Int, rounds: Int, s: Long): (DataFrame, Array[Array[Long]]) = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
     require(s >= 1L, "scale must be positive")
     val q = Bridge.persistRows(emb
@@ -144,7 +202,7 @@ object KMeans {
     }
 
     var a = assignOnce()
-    for (r <- 1 until rounds) {
+    for (_ <- 1 until rounds) {
       // one map-side-combinable scan: cluster → (count, dim sums)
       val sums = a.groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"),
@@ -164,6 +222,6 @@ object KMeans {
       cs = next
       a = assignOnce()
     }
-    a
+    (a, cs)
   }
 }

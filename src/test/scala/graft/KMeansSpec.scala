@@ -86,6 +86,29 @@ class KMeansSpec extends AnyFunSuite {
     assert((0L until 30L).forall(g => !kept(g * 10 + 1)))
   }
 
+  test("ivfTopK finds a planted same-cluster neighbor at rank 1") {
+    // id 100 is a near-copy of id 0: same k-means cell, cosine ~1, so
+    // the IVF probe must surface it first among id 0's neighbors
+    val dim = 8
+    val base = Array.tabulate(dim)(j => if (j % 2 == 0) 0.9f else -0.7f)
+    val near = base.clone(); near(0) = near(0) - 0.02f
+    val rows = Seq((0L, base), (100L, near)) ++ (1L until 40L).map { i =>
+      (i, Array.tabulate(dim)(j =>
+        (((i * 13 + j * 7) % 19).toFloat - 9f) / 10f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = KMeans.ivfTopK(df, col("vec_id"), col("embedding"),
+        Seq(0L), topK = 3, nprobe = 2, k = 4, rounds = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out.find(_._2 == 1).map(_._1) === Some(100L))
+    // invariant under partitioning
+    val again = KMeans.ivfTopK(df.repartition(11), col("vec_id"),
+        col("embedding"), Seq(0L), topK = 3, nprobe = 2, k = 4,
+        rounds = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(again === out)
+  }
+
   test("semanticDedup collapses parallel vectors even at tPct=99") {
     // every planted vector is CONSTANT (base + jitter in all dims), so
     // within a corner all vectors are parallel — cosine exactly 1
