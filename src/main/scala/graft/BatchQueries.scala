@@ -1119,6 +1119,34 @@ object BatchQueries {
         .withColumn("at_risk", col("n") < 5)
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")),
 
+    // l-diversity audit — k-anonymity's standard companion (Machanavajjhala
+    // et al., "l-Diversity: Privacy Beyond k-Anonymity", ICDE'06): a
+    // quasi-identifier class can be large yet still leak the sensitive
+    // attribute if every member shares it. Group by the QI tuple
+    // (nation, balance band), count DISTINCT sensitive values
+    // (mktsegment as the stand-in), flag classes with < l = 3. Same
+    // single map-side-combinable aggregation shape as q_kanon — the
+    // distinct count is a partial-aggregatable grouping, not a window.
+    "q_ldiversity" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_mktsegment")).as("n_sensitive"))
+        .withColumn("at_risk", col("n_sensitive") < 3)
+        .orderBy("c_nationkey", "bal_band")),
+
+    // Exact per-group weighted median — quantity-weighted price per
+    // return flag; see Quantiles.weightedMedian for the exactness and
+    // histogram-shape contract (distinct-value pre-aggregation, then
+    // one integer-comparison crossing test per group).
+    "q_weighted_median" -> ((s, d) =>
+      graft.operators.Quantiles.weightedMedian(Tables.lineitem(s, d),
+          col("l_returnflag"), col("l_extendedprice").cast("double"),
+          col("l_quantity"))
+        .withColumnRenamed("_g", "l_returnflag")
+        .orderBy("l_returnflag")),
+
     // 2-D Pareto skyline over part: the cheapest-price-for-its-size
     // frontier (minimize retail price, maximize size) via the
     // sort + prefix-max collapse — see operators/Skyline for why this
@@ -2020,6 +2048,33 @@ object BatchQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  count(*) < 5 AS at_risk
         |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_ldiversity" ->
+      """SELECT c_nationkey,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+        |  count(DISTINCT c_mktsegment) < 3 AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_weighted_median" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(sum(w) AS BIGINT) AS w
+        |  FROM (SELECT l_returnflag, l_extendedprice,
+        |          CAST(l_quantity AS BIGINT) AS w FROM lineitem)
+        |  WHERE v IS NOT NULL AND w > 0
+        |  GROUP BY 1, 2
+        |),
+        |r AS (SELECT *,
+        |  CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |  CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tot
+        |  FROM c)
+        |SELECT g AS l_returnflag,
+        |  min(CASE WHEN cum * 2 >= tot THEN v END) AS weighted_median,
+        |  CAST(max(tot) AS BIGINT) AS total_weight,
+        |  CAST(count(*) AS BIGINT) AS n_distinct
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_skyline" ->
       """WITH g AS (SELECT p_retailprice AS price, max(p_size) AS best_size
         |           FROM part

@@ -118,20 +118,33 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // stdout line layout (round-8): the driver archives only the LAST
+    // 2000 chars of the run's output (every BENCH_r{1..7}.json shows a
+    // 2000-char `tail` and `parsed: null` — the ~15 KB line never fit),
+    // so the fields a reader wants most — per-query medians and the
+    // total — go LAST, where a tail capture keeps them. Low-priority
+    // bulk (per-query row counts, per-rep seconds+loadavg) moves to the
+    // BENCH.json file only, which carries the complete record.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }
+      .mkString("{", ",", "}")
     val rs = rowCounts.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val reph = repDetail.map { case (k, v) =>
-      s"${jstr(k)}:" + v.map { case (sec, la) => s"[$sec,$la]" }
+      s"${jstr(k)}:" + v.map { case (sec, la) => s"[${r3(sec)},$la]" }
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$es,"reps":$reps,"rep_secs_loadavg":$reph,"loadavg_start":$loadavgStart,"sf":${jstr(sfDir)}}"""
+    val head = s""""metric":"total","unit":"sec","reps":$reps,""" +
+      s""""loadavg_start":$loadavgStart,"sf":${jstr(sfDir)},"errors":$es"""
+    val line = s"""{$head,"queries":$qs,"value":${r3(total)}}"""
+    val full = s"""{$head,"rows":$rs,"rep_secs_loadavg":$reph,""" +
+      s""""queries":$qs,"value":${r3(total)}}"""
     println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // stdout line is authoritative
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -206,6 +206,42 @@ object OracleGen {
        |  CAST(count(*) AS BIGINT) AS n
        |FROM m GROUP BY symbol ORDER BY symbol""".stripMargin
 
+  /** Tick base with the props.k volume — mirror of SparkEntry.ticks. */
+  val ticksBase: String =
+    """tk AS (
+      |  SELECT user_id AS symbol, epoch_us(ts) AS tsu, value AS close,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+      |  FROM events
+      |)""".stripMargin
+
+  val qResampleOhlc: String =
+    s"""WITH $ticksBase
+       |SELECT symbol, (tsu // 3600000000) * 3600000000 AS bucket_ts,
+       |  arg_min(close, tsu) AS open,
+       |  max(close) AS high,
+       |  min(close) AS low,
+       |  arg_max(close, tsu) AS close,
+       |  CAST(sum(vol) AS BIGINT) AS volume,
+       |  CAST(count(*) AS BIGINT) AS n_ticks
+       |FROM tk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val qVwap: String =
+    s"""WITH $ticksBase,
+       |g AS (
+       |  SELECT symbol, (tsu // 86400000000) * 86400000000 AS bucket_ts,
+       |    sum(CAST(CAST(round(close * 100.0) AS BIGINT) * vol
+       |        AS DECIMAL(38,0))) AS wsum,
+       |    CAST(sum(vol) AS BIGINT) AS volume,
+       |    CAST(count(*) AS BIGINT) AS n_ticks
+       |  FROM tk GROUP BY 1, 2
+       |)
+       |SELECT symbol, bucket_ts,
+       |  CASE WHEN volume > 0 THEN
+       |    CAST(wsum AS DOUBLE) / (CAST(volume AS DOUBLE) * 100.0)
+       |  END AS vwap,
+       |  volume, n_ticks
+       |FROM g ORDER BY symbol, bucket_ts""".stripMargin
+
   val qTwap: String =
     s"""WITH $eventsBase,
        |t AS (

@@ -37,6 +37,18 @@ object SparkEntry {
         expr("ts DIV 1000").as("ts"), col("value").as("close"))
   }
 
+  /** [[bars]] plus the props.k integer as a volume stand-in — the tick
+    * shape the OHLCV resample and VWAP queries consume (FIXTURES.md:
+    * props carries one integer key `k`).
+    */
+  private def ticks(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    Tables.events(s, dir)
+      .select(col("user_id").as("symbol"),
+        expr("ts DIV 1000").as("tsu"), col("value").as("close"),
+        get_json_object(col("props"), "$.k").cast("long").as("vol"))
+  }
+
   private def enriched(s: SparkSession, dir: String): DataFrame =
     Indicators.enrich(bars(s, dir), col("symbol"), Seq(col("ts")), col("close"))
 
@@ -113,6 +125,24 @@ object SparkEntry {
           col("ts"), col("close"))
         .withColumnRenamed("_sym", "symbol")
         .orderBy("symbol")),
+
+    // Tick→bar downsampling: hourly OHLCV per symbol. Prices are
+    // comparison-selected (min_by/max_by/min/max on the exact integer
+    // µs key), volume an exact BIGINT sum — see Finance.ohlcResample.
+    "q_resample_ohlc" -> ((s, dir) =>
+      graft.operators.Finance.ohlcResample(ticks(s, dir), col("symbol"),
+          col("tsu"), col("close"), col("vol"), 3600000000L)
+        .withColumnRenamed("_sym", "symbol")
+        .orderBy("symbol", "bucket_ts")),
+
+    // Daily volume-weighted average price — TWAP's sibling with the
+    // props.k volume as the weight; DECIMAL-accumulated fixed-point
+    // units, one trailing double division (Finance.vwap).
+    "q_vwap" -> ((s, dir) =>
+      graft.operators.Finance.vwap(ticks(s, dir), col("symbol"),
+          col("tsu"), col("close"), col("vol"), 86400000000L)
+        .withColumnRenamed("_sym", "symbol")
+        .orderBy("symbol", "bucket_ts")),
 
     // Day-of-week seasonality profile — pure integer calendar
     // arithmetic + fixed-point means, see Finance.seasonalProfile.
@@ -229,6 +259,8 @@ object SparkEntry {
     "q_ind_stoch" -> OracleGen.qIndStoch,
     "q_drawdown" -> OracleGen.qDrawdown,
     "q_twap" -> OracleGen.qTwap,
+    "q_resample_ohlc" -> OracleGen.qResampleOhlc,
+    "q_vwap" -> OracleGen.qVwap,
     "q_seasonal" -> OracleGen.qSeasonal,
     "q_ind_stateful" -> OracleGen.qIndFull,
     "q_ind_scan" -> OracleGen.qIndFull,

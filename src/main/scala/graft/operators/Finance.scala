@@ -85,6 +85,79 @@ object Finance {
           (col("_tot_n").cast("double") * lit(factor))).as("dev"))
   }
 
+  /** Downsample a tick series to OHLCV bars: one row per
+    * (symbol, bucket) with the bucket's first/highest/lowest/last
+    * price and summed volume — the resample step every charting and
+    * backtesting consumer runs before the indicator stack
+    * (the reference's dashboard charts raw ticks, app.py:89-131; at
+    * 100 TB nobody charts ticks).
+    *
+    * Exactness: every output price is SELECTED, never computed —
+    * open/close via min_by/max_by on the exact integer µs timestamp
+    * (unique per symbol in the fixtures; ties would fall to the
+    * comparison on the (ts, price) pair ordering both engines share),
+    * high/low via comparison-only min/max — so doubles pass through
+    * bit-identical and the whole bar is hash-gateable. Volume is an
+    * exact BIGINT sum.
+    *
+    * Scale shape: a single hash aggregation keyed on
+    * (symbol, ts DIV bucket) with full map-side combine — ticks
+    * collapse to bars before the shuffle, so the exchange carries one
+    * row per output bar regardless of tick volume.
+    */
+  def ohlcResample(df: DataFrame, symbol: Column, tsUs: Column,
+      close: Column, volume: Column, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    df.select(symbol.as("_sym"), tsUs.as("_tsu"), close.as("_close"),
+        volume.as("_vol"))
+      .groupBy(col("_sym"),
+        expr(s"_tsu DIV ${bucketUs}L").as("_bucket"))
+      .agg(
+        min_by(col("_close"), col("_tsu")).as("open"),
+        max(col("_close")).as("high"),
+        min(col("_close")).as("low"),
+        max_by(col("_close"), col("_tsu")).as("close"),
+        sum(col("_vol")).as("volume"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("bucket_ts", col("_bucket") * lit(bucketUs))
+      .select(col("_sym"), col("bucket_ts"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("n_ticks"))
+  }
+
+  /** Per-(symbol, bucket) volume-weighted average price — [[twap]]'s
+    * sibling with traded volume as the weight instead of holding time.
+    *
+    * Exactness: same fixed-point contract as [[twap]] — prices become
+    * exact integer 10^scale units, `units·vol` accumulates in
+    * DECIMAL(38,0) (order-free), and the single double division at the
+    * end is the only FP step. Zero-volume buckets yield NULL vwap (the
+    * 0/0 division is avoided on both engines by the same guard).
+    *
+    * Scale shape: one map-side-combinable hash aggregation on
+    * (symbol, bucket); no window, no second exchange.
+    */
+  def vwap(df: DataFrame, symbol: Column, tsUs: Column, close: Column,
+      volume: Column, bucketUs: Long, scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6, "scale must be in [0, 6]")
+    require(bucketUs > 0, "bucketUs must be positive")
+    val factor = math.pow(10.0, scale)
+    df.select(symbol.as("_sym"), tsUs.as("_tsu"),
+        round(close.cast("double") * lit(factor)).cast("long").as("_units"),
+        volume.cast("long").as("_vol"))
+      .groupBy(col("_sym"), expr(s"_tsu DIV ${bucketUs}L").as("_bucket"))
+      .agg(
+        sum((col("_units") * col("_vol")).cast("decimal(38,0)")).as("_wsum"),
+        sum(col("_vol")).as("volume"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("bucket_ts", col("_bucket") * lit(bucketUs))
+      .select(col("_sym"), col("bucket_ts"),
+        when(col("volume") > 0L,
+          col("_wsum").cast("double") /
+            (col("volume").cast("double") * lit(factor)))
+          .as("vwap"),
+        col("volume"), col("n_ticks"))
+  }
+
   /** Per-symbol time-weighted average price over the closed holding
     * intervals: weight_i = ts_{i+1} − ts_i (exact integer µs; the last
     * observation has no closing interval and is excluded — the

@@ -140,4 +140,43 @@ object Quantiles {
           .cast("long"))
       .drop("_gnt_cum", "_gnt_n", "_gnt_q", "_gnt_rem")
   }
+
+  /** Exact per-group lower weighted median: the smallest value whose
+    * cumulative weight reaches half the group's total — the estimator
+    * robust aggregation pipelines want when observations carry
+    * multiplicities (token counts, traded volume, sample weights) and
+    * an unweighted median would over-count light rows.
+    *
+    * `weight` must be integer-valued (cast to BIGINT; fractional
+    * weights would need an FP cumulative sum, which is order-dependent
+    * and not hash-gateable). NULL values and non-positive weights are
+    * excluded up front on both engines.
+    *
+    * Shape (same reasoning as [[exactQuantilesHist]]): weights collapse
+    * onto DISTINCT (group, value) keys in a map-side-combinable
+    * aggregation first, so the full-parallel scan shrinks the data
+    * before the one per-group window over |distinct values| rows; the
+    * crossing test `2·cum ≥ total` is pure integer comparison. The
+    * selected value is deterministic even under value ties in the raw
+    * input because ties merge in the pre-aggregation.
+    */
+  def weightedMedian(df: DataFrame, group: Column, value: Column,
+      weight: Column): DataFrame = {
+    val counts = df
+      .select(group.as("_g"), value.as("_v"), weight.cast("long").as("_w"))
+      .filter(col("_v").isNotNull && col("_w") > 0L)
+      .groupBy(col("_g"), col("_v"))
+      .agg(sum(col("_w")).as("_w"))
+    val wCum = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts
+      .withColumn("_cum", sum(col("_w")).over(wCum))
+      .withColumn("_tot", sum(col("_w")).over(Window.partitionBy(col("_g"))))
+      .groupBy(col("_g"))
+      .agg(
+        min(when(col("_cum") * 2L >= col("_tot"), col("_v")))
+          .as("weighted_median"),
+        max(col("_tot")).as("total_weight"),
+        count(lit(1)).as("n_distinct"))
+  }
 }

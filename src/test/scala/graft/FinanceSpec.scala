@@ -93,4 +93,46 @@ class FinanceSpec extends AnyFunSuite {
       .as[(String, Double)].collect().sortBy(_._1).toSeq
     assert(out === Seq(("A", -0.5), ("B", 0.0)))
   }
+
+  private def ticks(rows: Seq[(Long, Double, Long)], symbol: String = "A") =
+    rows.map { case (t, c, v) => (symbol, t, c, v) }
+      .toDF("symbol", "tsu", "close", "vol")
+
+  test("ohlcResample: open/close by time, high/low by value, vol summed") {
+    // bucket 0 (ts 0-9): ticks at 3,1,7 → open=tick@1, close=tick@7
+    val t = ticks(Seq((3L, 5.0, 10L), (1L, 9.0, 20L), (7L, 2.0, 30L),
+      (12L, 4.0, 5L)))
+    val out = Finance.ohlcResample(t, col("symbol"), col("tsu"),
+        col("close"), col("vol"), 10L)
+      .select("bucket_ts", "open", "high", "low", "close", "volume",
+        "n_ticks")
+      .as[(Long, Double, Double, Double, Double, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (0L, 9.0, 9.0, 2.0, 2.0, 60L, 3L),
+      (10L, 4.0, 4.0, 4.0, 4.0, 5L, 1L)))
+  }
+
+  test("ohlcResample: result invariant under input partitioning") {
+    val t = ticks((0L until 100L).map(i =>
+      (i, ((i * 37) % 101).toDouble, (i % 7) + 1)))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Finance.ohlcResample(df, col("symbol"), col("tsu"), col("close"),
+          col("vol"), 13L)
+        .orderBy("bucket_ts").collect().toSeq
+    assert(run(t.repartition(17)) === run(t.coalesce(1)))
+  }
+
+  test("vwap: decimal-exact weighting, zero-volume bucket is NULL") {
+    // bucket 0: (10.00 × 2) + (20.00 × 1) / 3 = 13.333... exact double
+    // division of integers 4000/300; bucket 1: all-zero volume → NULL
+    val t = ticks(Seq((0L, 10.0, 2L), (5L, 20.0, 1L), (12L, 50.0, 0L)))
+    val out = Finance.vwap(t, col("symbol"), col("tsu"), col("close"),
+        col("vol"), 10L)
+      .select("bucket_ts", "vwap", "volume", "n_ticks")
+      .as[(Long, Option[Double], Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (0L, Some(4000.0 / 300.0), 3L, 2L),
+      (10L, None, 0L, 1L)))
+  }
 }

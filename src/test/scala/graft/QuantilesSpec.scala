@@ -78,4 +78,37 @@ class QuantilesSpec extends AnyFunSuite {
       .select("id", "nt").as[(Long, Long)].collect().toMap
     assert(tiny === Map(2L -> 1L, 1L -> 2L))
   }
+
+  test("weightedMedian equals expanded-median brute force") {
+    // weights expand each value w times; the lower weighted median is
+    // the element at 0-based index ceil(W/2)-1 of the expanded multiset
+    val rows = Seq(
+      ("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 9.0, 7L), // expanded: med 9
+      ("b", 5.0, 2L), ("b", 3.0, 2L),                 // W=4 → idx 1 → 3
+      ("c", 4.0, 1L),                                 // singleton
+      ("d", 1.0, 3L), ("d", 2.0, 3L))                 // W=6 → idx 2 → 1
+    val df = rows.toDF("g", "v", "w")
+    val got = Quantiles.weightedMedian(df, col("g"), col("v"), col("w"))
+      .select("_g", "weighted_median", "total_weight")
+      .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+    def brute(g: String): Double = {
+      val exp = rows.filter(_._1 == g)
+        .flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+      exp((exp.size + 1) / 2 - 1)
+    }
+    assert(got === Seq("a", "b", "c", "d").map(g =>
+      (g, brute(g), rows.filter(_._1 == g).map(_._3).sum)))
+  }
+
+  test("weightedMedian drops nulls and non-positive weights; " +
+    "partitioning-invariant") {
+    val df = Seq(
+      ("a", Some(1.0), 0L), ("a", Some(5.0), 2L), ("a", None, 9L),
+      ("a", Some(7.0), -3L), ("a", Some(6.0), 1L)).toDF("g", "v", "w")
+    val out = Quantiles.weightedMedian(df.repartition(7), col("g"),
+        col("v"), col("w"))
+      .select("_g", "weighted_median", "total_weight", "n_distinct")
+      .as[(String, Double, Long, Long)].collect().toSeq
+    assert(out === Seq(("a", 5.0, 3L, 2L)))
+  }
 }
