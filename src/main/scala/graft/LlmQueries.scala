@@ -452,6 +452,26 @@ object LlmQueries {
           tPct = 30, dim = 64)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup's missing last step, fully hash-gated: the exact-integer
+    // cosine near-dup pairs closed transitively into SEMANTIC clusters
+    // (same Kiveris CC engine as q_dedup_clusters, same recursive-CTE
+    // closure oracle — but the edge relation here is the
+    // embedding-space one, so the composition proves pair generation
+    // and clustering are independent, swappable stages).
+    "q_semantic_clusters" -> ((s, d) => {
+      val pairs = graft.operators.BinaryEmbed.intCosineNearDupPairs(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+        tPct = 30, dim = 64)
+      val cc = graft.operators.Clusters
+        .connectedComponents(pairs, col("id_a"), col("id_b"))
+        .withColumnRenamed("node", "_cc_id")
+      Tables.embeddings(s, d).select(col("vec_id"))
+        .join(cc, col("vec_id") === col("_cc_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     // Binary-signature Hamming ANN: sign-binarized embeddings packed
     // into two 32-bit words, neighbors ranked by XOR+POPCNT — exact
     // integer arithmetic end to end, so unlike the float-cosine ANN
@@ -712,6 +732,60 @@ object LlmQueries {
       |)""".stripMargin
 
   /** Brute-force shingle CTEs shared by the near-dup oracles. */
+  /** Integer-exact sign-LSH cosine near-dup pair CTE chain — the
+    * DuckDB replay of BinaryEmbed.intCosineNearDupPairs (tPct = 30,
+    * dim = 64): quantize → md5-parity ±1 hyperplanes → band keys →
+    * bucket candidates → exact integer-cosine verdict. Terminal
+    * relation `cospairs(id_a, id_b, num, na, nb)` holds the VERIFIED
+    * pairs; q_cos_near_dup projects it, q_semantic_clusters closes it
+    * transitively.
+    */
+  private val cosPairsCte =
+    """v AS (
+      |  SELECT vec_id AS id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) FOR x IN embedding] AS q
+      |  FROM embeddings WHERE embedding IS NOT NULL
+      |),
+      |w AS (SELECT id, q,
+      |  CAST(list_sum([x*x FOR x IN q]) AS BIGINT) AS na FROM v),
+      |planes AS (
+      |  SELECT t.t, b.b, i.i,
+      |    CASE WHEN (('0x' || substr(md5(
+      |             t.t::VARCHAR || ':' || b.b::VARCHAR || ':' || i.i::VARCHAR),
+      |           1, 15))::BIGINT & 1) = 1
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM range(0, 6) t(t), range(0, 8) b(b), range(1, 65) i(i)
+      |),
+      |dots AS (
+      |  SELECT w.id, p.t, p.b, sum(p.sgn * w.q[CAST(p.i AS INTEGER)]) AS d
+      |  FROM w, planes p
+      |  GROUP BY w.id, p.t, p.b
+      |),
+      |keys AS (
+      |  SELECT id, t,
+      |    CAST(sum(CASE WHEN d >= 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+      |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS key
+      |  FROM dots GROUP BY id, t
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM keys a JOIN keys b ON a.t = b.t AND a.key = b.key AND a.id < b.id
+      |),
+      |scored AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(list_sum([wa.q[i] * wb.q[i] for i in range(1, 65)]) AS BIGINT) AS num,
+      |    wa.na AS na, wb.na AS nb
+      |  FROM cand c
+      |  JOIN w wa ON wa.id = c.id_a
+      |  JOIN w wb ON wb.id = c.id_b
+      |),
+      |cospairs AS (
+      |  SELECT id_a, id_b, num, na, nb FROM scored
+      |  WHERE num > 0
+      |    AND 10000 * CAST(num AS HUGEINT) * num >= 900 * CAST(na AS HUGEINT) * nb
+      |)""".stripMargin
+
   private val shingleCte =
     """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
       |s AS (
@@ -1116,51 +1190,29 @@ object LlmQueries {
     // oracle mirrors it instead of needing a recall-completeness
     // argument; HUGEINT stands in for Spark's DECIMAL(38,0).
     "q_cos_near_dup" ->
-      """WITH v AS (
-        |  SELECT vec_id AS id,
-        |    [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) FOR x IN embedding] AS q
-        |  FROM embeddings WHERE embedding IS NOT NULL
-        |),
-        |w AS (SELECT id, q,
-        |  CAST(list_sum([x*x FOR x IN q]) AS BIGINT) AS na FROM v),
-        |planes AS (
-        |  SELECT t.t, b.b, i.i,
-        |    CASE WHEN (('0x' || substr(md5(
-        |             t.t::VARCHAR || ':' || b.b::VARCHAR || ':' || i.i::VARCHAR),
-        |           1, 15))::BIGINT & 1) = 1
-        |         THEN 1 ELSE -1 END AS sgn
-        |  FROM range(0, 6) t(t), range(0, 8) b(b), range(1, 65) i(i)
-        |),
-        |dots AS (
-        |  SELECT w.id, p.t, p.b, sum(p.sgn * w.q[CAST(p.i AS INTEGER)]) AS d
-        |  FROM w, planes p
-        |  GROUP BY w.id, p.t, p.b
-        |),
-        |keys AS (
-        |  SELECT id, t,
-        |    CAST(sum(CASE WHEN d >= 0
-        |      THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
-        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS key
-        |  FROM dots GROUP BY id, t
-        |),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM keys a JOIN keys b ON a.t = b.t AND a.key = b.key AND a.id < b.id
-        |),
-        |scored AS (
-        |  SELECT c.id_a, c.id_b,
-        |    CAST(list_sum([wa.q[i] * wb.q[i] for i in range(1, 65)]) AS BIGINT) AS num,
-        |    wa.na AS na, wb.na AS nb
-        |  FROM cand c
-        |  JOIN w wa ON wa.id = c.id_a
-        |  JOIN w wb ON wb.id = c.id_b
-        |)
+      s"""WITH $cosPairsCte
         |SELECT id_a, id_b, num,
         |  CAST(num AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine
-        |FROM scored
-        |WHERE num > 0
-        |  AND 10000 * CAST(num AS HUGEINT) * num >= 900 * CAST(na AS HUGEINT) * nb
+        |FROM cospairs
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_semantic_clusters" ->
+      s"""WITH RECURSIVE $cosPairsCte,
+        |e AS (
+        |  SELECT id_a AS a, id_b AS b FROM cospairs
+        |  UNION ALL
+        |  SELECT id_b AS a, id_a AS b FROM cospairs
+        |),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        |),
+        |lbl AS (SELECT a AS vec_id, MIN(b) AS mn FROM reach GROUP BY a)
+        |SELECT m.vec_id,
+        |  CAST(least(m.vec_id, coalesce(l.mn, m.vec_id)) AS BIGINT)
+        |    AS cluster_id
+        |FROM embeddings m LEFT JOIN lbl l USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
     "q_ham_topk" ->
       """WITH s AS (SELECT vec_id,
         |  CAST(list_sum([CASE WHEN embedding[i] > 0
