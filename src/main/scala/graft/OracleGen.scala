@@ -206,6 +206,30 @@ object OracleGen {
        |  CAST(count(*) AS BIGINT) AS n
        |FROM m GROUP BY symbol ORDER BY symbol""".stripMargin
 
+  val qCusum: String =
+    s"""WITH RECURSIVE $eventsBase,
+       |u AS (SELECT symbol, ts, rn, close,
+       |  CAST(round(close * 100.0) AS BIGINT) AS units FROM base),
+       |m AS (SELECT symbol, CAST(sum(units) AS BIGINT) AS su,
+       |  CAST(count(*) AS BIGINT) AS n FROM u GROUP BY symbol),
+       |b2 AS (SELECT u.symbol, u.ts, u.rn, u.close,
+       |  CAST(m.su AS DOUBLE) / (CAST(m.n AS DOUBLE) * 100.0) AS mu
+       |  FROM u JOIN m USING (symbol)),
+       |rec AS (
+       |  SELECT symbol, ts, rn, close, mu,
+       |    greatest(0.0, close - mu) AS cp,
+       |    greatest(0.0, mu - close) AS cn
+       |  FROM b2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.symbol, b.ts, b.rn, b.close, b.mu,
+       |    greatest(0.0, r.cp + (b.close - b.mu)),
+       |    greatest(0.0, r.cn + (b.mu - b.close))
+       |  FROM b2 b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+       |)
+       |SELECT symbol, ts, close, mu AS target, cp AS cusum_pos,
+       |  cn AS cusum_neg, (cp > 100.0 OR cn > 100.0) AS alarm
+       |FROM rec ORDER BY symbol, ts""".stripMargin
+
   /** Tick base with the props.k volume — mirror of SparkEntry.ticks. */
   val ticksBase: String =
     """tk AS (

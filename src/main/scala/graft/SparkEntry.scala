@@ -144,6 +144,17 @@ object SparkEntry {
         .withColumnRenamed("_sym", "symbol")
         .orderBy("symbol", "bucket_ts")),
 
+    // Two-sided CUSUM mean-drift chart (Page 1954) against each
+    // symbol's own exact fixed-point mean; the clamped recursion runs
+    // in the same AggregateWindowFunction machinery as EMA — see
+    // Finance.cusumChart / functions.Cusum.
+    "q_cusum" -> ((s, dir) =>
+      graft.operators.Finance.cusumChart(bars(s, dir), col("symbol"),
+          col("ts"), col("close"), h = 100.0)
+        .withColumnRenamed("_sym", "symbol")
+        .withColumnRenamed("_ts", "ts")
+        .orderBy("symbol", "ts")),
+
     // Day-of-week seasonality profile — pure integer calendar
     // arithmetic + fixed-point means, see Finance.seasonalProfile.
     "q_seasonal" -> ((s, dir) =>
@@ -261,6 +272,7 @@ object SparkEntry {
     "q_twap" -> OracleGen.qTwap,
     "q_resample_ohlc" -> OracleGen.qResampleOhlc,
     "q_vwap" -> OracleGen.qVwap,
+    "q_cusum" -> OracleGen.qCusum,
     "q_seasonal" -> OracleGen.qSeasonal,
     "q_ind_stateful" -> OracleGen.qIndFull,
     "q_ind_scan" -> OracleGen.qIndFull,

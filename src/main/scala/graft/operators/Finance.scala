@@ -158,6 +158,48 @@ object Finance {
         col("volume"), col("n_ticks"))
   }
 
+  /** Two-sided CUSUM change-point chart per symbol (Page 1954): the
+    * upward chart accumulates consecutive above-target drift
+    * `s⁺ = max(0, s⁺ + (x − μ))`, the downward one below-target drift,
+    * and either crossing `h` raises the alarm — the classic
+    * mean-drift detector data pipelines run on quality metrics to
+    * catch distribution shift (a rolling mean lags; CUSUM accumulates
+    * small persistent drifts until they are undeniable).
+    *
+    * Target μ is the symbol's own exact fixed-point mean (same `scale`
+    * unit contract as [[twap]]: one double division from exact integer
+    * sums), so the chart asks "where did this series drift from its
+    * overall level". The recursion runs in [[graft.functions.Cusum]] —
+    * streaming O(1) window state, bit-reproducible.
+    *
+    * Shape: ONE hash exchange on symbol shared by the partition-frame
+    * mean window and both ordered CUSUM windows (PlanAuditSpec pins
+    * the single exchange).
+    */
+  def cusumChart(df: DataFrame, symbol: Column, ts: Column,
+      close: Column, h: Double, scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6, "scale must be in [0, 6]")
+    val factor = math.pow(10.0, scale)
+    val wSym = Window.partitionBy(col("_sym"))
+    val base = df
+      .select(symbol.as("_sym"), ts.as("_ts"), close.as("_close"))
+      .withColumn("_mu",
+        sum(round(col("_close") * lit(factor)).cast("long")).over(wSym)
+          .cast("double") /
+          (count(lit(1)).over(wSym).cast("double") * lit(factor)))
+    val up = graft.functions.Cusum.over(col("_close") - col("_mu"),
+      Seq(col("_sym")), Seq(col("_ts")))
+    val dn = graft.functions.Cusum.over(col("_mu") - col("_close"),
+      Seq(col("_sym")), Seq(col("_ts")))
+    base
+      .withColumn("cusum_pos", up)
+      .withColumn("cusum_neg", dn)
+      .select(col("_sym"), col("_ts"), col("_close").as("close"),
+        col("_mu").as("target"), col("cusum_pos"), col("cusum_neg"),
+        (col("cusum_pos") > lit(h) || col("cusum_neg") > lit(h))
+          .as("alarm"))
+  }
+
   /** Per-symbol time-weighted average price over the closed holding
     * intervals: weight_i = ts_{i+1} − ts_i (exact integer µs; the last
     * observation has no closing interval and is excluded — the

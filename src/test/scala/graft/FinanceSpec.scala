@@ -123,6 +123,36 @@ class FinanceSpec extends AnyFunSuite {
     assert(run(t.repartition(17)) === run(t.coalesce(1)))
   }
 
+  test("cusum: clamp resets, drift accumulates, alarm crosses h") {
+    // closes 10,10,14,14,14,6 → mean = 68/6 = 11.333…
+    // cp: max(0,-1.33)=0, 0, 2.67, 5.33, 8.0, max(0, 8-5.33)=2.67
+    // cn: 1.33, 2.67, 0, 0, 0, 5.33
+    val mu = 68.0 / (6.0 * 1.0) // scale 0 → factor 1.0, integral closes
+    val s = series(Seq(0L -> 10.0, 1L -> 10.0, 2L -> 14.0, 3L -> 14.0,
+      4L -> 14.0, 5L -> 6.0))
+    val out = Finance.cusumChart(s, col("symbol"), col("ts"),
+        col("close"), h = 5.0, scale = 0)
+      .select("_ts", "cusum_pos", "cusum_neg", "alarm")
+      .as[(Long, Double, Double, Boolean)].collect().sortBy(_._1).toSeq
+    var cp = 0.0; var cn = 0.0
+    val expect = Seq(10.0, 10.0, 14.0, 14.0, 14.0, 6.0).zipWithIndex.map {
+      case (x, i) =>
+        cp = math.max(0.0, cp + (x - mu)); cn = math.max(0.0, cn + (mu - x))
+        (i.toLong, cp, cn, cp > 5.0 || cn > 5.0)
+    }
+    assert(out === expect)
+    // cp crosses h=5 at i=3 (2.67+2.67=5.33) and stays elevated
+    assert(out.map(_._4) === Seq(false, false, false, true, true, true))
+  }
+
+  test("cusum: repartition-invariant") {
+    val s = series((0L until 200L).map(i => i -> ((i * 13 % 97) / 2.0)))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Finance.cusumChart(df, col("symbol"), col("ts"), col("close"), 20.0)
+        .orderBy("_ts").collect().toSeq
+    assert(run(s.repartition(11)) === run(s.coalesce(1)))
+  }
+
   test("vwap: decimal-exact weighting, zero-volume bucket is NULL") {
     // bucket 0: (10.00 × 2) + (20.00 × 1) / 3 = 13.333... exact double
     // division of integers 4000/300; bucket 1: all-zero volume → NULL

@@ -282,6 +282,37 @@ class PlanAuditSpec extends AnyFunSuite {
       "top-k must prune to k rows before the single-partition rank window")
   }
 
+  test("OHLCV resample and VWAP: one partial-combined aggregation exchange") {
+    // ticks must collapse to bars BEFORE the shuffle (partial min_by/
+    // max_by/sum), and only the oracle-dump sort may follow the agg
+    for (q <- Seq("q_resample_ohlc", "q_vwap")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+        s"$q: expected 1 bucket-key shuffle:\n" +
+          p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      assert(p.contains("partial_"), s"$q: aggregates must combine map-side")
+    }
+  }
+
+  test("weighted median keeps the histogram shape: distinct-value " +
+    "partial agg before the group window") {
+    val p = plan("q_weighted_median")
+    // (g, v) partial-agg exchange + one group-key window exchange —
+    // identical scale contract to q_quantiles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("partial_sum"),
+      "weights must partial-aggregate before the shuffle")
+  }
+
+  test("cusum chart shuffles ONCE on symbol (mean + both recursions share it)") {
+    val p = plan("q_cusum")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1,
+      s"expected 1 symbol shuffle, got $hashExchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("sketch/vector expressions emit real codegen (no eval-island fallback)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.WholeStageCodegenExec
