@@ -10,9 +10,9 @@ import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CharGramBuckets, DotProduct, Ema, GramSetCount,
-  LongDot, MinHashBands, MinHashSignature, PunctCount, Shingles, SimHash,
-  SortedOverlapCount, SubtokenCount, WordSetCount}
+import graft.functions.{CharGramBuckets, Cusum, DotProduct, Ema,
+  GramSetCount, LongDot, MinHashBands, MinHashSignature, PunctCount,
+  Shingles, SimHash, SortedOverlapCount, SubtokenCount, WordSetCount}
 
 /** SQL surface for graft's custom expressions.
   *
@@ -50,6 +50,10 @@ object GraftFunctions {
     ("ema",
       "ema(x, alpha) - recursive exponential moving average window function",
       c => Ema(c(0), c(1))),
+    ("cusum",
+      "cusum(d) - clamped running sum max(0, s + d) window function " +
+        "(one-sided CUSUM chart)",
+      c => Cusum(c(0))),
     ("simhash",
       "simhash(array<string>) - 64-bit SimHash of a feature array",
       c => SimHash(c(0))),

@@ -30,6 +30,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(out(2) === a * 12.0 + (1 - a) * out(1))
   }
 
+  test("cusum() works as a SQL window function") {
+    Seq(("A", 0L, -2.0), ("A", 1L, 3.0), ("A", 2L, 1.0), ("A", 3L, -5.0))
+      .toDF("symbol", "ts", "d").createOrReplaceTempView("cusum_sql")
+    val out = spark.sql(
+      """SELECT cusum(d) OVER
+        |  (PARTITION BY symbol ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |FROM cusum_sql ORDER BY ts""".stripMargin)
+      .as[Double].collect().toSeq
+    // max(0,-2)=0 → 3 → 4 → max(0,-1)=0
+    assert(out === Seq(0.0, 3.0, 4.0, 0.0))
+  }
+
   test("simhash()/minhash SQL functions run and agree with the DSL") {
     Seq((0L, "a b c d e f g"), (1L, "a b c d e f g"), (2L, "x y z w v u t"))
       .toDF("doc_id", "text").createOrReplaceTempView("docs_sql")
