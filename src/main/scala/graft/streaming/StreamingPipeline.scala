@@ -74,6 +74,37 @@ object StreamingPipeline {
       .select(unix_micros(col("w.start")).as("bucket_us"), col("symbol"),
         col("cnt"), col("sum_cents"))
 
+  /** Streaming OHLCV bar builder — the batch ohlcResample
+    * (operators/Finance.scala) as a watermarked tumbling aggregation:
+    * per (bucket, symbol) open/high/low/close via min_by/max_by on the
+    * exact event time plus summed volume, emitted in APPEND mode once
+    * the watermark passes the bucket end. min_by/max_by are full
+    * partial aggregates (a (value, key) pair each), so streaming state
+    * per open window is O(1) like any count — a tick stream at any
+    * rate holds only watermark-horizon × |symbols| bar states.
+    * StreamingSpec pins the emitted bars equal to the batch
+    * ohlcResample of the same ticks — one semantics, two runtimes
+    * (the same contract the indicator pipeline proves via
+    * q_ind_stateful).
+    *
+    * Input needs `event_time: timestamp`, `symbol`, `close`, `vol`.
+    */
+  def streamingBars(ticks: DataFrame, watermark: String = "1 minute",
+      bucket: String = "1 minute"): DataFrame =
+    ticks
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), bucket).as("w"), col("symbol"))
+      .agg(
+        min_by(col("close"), col("event_time")).as("open"),
+        max(col("close")).as("high"),
+        min(col("close")).as("low"),
+        max_by(col("close"), col("event_time")).as("close"),
+        sum(col("vol")).as("volume"),
+        count(lit(1)).as("n_ticks"))
+      .select(unix_micros(col("w.start")).as("bucket_us"), col("symbol"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_ticks"))
+
   /** Stream-static broadcast enrichment (SURVEY §2.3's normalized
     * alternative to the reference's produce-time denormalization of
     * current_price into every message): join the stream against a

@@ -168,6 +168,46 @@ class StreamingSpec extends AnyFunSuite {
       (min, "AAA", 1L, 200L)))
   }
 
+  test("streaming OHLCV bars equal the batch ohlcResample of the same ticks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(String, Long, Double, Long)]
+    val checkpoint = Files.createTempDirectory("graft-ckpt-ohlc").toString
+    val min = 60L * 1000000L
+    val rows = Seq( // two symbols, two buckets, out of order in-batch
+      ("AAA", 3L, 5.0, 10L), ("AAA", 1L, 9.0, 20L), ("AAA", 7L, 2.0, 30L),
+      ("BBB", 2L, 1.0, 5L),
+      ("AAA", min + 2, 4.0, 7L), ("BBB", min + 9, 8.0, 1L))
+    val ticks = stream.toDF().toDF("symbol", "us", "close", "vol")
+      .withColumn("event_time", timestamp_micros(col("us")))
+    val query = StreamingPipeline.streamingBars(ticks)
+      .writeStream.format("memory").queryName("graft_sbars")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      stream.addData(rows: _*)
+      query.processAllAvailable()
+      stream.addData(("AAA", 10 * min, 1.0, 1L)) // advance watermark
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("graft_sbars")
+      .select("bucket_us", "symbol", "open", "high", "low", "close",
+        "volume", "n_ticks")
+      .as[(Long, String, Double, Double, Double, Double, Long, Long)]
+      .collect().toSet
+    val batch = graft.operators.Finance.ohlcResample(
+        rows.toDF("symbol", "tsu", "close", "vol"),
+        col("symbol"), col("tsu"), col("close"), col("vol"), min)
+      .select((col("bucket_ts")).as("bucket_us"), col("_sym").as("symbol"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_ticks"))
+      .as[(Long, String, Double, Double, Double, Double, Long, Long)]
+      .collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 4)
+  }
+
   test("Trigger.AvailableNow drains everything then terminates itself") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
