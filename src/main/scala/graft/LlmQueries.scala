@@ -157,6 +157,36 @@ object LlmQueries {
           Seq(("train", 80), ("val", 10), ("test", 10)))
         .orderBy("doc_id")),
 
+    // Train/val token-distribution drift audit: per-word ppm rates in
+    // each content-addressed split, top-20 absolute drifts — the
+    // distribution-shift check a pipeline runs after splitting to
+    // catch a skewed partition before training on it. All-integer
+    // (ppm = c·10⁶ DIV n), so exact; split totals are a 2-row
+    // broadcast; ties break on the word for a deterministic top-k.
+    "q_split_drift" -> ((s, d) => {
+      val sp = graft.operators.Sampling.splitAssign(
+          docs(s, d).select("doc_id", "text"), col("doc_id"),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .filter(col("split") =!= "test")
+      val counts = sp
+        .select(col("split"),
+          explode(graft.operators.TermStats.cleanWords(col("text")))
+            .as("w"))
+        .groupBy("split", "w").agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy("split").agg(sum(col("c")).as("n"))
+      counts.join(broadcast(totals), "split")
+        .select(col("w"), col("split"), expr("c * 1000000 DIV n").as("ppm"))
+        .groupBy("w")
+        .agg(
+          coalesce(max(when(col("split") === "train", col("ppm"))), lit(0L))
+            .as("train_ppm"),
+          coalesce(max(when(col("split") === "val", col("ppm"))), lit(0L))
+            .as("val_ppm"))
+        .withColumn("drift_ppm", abs(col("train_ppm") - col("val_ppm")))
+        .orderBy(col("drift_ppm").desc, col("w"))
+        .limit(20)
+    }),
+
     // Deterministic stratified sampling — corpus-mixing composition
     // control: keep 50% of English, 100% of Chinese, 25% of everything
     // else, content-addressed (a pure narrow filter; membership never
@@ -1258,6 +1288,30 @@ object LlmQueries {
         |                     WHEN 'zh' THEN 1000000
         |                     ELSE 250000 END
         |ORDER BY doc_id""".stripMargin,
+    "q_split_drift" ->
+      """WITH h AS (SELECT doc_id, text,
+        |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
+        |     * 2654435761) % 1000000007 % 100 AS bucket
+        |  FROM documents),
+        |sp AS (SELECT CASE WHEN bucket < 80 THEN 'train' ELSE 'val' END
+        |         AS split, text
+        |       FROM h WHERE bucket < 90),
+        |t AS (SELECT split,
+        |  unnest(string_split_regex(lower(text), '\s+')) AS w FROM sp),
+        |c AS (SELECT split, w, CAST(count(*) AS BIGINT) AS c
+        |      FROM t WHERE w <> '' GROUP BY 1, 2),
+        |n AS (SELECT split, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |r AS (SELECT c.w, c.split, c.c * 1000000 // n.n AS ppm
+        |      FROM c JOIN n USING (split)),
+        |wd AS (SELECT w,
+        |  CAST(coalesce(max(CASE WHEN split = 'train' THEN ppm END), 0)
+        |    AS BIGINT) AS train_ppm,
+        |  CAST(coalesce(max(CASE WHEN split = 'val' THEN ppm END), 0)
+        |    AS BIGINT) AS val_ppm
+        |  FROM r GROUP BY w)
+        |SELECT w, train_ppm, val_ppm,
+        |  CAST(abs(train_ppm - val_ppm) AS BIGINT) AS drift_ppm
+        |FROM wd ORDER BY drift_ppm DESC, w LIMIT 20""".stripMargin,
     "q_split_assign" ->
       """WITH h AS (SELECT doc_id,
         |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
