@@ -494,6 +494,31 @@ object BatchQueries {
           nullif(col("l_returnflag"), lit("N")).isNull.as("rf_is_null"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Per-group median imputation — the feature-cleaning pass every
+    // training pipeline runs on untrusted measurements: values from
+    // 'error' events are treated as missing and replaced by the
+    // user's own lower median of trusted values (exact, via
+    // Quantiles.weightedMedian at unit weight), with a was_imputed
+    // flag so downstream consumers can weight or drop filled rows. A
+    // user with ONLY error events keeps NULL (nothing to impute from).
+    // The per-user median relation is tiny → broadcast back; the scan
+    // side stays narrow.
+    "q_impute_median" -> ((s, d) => {
+      val ev = Tables.events(utc(s), d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val med = graft.operators.Quantiles.weightedMedian(
+          ev.filter(col("event_type") =!= "error"),
+          col("user_id"), col("value"), lit(1L))
+        .select(col("_g").as("user_id"), col("weighted_median"))
+      ev.join(broadcast(med), Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"), col("value"),
+          when(col("event_type") === "error", col("weighted_median"))
+            .otherwise(col("value")).as("imputed_value"),
+          (col("event_type") === "error").as("was_imputed"))
+        .orderBy("event_id")
+    }),
+
     // Math function family — restricted to the exact-on-both-engines
     // set: abs/sign/floor/ceil/greatest/least are integer-exact, sqrt
     // is IEEE-754 correctly rounded everywhere. (log/pow are NOT in
@@ -1481,6 +1506,27 @@ object BatchQueries {
         |  COALESCE(nullif(l_returnflag, 'N'), '?') AS rf_filled,
         |  nullif(l_returnflag, 'N') IS NULL AS rf_is_null
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_impute_median" ->
+      """WITH c AS (
+        |  SELECT user_id AS g, value AS v, CAST(count(*) AS BIGINT) AS w
+        |  FROM events WHERE event_type <> 'error' AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |),
+        |r AS (SELECT *,
+        |  CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |  CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tot
+        |  FROM c),
+        |m AS (SELECT g AS user_id,
+        |  min(CASE WHEN cum * 2 >= tot THEN v END) AS med
+        |  FROM r GROUP BY 1)
+        |SELECT e.event_id, e.user_id, e.value,
+        |  CASE WHEN e.event_type = 'error' THEN m.med
+        |       ELSE e.value END AS imputed_value,
+        |  e.event_type = 'error' AS was_imputed
+        |FROM events e LEFT JOIN m USING (user_id)
+        |ORDER BY event_id""".stripMargin,
     "q_math_fns" ->
       """SELECT event_id,
         |  abs(value - 50) AS abs_dev,
