@@ -5,7 +5,7 @@ name := "airflowkafkasparkspark"
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
-// Checked (re-verified round 7): spark-sql-kafka-0-10 is in NEITHER
+// Checked (re-verified round 8, full-filesystem find): spark-sql-kafka-0-10 is in NEITHER
 // /opt/spark/jars nor the coursier/ivy caches, so the Kafka
 // source/sink wiring (streaming/StreamingPipeline.scala) cannot even
 // plan-resolve here — exercised instead via MemoryStream
