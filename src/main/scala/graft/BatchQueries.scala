@@ -1168,7 +1168,7 @@ object BatchQueries {
     "q_weighted_median" -> ((s, d) =>
       graft.operators.Quantiles.weightedMedian(Tables.lineitem(s, d),
           col("l_returnflag"), col("l_extendedprice").cast("double"),
-          col("l_quantity"))
+          col("l_quantity"), bucketScale = 0.001) // ~1000-unit price bins
         .withColumnRenamed("_g", "l_returnflag")
         .orderBy("l_returnflag")),
 

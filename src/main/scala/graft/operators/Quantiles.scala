@@ -152,31 +152,63 @@ object Quantiles {
     * and not hash-gateable). NULL values and non-positive weights are
     * excluded up front on both engines.
     *
-    * Shape (same reasoning as [[exactQuantilesHist]]): weights collapse
-    * onto DISTINCT (group, value) keys in a map-side-combinable
-    * aggregation first, so the full-parallel scan shrinks the data
-    * before the one per-group window over |distinct values| rows; the
-    * crossing test `2·cum ≥ total` is pure integer comparison. The
-    * selected value is deterministic even under value ties in the raw
-    * input because ties merge in the pre-aggregation.
+    * Shape — TWO-PHASE, so no group is ever scanned serially (unlike a
+    * single per-group rank window, whose task count equals the group
+    * count — 3 groups over 10⁹ distinct values would run 3 tasks):
+    *
+    *  1. weights collapse onto DISTINCT (group, value) keys
+    *     (map-side combinable), then onto coarse ORDERED value buckets
+    *     `floor(v · bucketScale)`; a per-group window over the few
+    *     buckets finds the single bucket whose cumulative weight
+    *     crosses half the total.
+    *  2. only that bucket's (value, weight) rows are rejoined (the
+    *     1-row-per-group crossing relation broadcasts) and a window
+    *     over the BUCKET's values — not the group's — picks the exact
+    *     crossing value, offset by the weight before the bucket.
+    *
+    * Bucket granularity affects only performance, never the result: a
+    * degenerate bucketing (all values in one bucket) reduces phase 2
+    * to the single-window form. The selected value is deterministic
+    * even under value ties in the raw input because ties merge in the
+    * pre-aggregation. The oracle needs none of this — any algorithm
+    * returns the same median, so the SQL stays the direct one-window
+    * form.
     */
   def weightedMedian(df: DataFrame, group: Column, value: Column,
-      weight: Column): DataFrame = {
+      weight: Column, bucketScale: Double = 1.0): DataFrame = {
+    require(bucketScale > 0, "bucketScale must be positive")
     val counts = df
       .select(group.as("_g"), value.as("_v"), weight.cast("long").as("_w"))
       .filter(col("_v").isNotNull && col("_w") > 0L)
       .groupBy(col("_g"), col("_v"))
       .agg(sum(col("_w")).as("_w"))
-    val wCum = Window.partitionBy(col("_g")).orderBy(col("_v"))
+    val bucketed = counts.withColumn("_b",
+      floor(col("_v").cast("double") * lit(bucketScale)).cast("long"))
+    // phase 1: per-bucket weights, tiny per-group window over buckets
+    val wB = Window.partitionBy(col("_g")).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    counts
-      .withColumn("_cum", sum(col("_w")).over(wCum))
-      .withColumn("_tot", sum(col("_w")).over(Window.partitionBy(col("_g"))))
+    val crossing = bucketed
+      .groupBy(col("_g"), col("_b")).agg(sum(col("_w")).as("_bw"))
+      .withColumn("_bcum", sum(col("_bw")).over(wB))
+      .withColumn("_tot", sum(col("_bw")).over(Window.partitionBy(col("_g"))))
+      .filter(col("_bcum") * 2L >= col("_tot") &&
+        (col("_bcum") - col("_bw")) * 2L < col("_tot"))
+      .select(col("_g"), col("_b"),
+        (col("_bcum") - col("_bw")).as("_before"), col("_tot"))
+    // phase 2: exact crossing value inside the one crossing bucket
+    val wV = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val median = bucketed.join(broadcast(crossing), Seq("_g", "_b"))
+      .withColumn("_cum", col("_before") + sum(col("_w")).over(wV))
       .groupBy(col("_g"))
-      .agg(
-        min(when(col("_cum") * 2L >= col("_tot"), col("_v")))
-          .as("weighted_median"),
-        max(col("_tot")).as("total_weight"),
+      .agg(min(when(col("_cum") * 2L >= col("_tot"), col("_v")))
+        .as("weighted_median"))
+    counts
+      .groupBy(col("_g"))
+      .agg(sum(col("_w")).as("total_weight"),
         count(lit(1)).as("n_distinct"))
+      .join(median, Seq("_g"))
+      .select(col("_g"), col("weighted_median"), col("total_weight"),
+        col("n_distinct"))
   }
 }

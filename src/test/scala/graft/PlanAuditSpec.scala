@@ -294,15 +294,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("weighted median keeps the histogram shape: distinct-value " +
-    "partial agg before the group window") {
+  test("weighted median is two-phase: partial-agg histogram, broadcast " +
+    "crossing bucket, no shuffle join") {
     val p = plan("q_weighted_median")
-    // (g, v) partial-agg exchange + one group-key window exchange —
-    // identical scale contract to q_quantiles
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
-      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // weights partial-aggregate onto (g, v) then (g, bucket) keys
+    // before any shuffle, the 1-row-per-group crossing relation comes
+    // back as a broadcast, and no join falls back to sort-merge — the
+    // shape that keeps every window bucket-bounded instead of
+    // group-serial
     assert(p.contains("partial_sum"),
       "weights must partial-aggregate before the shuffle")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.linesIterator.filter(l =>
+        l.contains("Join") || l.contains("Cartesian")).mkString("\n"))
   }
 
   test("cusum chart shuffles ONCE on symbol (mean + both recursions share it)") {
