@@ -157,6 +157,35 @@ object LlmQueries {
           Seq(("train", 80), ("val", 10), ("test", 10)))
         .orderBy("doc_id")),
 
+    // Padding-efficient length-bucketed batching: sort the corpus by
+    // token count (desc, id tie-break), cut into fixed-size batches of
+    // 32, and report each batch's padding waste (padded = max_len ×
+    // batch size vs real tokens) — the batch-assembly pass that turns
+    // O(max_len) padding waste on a shuffled corpus into near-zero
+    // waste on a length-sorted one. The global ordering rides the
+    // two-phase prefix-sum machinery (range partition + partition-id
+    // windows + broadcast offsets), NOT a single-task global window,
+    // so batch assignment over 10¹⁰ docs stays fully parallel.
+    "q_batch_padding" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        size(graft.operators.TermStats.cleanWords(col("text")))
+          .cast("long").as("n_tokens"))
+      graft.operators.Packing.withGlobalCumsum(toks,
+          struct((-col("n_tokens")).as("m"), col("doc_id").as("t")),
+          lit(1L), "_rank0")
+        .withColumn("batch_id", expr("_rank0 DIV 32"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("max_len"),
+          sum(col("n_tokens")).as("real_tokens"))
+        .withColumn("padded_tokens", col("max_len") * col("n_docs"))
+        .withColumn("waste_ppm",
+          when(col("padded_tokens") === 0L, lit(0L))
+            .otherwise(expr(
+              "(padded_tokens - real_tokens) * 1000000 DIV padded_tokens")))
+        .orderBy("batch_id")
+    }),
+
     // Train/val token-distribution drift audit: per-word ppm rates in
     // each content-addressed split, top-20 absolute drifts — the
     // distribution-shift check a pipeline runs after splitting to
@@ -1288,6 +1317,25 @@ object LlmQueries {
         |                     WHEN 'zh' THEN 1000000
         |                     ELSE 250000 END
         |ORDER BY doc_id""".stripMargin,
+    "q_batch_padding" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    w -> w <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |  row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rank0
+        |  FROM t),
+        |g AS (SELECT rank0 // 32 AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_len,
+        |  CAST(sum(n_tokens) AS BIGINT) AS real_tokens
+        |  FROM r GROUP BY 1)
+        |SELECT batch_id, n_docs, max_len, real_tokens,
+        |  max_len * n_docs AS padded_tokens,
+        |  CASE WHEN max_len * n_docs = 0 THEN 0
+        |       ELSE (max_len * n_docs - real_tokens) * 1000000
+        |              // (max_len * n_docs) END AS waste_ppm
+        |FROM g ORDER BY batch_id""".stripMargin,
     "q_split_drift" ->
       """WITH h AS (SELECT doc_id, text,
         |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
