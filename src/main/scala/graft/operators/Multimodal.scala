@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Typed media metadata carried alongside the opaque payload. */
@@ -283,6 +284,94 @@ object Multimodal {
     ds.mapPartitions { rows =>
       rows.map(f => f.copy(features = resizeVec(f.features, outDim)))
     }
+
+  /** 64-bit perceptual average-hash (aHash) of an image payload: the
+    * decoded bitmap collapses onto an 8×8 luminance grid (pixel
+    * (x, y) → cell (8x/w, 8y/h), exact integer mapping) and each
+    * cell's bit is set iff its mean luminance exceeds the image's
+    * overall mean. The comparison is the integer cross-multiplication
+    * `cellSum · totalCnt > totalSum · cellCnt` — no FP anywhere, so
+    * the hash is bit-deterministic across platforms (products stay
+    * under 2⁶³ for images up to ~67 MPx; larger payloads return None
+    * rather than overflow). Near-identical images (re-encodes, mild
+    * noise, small crops) land within a few bits; unrelated images
+    * differ in ~32.
+    */
+  private[graft] def aHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) None
+        else {
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var totalSum = 0L
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              val c = cy * 8 + x * 8 / w
+              sums(c) += lum
+              cnts(c) += 1
+              totalSum += lum
+              x += 1
+            }
+            y += 1
+          }
+          val totalCnt = w.toLong * h
+          var hash = 0L
+          var c = 0
+          while (c < 64) {
+            if (cnts(c) > 0 && sums(c) * totalCnt > totalSum * cnts(c))
+              hash |= 1L << c
+            c += 1
+          }
+          Some(hash)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Perceptual near-duplicate image pairs: aHash each payload, band
+    * the 64-bit hash into 4 × 16-bit chunks (two hashes within
+    * Hamming ≤ 3 MUST agree on at least one chunk — pigeonhole, the
+    * same recall argument as the SimHash text path), equi-join on the
+    * chunk key with capped buckets, verify XOR+POPCNT ≤ `maxHamming`.
+    * Undecodable payloads drop out before the join. Decode cost is one
+    * pass per image; the pair stage moves only (id, hash) longs.
+    */
+  def imageNearDupPairs(df: DataFrame, id: Column, content: Column,
+      maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = org.apache.spark.sql.graft.Bridge.persistRows(
+      df.select(id.cast("long").as("_id"), content.as("_c"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (i, bytes) => aHash(bytes).map(h => (i, h)) }
+        .toDF("_id", "_ph"))
+    val width = 16
+    val mask = (1L << width) - 1L
+    val chunks = hashed.select(col("_id"), col("_ph"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("_ph"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("_band", "_chunk")))
+    BucketPairs
+      .boundedPairs(chunks, Seq("_band", "_chunk"), "_id", Seq("_ph"),
+        bucketCap)
+      .dropDuplicates("_id_a", "_id_b")
+      .withColumn("hamming",
+        bit_count(col("_ph_a").bitwiseXOR(col("_ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("_id_a").as("media_a"), col("_id_b").as("media_b"),
+        col("hamming"))
+  }
 
   /** View any (id, binary) DataFrame as a media Dataset with fake
     * metadata (for fixtures that carry text payloads).

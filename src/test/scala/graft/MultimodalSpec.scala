@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{MediaMeta, MediaRow, Multimodal}
@@ -212,5 +213,40 @@ class MultimodalSpec extends AnyFunSuite {
     // stub could not produce this (the RIFF header bytes spread out)
     assert(out.head.features(15) === 1.0f)
     assert(Multimodal.fakeDecode(wav, 16)(15) !== 1.0f)
+  }
+
+  /** A structured 64×64 test image: left-to-right gradient with a
+    * bright square whose position is parameterized — near-identical
+    * variants share most 8×8 cells, a moved square flips many.
+    */
+  private def scenePng(sqX: Int, sqY: Int, noise: Int = 0): Array[Byte] =
+    pngBytes(64, 64) { (x, y) =>
+      val inSq = x >= sqX && x < sqX + 16 && y >= sqY && y < sqY + 16
+      val base = if (inSq) 0xf0 else (x * 255 / 63) / 2
+      val v = math.min(255, math.max(0, base + ((x * 31 + y * 17) % 7) * noise))
+      (v << 16) | (v << 8) | v
+    }
+
+  test("aHash: re-encode-stable, noise-robust, scene-sensitive") {
+    val a = Multimodal.aHash(scenePng(8, 8)).get
+    val aNoisy = Multimodal.aHash(scenePng(8, 8, noise = 2)).get
+    val moved = Multimodal.aHash(scenePng(40, 40)).get
+    assert(a === Multimodal.aHash(scenePng(8, 8)).get) // deterministic
+    assert(java.lang.Long.bitCount(a ^ aNoisy) <= 3, "mild noise is near-dup")
+    assert(java.lang.Long.bitCount(a ^ moved) > 3, "moved scene is not")
+    assert(Multimodal.aHash(Array[Byte](1, 2, 3)).isEmpty) // undecodable
+  }
+
+  test("imageNearDupPairs finds planted perceptual dups only") {
+    val media = Seq(
+      (1L, scenePng(8, 8)), (2L, scenePng(8, 8, noise = 2)), // planted pair
+      (3L, scenePng(40, 40)), (4L, scenePng(0, 40)),         // distinct
+      (5L, Array[Byte](9, 9, 9)))                            // undecodable
+      .toDF("media_id", "content")
+    val pairs = Multimodal.imageNearDupPairs(media.repartition(3),
+        col("media_id"), col("content"))
+      .select("media_a", "media_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
   }
 }
