@@ -339,23 +339,92 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Perceptual near-duplicate image pairs: aHash each payload, band
-    * the 64-bit hash into 4 × 16-bit chunks (two hashes within
-    * Hamming ≤ 3 MUST agree on at least one chunk — pigeonhole, the
-    * same recall argument as the SimHash text path), equi-join on the
-    * chunk key with capped buckets, verify XOR+POPCNT ≤ `maxHamming`.
-    * Undecodable payloads drop out before the join. Decode cost is one
-    * pass per image; the pair stage moves only (id, hash) longs.
+  /** 64-bit perceptual audio hash: the PCM stream's absolute-amplitude
+    * ENVELOPE over 64 equal temporal segments (frame → segment by
+    * exact integer `idx·64/frames`, frame count known from the WAV
+    * header up front — one streaming pass), each bit set iff the
+    * segment's integer mean amplitude exceeds the track's. All
+    * arithmetic is integer (means by Long division — deterministic
+    * across platforms); returns None for non-PCM payloads or tracks
+    * past 2²⁶ frames (cost bound, like [[aHash]]'s pixel cap).
+    * Re-encodes and low-level noise keep the loud/quiet shape (small
+    * Hamming); different material differs in ~32 bits.
     */
-  def imageNearDupPairs(df: DataFrame, id: Column, content: Column,
-      maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val hashed = org.apache.spark.sql.graft.Bridge.persistRows(
-      df.select(id.cast("long").as("_id"), content.as("_c"))
-        .as[(Long, Array[Byte])]
-        .flatMap { case (i, bytes) => aHash(bytes).map(h => (i, h)) }
-        .toDF("_id", "_ph"))
+  private[graft] def audioHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        val bits = fmt.getSampleSizeInBits
+        val frameSize = fmt.getFrameSize
+        val frames = in.getFrameLength
+        if ((!signed && enc != AudioFormat.Encoding.PCM_UNSIGNED) ||
+            bits <= 0 || bits > 32 || bits % 8 != 0 ||
+            frameSize <= 0 || frames <= 0 || frames > (1L << 26)) None
+        else {
+          val bps = bits / 8
+          val big = fmt.isBigEndian
+          val half = 1L << (bits - 1)
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var totalSum = 0L
+          var totalCnt = 0L
+          var idx = 0L
+          val buf = new Array[Byte](frameSize * 1024)
+          var read = in.read(buf)
+          while (read > 0) {
+            var off = 0
+            while (off + frameSize <= read) {
+              var u = 0L
+              var k = 0
+              while (k < bps) {
+                val b = buf(off + k) & 0xffL
+                u |= (if (big) b << (8 * (bps - 1 - k)) else b << (8 * k))
+                k += 1
+              }
+              val centered =
+                if (signed) (u << (64 - bits)) >> (64 - bits)
+                else u - half
+              val amp = math.abs(centered)
+              val seg = (idx * 64 / frames).toInt.min(63)
+              sums(seg) += amp
+              cnts(seg) += 1
+              totalSum += amp
+              totalCnt += 1
+              idx += 1
+              off += frameSize
+            }
+            read = in.read(buf)
+          }
+          if (totalCnt == 0) None
+          else {
+            val overall = totalSum / totalCnt
+            var hash = 0L
+            var s = 0
+            while (s < 64) {
+              if (cnts(s) > 0 && sums(s) / cnts(s) > overall)
+                hash |= 1L << s
+              s += 1
+            }
+            Some(hash)
+          }
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Shared banded pair join over 64-bit perceptual hashes: 4 × 16-bit
+    * chunks (two hashes within Hamming ≤ 3 MUST agree on at least one
+    * chunk — pigeonhole, the same recall argument as the SimHash text
+    * path), equi-join on the chunk key with capped buckets, verify
+    * XOR+POPCNT ≤ `maxHamming`. The pair stage moves only (id, hash)
+    * longs.
+    */
+  private def hashNearDupPairs(hashed: DataFrame, maxHamming: Int,
+      bucketCap: Int): DataFrame = {
     val width = 16
     val mask = (1L << width) - 1L
     val chunks = hashed.select(col("_id"), col("_ph"),
@@ -372,6 +441,35 @@ object Multimodal {
       .select(col("_id_a").as("media_a"), col("_id_b").as("media_b"),
         col("hamming"))
   }
+
+  private def hashMedia(df: DataFrame, id: Column, content: Column,
+      hashFn: Array[Byte] => Option[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    org.apache.spark.sql.graft.Bridge.persistRows(
+      df.select(id.cast("long").as("_id"), content.as("_c"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (i, bytes) => hashFn(bytes).map(h => (i, h)) }
+        .toDF("_id", "_ph"))
+  }
+
+  /** Perceptual near-duplicate image pairs ([[aHash]] +
+    * [[hashNearDupPairs]]). Undecodable payloads drop out before the
+    * join; decode cost is one pass per image.
+    */
+  def imageNearDupPairs(df: DataFrame, id: Column, content: Column,
+      maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame =
+    hashNearDupPairs(hashMedia(df, id, content, aHash), maxHamming,
+      bucketCap)
+
+  /** Perceptual near-duplicate audio pairs ([[audioHash]] +
+    * [[hashNearDupPairs]]) — the WAV/PCM twin of
+    * [[imageNearDupPairs]].
+    */
+  def audioNearDupPairs(df: DataFrame, id: Column, content: Column,
+      maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame =
+    hashNearDupPairs(hashMedia(df, id, content, audioHash), maxHamming,
+      bucketCap)
 
   /** View any (id, binary) DataFrame as a media Dataset with fake
     * metadata (for fixtures that carry text payloads).

@@ -237,6 +237,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.aHash(Array[Byte](1, 2, 3)).isEmpty) // undecodable
   }
 
+  /** Loud/quiet envelope track: 1024 frames in 64 segments of 16,
+    * loud segments per `loudMask` bit, amplitude `amp` (+ small
+    * per-frame jitter when `jitter` is set).
+    */
+  private def envelopeWav(loudMask: Long, amp: Short,
+      jitter: Int = 0): Array[Byte] = {
+    val samples = Array.tabulate(1024) { i =>
+      val seg = i * 64 / 1024
+      val base = if (((loudMask >> seg) & 1L) == 1L) amp.toInt else 0
+      (base + (if (base > 0) (i * 7) % (jitter + 1) else 0)).toShort
+    }
+    wavBytes(samples)
+  }
+
+  test("audioHash: envelope-stable under jitter, distinct for a " +
+    "different loud pattern, undecodable None") {
+    val mask = 0x00ff00ff00ff00ffL
+    val a = Multimodal.audioHash(envelopeWav(mask, 8000)).get
+    val jittered = Multimodal.audioHash(envelopeWav(mask, 8000, jitter = 50)).get
+    val other = Multimodal.audioHash(envelopeWav(~mask, 8000)).get
+    assert(a === Multimodal.audioHash(envelopeWav(mask, 8000)).get)
+    assert(a === mask, "loud segments above the track mean set their bits")
+    assert(java.lang.Long.bitCount(a ^ jittered) <= 3)
+    assert(java.lang.Long.bitCount(a ^ other) > 3)
+    assert(Multimodal.audioHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("audioNearDupPairs finds the planted re-level pair only") {
+    val mask = 0x0f0f0f0f0f0f0f0fL
+    val media = Seq(
+      (1L, envelopeWav(mask, 8000)),
+      (2L, envelopeWav(mask, 9000, jitter = 40)), // re-leveled + noisy
+      (3L, envelopeWav(~mask, 8000)))             // different material
+      .toDF("media_id", "content")
+    val pairs = Multimodal.audioNearDupPairs(media.repartition(2),
+        col("media_id"), col("content"))
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("imageNearDupPairs finds planted perceptual dups only") {
     val media = Seq(
       (1L, scenePng(8, 8)), (2L, scenePng(8, 8, noise = 2)), // planted pair
