@@ -11,8 +11,9 @@ import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{CharGramBuckets, Cusum, DotProduct, Ema,
-  GramSetCount, LongDot, MinHashBands, MinHashSignature, PunctCount,
-  Shingles, SimHash, SortedOverlapCount, SubtokenCount, WordSetCount}
+  GramSetCount, LongDot, MinHashBands, MinHashSignature, NfcNormalize,
+  PunctCount, Shingles, SimHash, SortedOverlapCount, SubtokenCount,
+  WordSetCount}
 
 /** SQL surface for graft's custom expressions.
   *
@@ -54,6 +55,10 @@ object GraftFunctions {
       "cusum(d) - clamped running sum max(0, s + d) window function " +
         "(one-sided CUSUM chart)",
       c => Cusum(c(0))),
+    ("nfc_normalize",
+      "nfc_normalize(text) - Unicode NFC canonical composition " +
+        "(DuckDB-name-compatible)",
+      c => NfcNormalize(c(0))),
     ("simhash",
       "simhash(array<string>) - 64-bit SimHash of a feature array",
       c => SimHash(c(0))),

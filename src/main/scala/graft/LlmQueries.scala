@@ -157,6 +157,25 @@ object LlmQueries {
           Seq(("train", 80), ("val", 10), ("test", 10)))
         .orderBy("doc_id")),
 
+    // Unicode NFC normalization over the corpus — the canonical-form
+    // cleaning step that makes composed and decomposed accents hash,
+    // dedup, and join identically. Runs the native codegen
+    // NfcNormalize kernel (zero-allocation fast path on
+    // already-normalized text); DuckDB's nfc_normalize replays the
+    // same UAX #15 composition, so the full normalized text column
+    // hash-gates.
+    "q_text_normalize" -> ((s, d) => {
+      val norm = org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.NfcNormalize(
+          org.apache.spark.sql.graft.Bridge.expression(col("text"))))
+      docs(s, d)
+        .select(col("doc_id"), col("text"), norm.as("norm_text"))
+        .select(col("doc_id"), col("norm_text"),
+          (col("norm_text") =!= col("text")).as("changed"),
+          length(col("norm_text")).cast("long").as("n_chars_norm"))
+        .orderBy("doc_id")
+    }),
+
     // Padding-efficient length-bucketed batching: sort the corpus by
     // token count (desc, id tie-break), cut into fixed-size batches of
     // 32, and report each batch's padding waste (padded = max_len ×
@@ -1317,6 +1336,11 @@ object LlmQueries {
         |                     WHEN 'zh' THEN 1000000
         |                     ELSE 250000 END
         |ORDER BY doc_id""".stripMargin,
+    "q_text_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS norm_text,
+        |  nfc_normalize(text) <> text AS changed,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_batch_padding" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

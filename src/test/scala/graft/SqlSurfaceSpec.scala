@@ -43,6 +43,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(out === Seq(0.0, 3.0, 4.0, 0.0))
   }
 
+  test("nfc_normalize() composes decomposed accents; identity on ASCII") {
+    val decomposed = "Café Å" // Café Å, decomposed
+    val out = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') AS n, " +
+        "nfc_normalize('plain ascii') AS a")
+      .as[(String, String)].head()
+    assert(out._1 === "Café Å")
+    assert(out._2 === "plain ascii")
+    // idempotent: normalizing the normalized form is the identity
+    val again = spark.sql(s"SELECT nfc_normalize(nfc_normalize('$decomposed'))")
+      .as[String].head()
+    assert(again === out._1)
+  }
+
   test("simhash()/minhash SQL functions run and agree with the DSL") {
     Seq((0L, "a b c d e f g"), (1L, "a b c d e f g"), (2L, "x y z w v u t"))
       .toDF("doc_id", "text").createOrReplaceTempView("docs_sql")
