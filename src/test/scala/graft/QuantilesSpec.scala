@@ -100,6 +100,33 @@ class QuantilesSpec extends AnyFunSuite {
       (g, brute(g), rows.filter(_._1 == g).map(_._3).sum)))
   }
 
+  test("weightedMedian: two-phase equals brute force on random data " +
+    "across bucket granularities") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 8) {
+      val rows = Seq.fill(200 + rnd.nextInt(200))(
+        (s"g${rnd.nextInt(4)}",
+          // duplicates and negatives on purpose; 1-decimal grid
+          (rnd.nextInt(400) - 200) / 10.0,
+          (rnd.nextInt(5) + 1).toLong))
+      val df = rows.toDF("g", "v", "w").repartition(1 + rnd.nextInt(7))
+      // degenerate (all-one-bucket), coarse, and fine bucketing must
+      // all return the identical median — granularity is perf-only
+      val scales = Seq(1e-9, 0.05, 1.0, 10.0)
+      val results = scales.map(sc =>
+        Quantiles.weightedMedian(df, col("g"), col("v"), col("w"), sc)
+          .select("_g", "weighted_median", "total_weight", "n_distinct")
+          .as[(String, Double, Long, Long)].collect().sortBy(_._1).toSeq)
+      assert(results.distinct.size === 1, s"bucketScale changed the result")
+      val brute = rows.groupBy(_._1).map { case (g, rs) =>
+        val exp = rs.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+        (g, exp((exp.size + 1) / 2 - 1), rs.map(_._3).sum,
+          rs.map(_._2).distinct.size.toLong)
+      }.toSeq.sortBy(_._1)
+      assert(results.head === brute)
+    }
+  }
+
   test("weightedMedian drops nulls and non-positive weights; " +
     "partitioning-invariant") {
     val df = Seq(
