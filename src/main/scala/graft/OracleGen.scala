@@ -208,8 +208,10 @@ object OracleGen {
 
   val qCusum: String =
     s"""WITH RECURSIVE $eventsBase,
-       |u AS (SELECT symbol, ts, rn, close,
-       |  CAST(round(close * 100.0) AS BIGINT) AS units FROM base),
+       |u AS (SELECT symbol, ts, close,
+       |  row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
+       |  CAST(round(close * 100.0) AS BIGINT) AS units
+       |  FROM base WHERE close IS NOT NULL),
        |m AS (SELECT symbol, CAST(sum(units) AS BIGINT) AS su,
        |  CAST(count(*) AS BIGINT) AS n FROM u GROUP BY symbol),
        |b2 AS (SELECT u.symbol, u.ts, u.rn, u.close,
@@ -241,10 +243,10 @@ object OracleGen {
   val qResampleOhlc: String =
     s"""WITH $ticksBase
        |SELECT symbol, (tsu // 3600000000) * 3600000000 AS bucket_ts,
-       |  arg_min(close, tsu) AS open,
+       |  first(close ORDER BY tsu, close) AS open,
        |  max(close) AS high,
        |  min(close) AS low,
-       |  arg_max(close, tsu) AS close,
+       |  last(close ORDER BY tsu, close) AS close,
        |  CAST(sum(vol) AS BIGINT) AS volume,
        |  CAST(count(*) AS BIGINT) AS n_ticks
        |FROM tk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,9 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `java.text.Normalizer` both implement UAX #15; q_text_normalize
   * hash-matches through the full fixture corpus.
   */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
   override def prettyName: String = "nfc_normalize"
   override def dataType: DataType = StringType
+  // Declared so misuse (nfc_normalize(123)) is an analysis-time type
+  // error, not a runtime ClassCastException.
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   protected override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])

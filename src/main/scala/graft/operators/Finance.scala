@@ -93,12 +93,14 @@ object Finance {
     * 100 TB nobody charts ticks).
     *
     * Exactness: every output price is SELECTED, never computed —
-    * open/close via min_by/max_by on the exact integer µs timestamp
-    * (unique per symbol in the fixtures; ties would fall to the
-    * comparison on the (ts, price) pair ordering both engines share),
-    * high/low via comparison-only min/max — so doubles pass through
-    * bit-identical and the whole bar is hash-gateable. Volume is an
-    * exact BIGINT sum.
+    * open/close via min_by/max_by on the (ts, price) struct (ties on
+    * a duplicate timestamp resolve by price, the same lexicographic
+    * struct comparison in both engines — min_by on the timestamp
+    * alone would break ties by arrival order, which is
+    * partition-dependent in Spark and would make the bar
+    * non-deterministic), high/low via comparison-only min/max — so
+    * doubles pass through bit-identical and the whole bar is
+    * hash-gateable. Volume is an exact BIGINT sum.
     *
     * Scale shape: a single hash aggregation keyed on
     * (symbol, ts DIV bucket) with full map-side combine — ticks
@@ -113,10 +115,10 @@ object Finance {
       .groupBy(col("_sym"),
         expr(s"_tsu DIV ${bucketUs}L").as("_bucket"))
       .agg(
-        min_by(col("_close"), col("_tsu")).as("open"),
+        min_by(col("_close"), struct(col("_tsu"), col("_close"))).as("open"),
         max(col("_close")).as("high"),
         min(col("_close")).as("low"),
-        max_by(col("_close"), col("_tsu")).as("close"),
+        max_by(col("_close"), struct(col("_tsu"), col("_close"))).as("close"),
         sum(col("_vol")).as("volume"),
         count(lit(1)).as("n_ticks"))
       .withColumn("bucket_ts", col("_bucket") * lit(bucketUs))
@@ -181,8 +183,14 @@ object Finance {
     require(scale >= 0 && scale <= 6, "scale must be in [0, 6]")
     val factor = math.pow(10.0, scale)
     val wSym = Window.partitionBy(col("_sym"))
+    // NULL closes are dropped up front so the contract is explicit on
+    // both engines: DuckDB's greatest() IGNORES a NULL argument (so a
+    // NULL close would reset the oracle's recursion to 0) while the
+    // Cusum window function carries state through it — filtering
+    // removes the divergence instead of leaving it fixture-dependent.
     val base = df
       .select(symbol.as("_sym"), ts.as("_ts"), close.as("_close"))
+      .filter(col("_close").isNotNull)
       .withColumn("_mu",
         sum(round(col("_close") * lit(factor)).cast("long")).over(wSym)
           .cast("double") /

@@ -416,21 +416,33 @@ object Multimodal {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Shared banded pair join over 64-bit perceptual hashes: 4 × 16-bit
-    * chunks (two hashes within Hamming ≤ 3 MUST agree on at least one
-    * chunk — pigeonhole, the same recall argument as the SimHash text
-    * path), equi-join on the chunk key with capped buckets, verify
+  /** Shared banded pair join over 64-bit perceptual hashes: the 64
+    * bits split into `maxHamming + 1` contiguous chunks (two hashes
+    * within Hamming ≤ maxHamming MUST agree on at least one chunk —
+    * pigeonhole, the same recall argument as the SimHash text path;
+    * deriving the chunk count from the threshold keeps the bound
+    * exact for EVERY legal threshold, not just the default 3),
+    * equi-join on the chunk key with capped buckets, verify
     * XOR+POPCNT ≤ `maxHamming`. The pair stage moves only (id, hash)
     * longs.
     */
   private def hashNearDupPairs(hashed: DataFrame, maxHamming: Int,
       bucketCap: Int): DataFrame = {
-    val width = 16
-    val mask = (1L << width) - 1L
+    // ≥4 bits per chunk keeps the band key selective; past 15 the
+    // banding recall argument is vacuous anyway (everything collides).
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val extra = 64 % bands // first `extra` chunks get one more bit
+    val widths = (0 until bands).map(b => base + (if (b < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkCols = (0 until bands).map { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+      shiftright(col("_ph"), offsets(b)).bitwiseAND(lit(mask))
+    }
     val chunks = hashed.select(col("_id"), col("_ph"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("_ph"), b * width).bitwiseAND(lit(mask))): _*))
-        .as(Seq("_band", "_chunk")))
+      posexplode(array(chunkCols: _*)).as(Seq("_band", "_chunk")))
     BucketPairs
       .boundedPairs(chunks, Seq("_band", "_chunk"), "_id", Seq("_ph"),
         bucketCap)

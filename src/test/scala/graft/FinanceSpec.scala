@@ -113,6 +113,21 @@ class FinanceSpec extends AnyFunSuite {
       (10L, 4.0, 4.0, 4.0, 4.0, 5L, 1L)))
   }
 
+  test("ohlcResample: duplicate-timestamp ties resolve deterministically") {
+    // Two ticks share tsu=1: min_by/max_by on the timestamp ALONE
+    // would break the tie by arrival order (partition-dependent); the
+    // (tsu, close) struct key pins open to the smaller and close to
+    // the larger price, invariant under partitioning.
+    val t = ticks(Seq((1L, 9.0, 1L), (1L, 3.0, 1L), (5L, 6.0, 1L),
+      (9L, 8.0, 1L), (9L, 2.0, 1L)))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Finance.ohlcResample(df, col("symbol"), col("tsu"), col("close"),
+          col("vol"), 10L)
+        .select("open", "close").as[(Double, Double)].collect().toSeq
+    val parts = (1 to 6).map(p => run(t.repartition(p)))
+    assert(parts.forall(_ === Seq((3.0, 8.0))))
+  }
+
   test("ohlcResample: result invariant under input partitioning") {
     val t = ticks((0L until 100L).map(i =>
       (i, ((i * 37) % 101).toDouble, (i % 7) + 1)))
@@ -143,6 +158,22 @@ class FinanceSpec extends AnyFunSuite {
     assert(out === expect)
     // cp crosses h=5 at i=3 (2.67+2.67=5.33) and stays elevated
     assert(out.map(_._4) === Seq(false, false, false, true, true, true))
+  }
+
+  test("cusum: NULL closes are dropped, not carried (explicit contract)") {
+    // DuckDB's greatest() ignores NULL (resets the recursion to 0)
+    // while the Cusum window carries state through it — cusumChart
+    // filters NULLs up front so both engines see the same series.
+    val withNull = Seq(("A", 0L, java.lang.Double.valueOf(10.0)),
+      ("A", 1L, null.asInstanceOf[java.lang.Double]),
+      ("A", 2L, java.lang.Double.valueOf(14.0)))
+      .toDF("symbol", "ts", "close")
+    val out = Finance.cusumChart(withNull, col("symbol"), col("ts"),
+        col("close"), h = 5.0, scale = 0)
+      .select("_ts", "cusum_pos").as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    // mean over the two NON-NULL closes = 12; the null row is absent
+    assert(out === Seq((0L, 0.0), (2L, 2.0)))
   }
 
   test("cusum: repartition-invariant") {

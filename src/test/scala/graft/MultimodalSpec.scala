@@ -277,6 +277,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("banded pair join: chunk count derives from maxHamming " +
+    "(pigeonhole holds beyond the default 3)") {
+    // audioHash(envelopeWav(mask)) === mask (pinned above), so the
+    // planted Hamming distance is exact: 5 flipped bits spread so no
+    // 16-bit quarter matches — the OLD fixed 4×16 banding would have
+    // missed this pair entirely; deriving 6 chunks from maxHamming=5
+    // guarantees one agrees.
+    val mask = 0x0f0f0f0f0f0f0f0fL
+    val far = mask ^ 0x1001001001001L // bits 0,12,24,36,48 → Hamming 5
+    assert(java.lang.Long.bitCount(mask ^ far) === 5)
+    val media = Seq((1L, envelopeWav(mask, 8000)),
+      (2L, envelopeWav(far, 8000))).toDF("media_id", "content")
+    def pairs(h: Int) = Multimodal.audioNearDupPairs(
+        media.repartition(2), col("media_id"), col("content"),
+        maxHamming = h)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    assert(pairs(5) === Set((1L, 2L)))
+    assert(pairs(4) === Set.empty) // verify threshold still exact
+    intercept[IllegalArgumentException](pairs(16)) // bound guard
+  }
+
   test("imageNearDupPairs finds planted perceptual dups only") {
     val media = Seq(
       (1L, scenePng(8, 8)), (2L, scenePng(8, 8, noise = 2)), // planted pair

@@ -57,6 +57,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(again === out._1)
   }
 
+  test("nfc_normalize rejects non-string input at analysis time") {
+    // ExpectsInputTypes: misuse is a clean analysis error, not a
+    // runtime ClassCastException mid-job.
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT nfc_normalize(123)").collect())
+  }
+
   test("simhash()/minhash SQL functions run and agree with the DSL") {
     Seq((0L, "a b c d e f g"), (1L, "a b c d e f g"), (2L, "x y z w v u t"))
       .toDF("doc_id", "text").createOrReplaceTempView("docs_sql")
