@@ -339,6 +339,134 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Fixed-point DCT-II basis, 8 low frequencies × 32 samples:
+    * T(u,x) = round(cos(π(2x+1)u/64)·2¹⁴). StrictMath.cos is fully
+    * specified (fdlibm), so the table — and therefore every hash —
+    * is bit-identical on every JVM; all downstream arithmetic is
+    * integer.
+    */
+  private val DctC: Array[Array[Long]] = Array.tabulate(8, 32) { (u, x) =>
+    Math.round(StrictMath.cos(
+      StrictMath.PI * (2 * x + 1) * u / 64.0) * 16384.0)
+  }
+
+  /** 64-bit perceptual DCT hash (pHash): the bitmap collapses onto a
+    * 32×32 area-averaged integer luminance grid, an 8×8 block of
+    * low-frequency fixed-point DCT-II coefficients is taken, and each
+    * AC bit is set iff its coefficient exceeds the median AC
+    * coefficient (the DC bit is always 0).
+    *
+    * Why alongside [[aHash]]: aHash thresholds each cell against the
+    * global mean, so any non-linear tone change (gamma shift,
+    * clipping brightness push, re-encode with a different transfer
+    * curve) reorders cells around the mean and flips bits wholesale.
+    * pHash compares low-frequency STRUCTURE against its own median —
+    * rank statistics of smooth shapes survive monotone tone maps —
+    * which is the robustness a 100 TB image-dedup pass actually
+    * needs (MultimodalSpec plants a gamma-shifted duplicate that
+    * aHash misses and pHash catches).
+    *
+    * Integer-exactness: grid means by Long division; the grid is
+    * exactly zero-meaned in scaled units (`g·1024 − ΣG`), making the
+    * hash EXACTLY invariant to a uniform brightness offset; two
+    * separable fixed-point DCT passes peak below 2⁵⁷ — no FP
+    * anywhere, no overflow for any decodable payload under the same
+    * 2²⁶-pixel cap as aHash.
+    */
+  private[graft] def pHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) None
+        else {
+          // 32×32 grid: cell (i, j) averages pixel block
+          // [i·w/32, (i+1)·w/32) × [j·h/32, (j+1)·h/32) — the
+          // max(lo+1, …) bound keeps every cell non-empty for images
+          // smaller than 32px (falls back to point sampling).
+          val grid = new Array[Long](1024)
+          var gridSum = 0L
+          var j = 0
+          while (j < 32) {
+            val y0 = j * h / 32
+            val y1 = math.max(y0 + 1, (j + 1) * h / 32)
+            var i = 0
+            while (i < 32) {
+              val x0 = i * w / 32
+              val x1 = math.max(x0 + 1, (i + 1) * w / 32)
+              var s = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  s += (((rgb >> 16) & 0xff) * 299 +
+                    ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              val v = s / ((y1 - y0).toLong * (x1 - x0))
+              grid(j * 32 + i) = v
+              gridSum += v
+              i += 1
+            }
+            j += 1
+          }
+          // Exact zero-mean in ×1024 units: a uniform brightness
+          // offset +b becomes (v+b)·1024 − (ΣG + 1024b) — identical.
+          val g2 = new Array[Long](1024)
+          var c = 0
+          while (c < 1024) { g2(c) = grid(c) * 1024L - gridSum; c += 1 }
+          // Separable DCT: rows then columns, 8 low frequencies each.
+          val tmp = new Array[Long](8 * 32) // tmp(u)(j) = Σ_i T(u,i)·g2(j,i)
+          var u = 0
+          while (u < 8) {
+            val row = DctC(u)
+            var jj = 0
+            while (jj < 32) {
+              var acc = 0L
+              var i = 0
+              while (i < 32) { acc += row(i) * g2(jj * 32 + i); i += 1 }
+              tmp(u * 32 + jj) = acc
+              jj += 1
+            }
+            u += 1
+          }
+          val coef = new Array[Long](64)
+          u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              val col = DctC(v)
+              var acc = 0L
+              var jj = 0
+              while (jj < 32) { acc += col(jj) * tmp(u * 32 + jj); jj += 1 }
+              coef(u * 8 + v) = acc
+              v += 1
+            }
+            u += 1
+          }
+          // Median of the 63 AC coefficients (DC excluded — it only
+          // encodes overall brightness, which we already cancelled).
+          val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+          java.util.Arrays.sort(ac)
+          val median = ac(31)
+          var hash = 0L
+          c = 1
+          while (c < 64) {
+            if (coef(c) > median) hash |= 1L << c
+            c += 1
+          }
+          Some(hash)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** 64-bit perceptual audio hash: the PCM stream's absolute-amplitude
     * ENVELOPE over 64 equal temporal segments (frame → segment by
     * exact integer `idx·64/frames`, frame count known from the WAV
@@ -472,6 +600,18 @@ object Multimodal {
   def imageNearDupPairs(df: DataFrame, id: Column, content: Column,
       maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame =
     hashNearDupPairs(hashMedia(df, id, content, aHash), maxHamming,
+      bucketCap)
+
+  /** Tone-robust perceptual near-duplicate image pairs ([[pHash]] +
+    * [[hashNearDupPairs]]) — same banded join as [[imageNearDupPairs]]
+    * but the DCT hash survives gamma shifts and brightness clipping
+    * that flip aHash bits wholesale. Prefer this for web-scraped
+    * corpora where the same photo recurs through many editing
+    * pipelines.
+    */
+  def imageDctNearDupPairs(df: DataFrame, id: Column, content: Column,
+      maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame =
+    hashNearDupPairs(hashMedia(df, id, content, pHash), maxHamming,
       bucketCap)
 
   /** Perceptual near-duplicate audio pairs ([[audioHash]] +

@@ -219,11 +219,14 @@ class MultimodalSpec extends AnyFunSuite {
     * bright square whose position is parameterized — near-identical
     * variants share most 8×8 cells, a moved square flips many.
     */
-  private def scenePng(sqX: Int, sqY: Int, noise: Int = 0): Array[Byte] =
+  private def scenePng(sqX: Int, sqY: Int, noise: Int = 0,
+      gamma: Double = 1.0, shift: Int = 0): Array[Byte] =
     pngBytes(64, 64) { (x, y) =>
       val inSq = x >= sqX && x < sqX + 16 && y >= sqY && y < sqY + 16
       val base = if (inSq) 0xf0 else (x * 255 / 63) / 2
-      val v = math.min(255, math.max(0, base + ((x * 31 + y * 17) % 7) * noise))
+      val lin = math.min(255, math.max(0, base + ((x * 31 + y * 17) % 7) * noise))
+      val v = math.min(255, shift +
+        math.round(255.0 * math.pow(lin / 255.0, gamma)).toInt)
       (v << 16) | (v << 8) | v
     }
 
@@ -235,6 +238,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(a ^ aNoisy) <= 3, "mild noise is near-dup")
     assert(java.lang.Long.bitCount(a ^ moved) > 3, "moved scene is not")
     assert(Multimodal.aHash(Array[Byte](1, 2, 3)).isEmpty) // undecodable
+  }
+
+  test("pHash: deterministic, gamma-robust where aHash is not, " +
+    "scene-sensitive") {
+    val orig = scenePng(8, 8)
+    val toned = scenePng(8, 8, gamma = 0.45) // same photo, tone-mapped
+    val moved = scenePng(40, 40)
+    val p = Multimodal.pHash(orig).get
+    assert(p === Multimodal.pHash(orig).get) // deterministic
+    assert(java.lang.Long.bitCount(p ^ Multimodal.pHash(toned).get) <= 3,
+      "low-frequency structure survives the tone map")
+    assert(java.lang.Long.bitCount(
+      Multimodal.aHash(orig).get ^ Multimodal.aHash(toned).get) > 3,
+      "aHash flips on the same tone map — the gap pHash exists to close")
+    assert(java.lang.Long.bitCount(p ^ Multimodal.pHash(moved).get) > 3,
+      "moved scene is not a near-dup")
+    assert(Multimodal.pHash(Array[Byte](1, 2, 3)).isEmpty) // undecodable
+    // EXACT invariance to a uniform (non-clipping) brightness offset
+    // — the zero-meaned grid cancels the +10 before the DCT sees it
+    val brighter = scenePng(8, 8, shift = 10)
+    assert(Multimodal.pHash(brighter).get === p)
+  }
+
+  test("imageDctNearDupPairs catches the gamma-shifted dup aHash misses") {
+    val media = Seq(
+      (1L, scenePng(8, 8)), (2L, scenePng(8, 8, gamma = 0.45)),
+      (3L, scenePng(40, 40)))
+      .toDF("media_id", "content")
+    val dct = Multimodal.imageDctNearDupPairs(media.repartition(2),
+        col("media_id"), col("content"))
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    val avg = Multimodal.imageNearDupPairs(media.repartition(2),
+        col("media_id"), col("content"))
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    assert(dct === Set((1L, 2L)))
+    assert(avg === Set.empty)
   }
 
   /** Loud/quiet envelope track: 1024 frames in 64 segments of 16,
