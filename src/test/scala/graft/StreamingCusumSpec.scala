@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Finance
+import graft.streaming.{CusumBar, CusumRow, StreamingCusum}
+
+/** Streaming CUSUM drift alerts must reproduce the oracle-verified
+  * batch chart (q_cusum) bar-for-bar when fed the batch pipeline's own
+  * per-symbol target level — regardless of micro-batch chunking.
+  */
+class StreamingCusumSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(23)
+  // 2-decimal closes with a planted level shift so alarms actually fire
+  private val bars = (for {
+    sym <- Seq("AAA", "BBB")
+    i <- 0 until 80
+  } yield {
+    val drift = if (sym == "AAA" && i >= 40) 6.0 else 0.0
+    (sym, i.toLong,
+      math.rint((100.0 + drift + rnd.nextGaussian() * 2.0) * 100.0) / 100.0)
+  }).toList
+
+  private val h = 25.0
+
+  private def batchChart = Finance.cusumChart(
+    bars.toDF("symbol", "ts", "close"),
+    col("symbol"), col("ts"), col("close"), h)
+
+  private def batchReference: Seq[CusumRow] =
+    batchChart
+      .select(col("_sym").as("symbol"), col("_ts").as("ts"),
+        col("close"), col("target"), col("cusum_pos"), col("cusum_neg"),
+        col("alarm"))
+      .as[CusumRow].collect().sortBy(r => (r.symbol, r.ts)).toSeq
+
+  // the batch pipeline's own fixed-point mean as the stream's target
+  private def targets = batchChart
+    .select(col("_sym").as("symbol"), col("target")).distinct()
+
+  test("batch-mode equivalence: keyed-state chart == window chart") {
+    val out = StreamingCusum.chart(
+        StreamingCusum.withTargets(bars.toDF("symbol", "ts", "close"),
+          targets), h)
+      .collect().sortBy(r => (r.symbol, r.ts)).toSeq
+    assert(out === batchReference)
+    assert(out.exists(_.alarm), "fixture must exercise the alarm path")
+  }
+
+  test("streaming: alarm parity across uneven micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long, Double)]
+    val query = StreamingCusum.chart(
+        StreamingCusum.withTargets(
+          stream.toDF.toDF("symbol", "ts", "close"), targets), h)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      val chunks = Seq(bars.take(11), bars.slice(11, 45),
+        bars.slice(45, 46), bars.drop(46))
+      chunks.foreach { c => stream.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+    val out = spark.table("cusum_out").as[CusumRow]
+      .collect().sortBy(r => (r.symbol, r.ts)).toSeq
+    assert(out === batchReference)
+    // the planted level shift fires the upward chart on AAA only
+    assert(out.filter(_.alarm).map(_.symbol).distinct === Seq("AAA"))
+    val alarmRows = StreamingCusum.alarms(
+      StreamingCusum.withTargets(bars.toDF("symbol", "ts", "close"),
+        targets), h).collect()
+    assert(alarmRows.toSet === out.filter(_.alarm).toSet)
+  }
+}
