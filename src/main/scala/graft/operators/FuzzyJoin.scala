@@ -47,6 +47,14 @@ object FuzzyJoin {
     // extra Filter between the pair join and the verify projection
     // breaks the fused codegen stage, and the length bound is already
     // the first row the banded DP rejects.
+    // Block-key study (round 9): ADDING a length band to the block key
+    // (spacing maxDist+1, adjacent-band emit — recall-complete, output
+    // verified identical) was also measured SLOWER at sf0.1:
+    // candidates ROSE 1.55M → 2.35M because the fixture's name
+    // lengths cluster in a few bands while the ×2 band emit doubles
+    // the join input; wall went 2.1 → 3.1 s. Length blocking only
+    // pays when lengths actually spread — for this key distribution
+    // the (brand, szb) scheme stays.
     BucketPairs.boundedPairs(rows, keys, "id", Seq("name"), cap)
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), maxDist))
