@@ -318,6 +318,38 @@ class PlanAuditSpec extends AnyFunSuite {
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("batch padding: two-phase global order — data window partitions " +
+    "by _pid; only the per-partition totals go single-partition") {
+    val p = plan("q_batch_padding")
+    // phase 1: the full-relation rank window is PARTITIONED (by the
+    // physical partition id) — a single-task global window over the
+    // data would serialize 10¹⁰ docs through one reducer
+    assert("Window \\[[^\\]]*\\], \\[_pid#\\d+\\]".r.findFirstIn(p).isDefined,
+      "data window must partition by _pid:\n" +
+        p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    // phase 2: exactly one SinglePartition exchange, and it carries
+    // the one-row-per-partition totals relation into a broadcast —
+    // bounded by the partition count, never by the data
+    assert("Exchange SinglePartition".r.findAllIn(p).size === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("BroadcastExchange"),
+      "offsets must come back as a broadcast")
+  }
+
+  test("nfc_normalize emits real codegen (no eval-island fallback)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    GraftFunctions.register(spark)
+    val df = Tables.documents(spark, dir).limit(10)
+      .select(expr("nfc_normalize(text)").as("n"))
+    val wscg = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w.doCodeGen()._2.body
+    }
+    assert(wscg.nonEmpty, "projection did not plan WholeStageCodegen")
+    assert(wscg.mkString.contains(".compute("),
+      "NfcNormalize must be invoked directly from generated code")
+  }
+
   test("sketch/vector expressions emit real codegen (no eval-island fallback)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.WholeStageCodegenExec
