@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BinaryEmbed, Classifier, Eval, Sampling}
+
+/** Model-evaluation and training-pair-assembly queries — the audit
+  * surface a corpus pipeline runs AFTER building its gates and
+  * indexes: does the quality classifier rank positives above
+  * negatives (ROC AUC)? are its scores calibrated? did the split
+  * drift (two-sample KS)? which classes does the embedding space
+  * confuse (k-NN confusion matrix)? and the capstone producer:
+  * contrastive (anchor, positive, negative) triplets assembled from
+  * the near-dup and hard-negative machinery.
+  *
+  * Every query is integer-exact up to single trailing divisions, so
+  * all five hash-gate against full DuckDB replays (see each
+  * operator's exactness contract).
+  */
+object EvalQueries {
+
+  /** Class-0 hashed-classifier score per doc with the (lang = 'en')
+    * ground-truth bit — the (score, label) relation the scorer-eval
+    * queries share. The stand-in weights make the AUC ≈ 0.5 (the
+    * metric machinery is what's under test, not the model); a trained
+    * model would arrive as the same broadcast weight relation.
+    */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame =
+    Classifier.hashNgramScore(Tables.documents(s, d), col("doc_id"),
+        col("text"), cls = 0)
+      .join(Tables.documents(s, d)
+        .select(col("doc_id").as("id"), (col("lang") === "en").as("_y")),
+        "id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tie-aware ROC AUC of the class-0 classifier score predicting
+    // lang='en' — exact Mann-Whitney numerator/denominator BIGINTs
+    // via the two-phase prefix scan, one trailing division.
+    "q_auc" -> ((s, d) =>
+      Eval.rocAuc(scoredDocs(s, d), col("score"), col("_y"))),
+
+    // Reliability table: 10 equal-width score bins, per-bin count /
+    // positives / positive rate — the calibration audit next to AUC.
+    "q_calibration" -> ((s, d) =>
+      Eval.calibrationBins(scoredDocs(s, d), col("score"), col("_y"),
+          bins = 10)
+        .orderBy("bin")),
+
+    // Two-sample Kolmogorov-Smirnov drift statistic between the
+    // content-addressed train and val splits on order value (exact
+    // cents) — the binning-free distribution-shift test; both CDFs
+    // ride ONE packed two-phase prefix scan.
+    "q_ks_test" -> ((s, d) => {
+      val o = Sampling.splitAssign(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("v")),
+          col("o_orderkey"),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .filter(col("split") =!= "test")
+      Eval.ksTest(o, col("v"), col("split") === "train")
+    }),
+
+    // Multiclass confusion matrix of the k-NN probe eval — same
+    // probe/vote/majority machinery as q_knn_eval, finer aggregation:
+    // WHICH labels get confused, not just how often.
+    "q_knn_confusion" -> ((s, d) =>
+      BinaryEmbed.knnConfusion(Tables.embeddings(s, d), col("vec_id"),
+          col("embedding"), col("label"), probeMod = 10, k = 5)
+        .orderBy("label_true", "label_pred")),
+
+    // Contrastive triplet assembly: best cosine near-dup as the
+    // positive, nearest different-label LSH bucket-mate as the hard
+    // negative — the metric-learning training-pair producer, composed
+    // from the same verified pair relations the dedup queries gate.
+    "q_triplets" -> ((s, d) =>
+      BinaryEmbed.contrastiveTriplets(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), col("label"), tPct = 30)
+        .orderBy("anchor_id")),
+  )
+
+  /** Shared DuckDB CTE chain: class-0 hashed-classifier scores (the
+    * replay of Classifier.hashNgramScore's kernel — identical gram,
+    * bucket, and weight arithmetic to the q_hash_classifier oracle)
+    * joined with the lang='en' label.
+    */
+  private val scoredCte =
+    """grams AS (
+      |  SELECT doc_id,
+      |    unnest([substr(lower(text), i, 3)
+      |            for i in range(1, length(text) - 1)]) AS g
+      |  FROM documents WHERE text IS NOT NULL AND length(text) >= 3
+      |),
+      |feats AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS b,
+      |    count(*) AS cnt
+      |  FROM grams GROUP BY doc_id, b
+      |),
+      |w0 AS (
+      |  SELECT b.b,
+      |    ('0x' || substr(md5('w:0:' || b.b::VARCHAR), 1, 15))::BIGINT
+      |      % 7 - 3 AS w
+      |  FROM range(0, 64) b(b)
+      |),
+      |lab AS (
+      |  SELECT f.doc_id, CAST(sum(w0.w * f.cnt) AS BIGINT) AS score,
+      |    CASE WHEN max(d.lang) = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM feats f JOIN w0 ON w0.b = f.b
+      |  JOIN documents d ON d.doc_id = f.doc_id
+      |  GROUP BY f.doc_id
+      |)""".stripMargin
+
+  /** The q_knn_eval oracle's probe-prediction CTE chain, terminal
+    * relation `pred(query_id, q_lab, pred_lab)`.
+    */
+  private val knnPredCte =
+    """s AS (SELECT vec_id, label,
+      |  CAST(list_sum([CASE WHEN embedding[i] > 0
+      |      THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END
+      |    for i in range(1, 33)]) AS BIGINT) AS sig_lo,
+      |  CAST(list_sum([CASE WHEN embedding[i] > 0
+      |      THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE CAST(0 AS BIGINT) END
+      |    for i in range(33, 65)]) AS BIGINT) AS sig_hi
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS q_lab,
+      |             sig_lo AS q_lo, sig_hi AS q_hi
+      |      FROM s
+      |      WHERE (((((vec_id % 1000000007) * 2654435761) % 1000000007)
+      |              + 40503) * 2654435761) % 1000000007 % 10 = 0),
+      |d AS (SELECT q.query_id, q.q_lab, s.vec_id AS nid,
+      |  s.label AS n_lab,
+      |  CAST(bit_count(xor(q.q_lo, s.sig_lo))
+      |     + bit_count(xor(q.q_hi, s.sig_hi)) AS BIGINT) AS hamming
+      |  FROM q JOIN s ON s.vec_id <> q.query_id),
+      |topk AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY query_id ORDER BY hamming, nid) AS rnk FROM d)
+      |  WHERE rnk <= 5),
+      |votes AS (
+      |  SELECT query_id, q_lab, n_lab, count(*) AS v
+      |  FROM topk GROUP BY query_id, q_lab, n_lab),
+      |pred AS (
+      |  SELECT query_id, q_lab, n_lab AS pred_lab FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY v DESC, n_lab) AS pr
+      |    FROM votes)
+      |  WHERE pr = 1)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_auc" ->
+      s"""WITH $scoredCte,
+         |g AS (SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+         |  CAST(count(*) - sum(y) AS BIGINT) AS neg FROM lab GROUP BY score),
+         |c AS (SELECT score, pos, neg,
+         |  CAST(coalesce(sum(neg) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS neg_below
+         |  FROM g)
+         |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(neg) AS BIGINT) AS n_neg,
+         |  CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS auc_num,
+         |  CAST(2 * sum(pos) * sum(neg) AS BIGINT) AS auc_den,
+         |  CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
+         |       ELSE CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+         |         / CAST(2 * sum(pos) * sum(neg) AS DOUBLE) END AS auc
+         |FROM c""".stripMargin,
+    "q_calibration" ->
+      s"""WITH $scoredCte,
+         |mm AS (SELECT min(score) AS mn, max(score) AS mx FROM lab)
+         |SELECT CAST((score - mn) * 10 // (mx - mn + 1) AS BIGINT) AS bin,
+         |  CAST(min(score) AS BIGINT) AS score_lo,
+         |  CAST(max(score) AS BIGINT) AS score_hi,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+         |FROM lab, mm GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_ks_test" ->
+      """WITH sp AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    (((((o_orderkey % 1000000007) * 2654435761) % 1000000007)
+        |       + 40503) * 2654435761) % 1000000007 % 100 AS b
+        |  FROM orders),
+        |f AS (SELECT v, CASE WHEN b < 80 THEN 1 ELSE 0 END AS a
+        |      FROM sp WHERE b < 90),
+        |g AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+        |  CAST(count(*) - sum(a) AS BIGINT) AS cb FROM f GROUP BY v),
+        |c AS (SELECT v,
+        |  CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+        |  CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b FROM g),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_b FROM g)
+        |SELECT t.n_a, t.n_b,
+        |  CAST(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS BIGINT)
+        |    AS ks_num,
+        |  CAST(t.n_a * t.n_b AS BIGINT) AS ks_den,
+        |  CASE WHEN t.n_a = 0 OR t.n_b = 0 THEN NULL
+        |       ELSE CAST(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a))
+        |           AS DOUBLE) / CAST(t.n_a * t.n_b AS DOUBLE) END AS ks
+        |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    "q_knn_confusion" ->
+      s"""WITH $knnPredCte
+         |SELECT q_lab AS label_true, pred_lab AS label_pred,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_triplets" ->
+      s"""WITH ${LlmQueries.cosPairsCte},
+         |sg AS (SELECT vec_id AS id, label,
+         |  CAST(list_sum([CASE WHEN embedding[i] > 0
+         |      THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END
+         |    for i in range(1, 33)]) AS BIGINT) AS sig_lo,
+         |  CAST(list_sum([CASE WHEN embedding[i] > 0
+         |      THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE CAST(0 AS BIGINT) END
+         |    for i in range(33, 65)]) AS BIGINT) AS sig_hi
+         |  FROM embeddings),
+         |posed AS (
+         |  SELECT id_a AS anchor, id_b AS partner, num, na, nb FROM cospairs
+         |  UNION ALL
+         |  SELECT id_b, id_a, num, nb, na FROM cospairs),
+         |posc AS (SELECT anchor, partner, num,
+         |  CAST(num AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine
+         |  FROM posed),
+         |bestp AS (
+         |  SELECT anchor, partner AS pos_id, num AS pos_num,
+         |    cosine AS pos_cosine
+         |  FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY anchor ORDER BY cosine DESC, partner) AS rn
+         |    FROM posc)
+         |  WHERE rn = 1),
+         |negcand AS (
+         |  SELECT id_a AS anchor, id_b AS cand FROM cand
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM cand),
+         |negs AS (
+         |  SELECT n.anchor, n.cand, sb.label AS cand_label,
+         |    CAST(bit_count(xor(sa.sig_lo, sb.sig_lo))
+         |       + bit_count(xor(sa.sig_hi, sb.sig_hi)) AS BIGINT) AS hamming
+         |  FROM negcand n
+         |  JOIN sg sa ON sa.id = n.anchor
+         |  JOIN sg sb ON sb.id = n.cand
+         |  WHERE sa.label <> sb.label),
+         |bestn AS (
+         |  SELECT anchor, cand AS neg_id, cand_label AS neg_label,
+         |    hamming AS neg_hamming
+         |  FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY anchor ORDER BY hamming, cand) AS rn FROM negs)
+         |  WHERE rn = 1)
+         |SELECT p.anchor AS anchor_id, p.pos_id, p.pos_num, p.pos_cosine,
+         |  b.neg_id, b.neg_label, b.neg_hamming
+         |FROM bestp p JOIN bestn b ON b.anchor = p.anchor
+         |ORDER BY anchor_id""".stripMargin,
+  )
+}

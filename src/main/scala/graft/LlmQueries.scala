@@ -818,7 +818,7 @@ object LlmQueries {
     * pairs; q_cos_near_dup projects it, q_semantic_clusters closes it
     * transitively.
     */
-  private val cosPairsCte =
+  private[graft] val cosPairsCte =
     """v AS (
       |  SELECT vec_id AS id,
       |    [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) FOR x IN embedding] AS q

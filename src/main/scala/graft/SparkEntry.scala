@@ -255,7 +255,8 @@ object SparkEntry {
         .orderBy("symbol")
     }),
     )
-    indicator ++ BatchQueries.queries ++ LlmQueries.queries
+    indicator ++ BatchQueries.queries ++ LlmQueries.queries ++
+      EvalQueries.queries
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -277,5 +278,6 @@ object SparkEntry {
     "q_ind_stateful" -> OracleGen.qIndFull,
     "q_ind_scan" -> OracleGen.qIndFull,
     "q_dashboard_feed" -> OracleGen.qDashboardFeed,
-  ) ++ BatchQueries.oracleSql ++ LlmQueries.oracleSql
+  ) ++ BatchQueries.oracleSql ++ LlmQueries.oracleSql ++
+    EvalQueries.oracleSql
 }

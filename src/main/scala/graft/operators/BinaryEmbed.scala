@@ -175,6 +175,19 @@ object BinaryEmbed {
     * rows. All integer arithmetic — full DuckDB oracle.
     */
   def knnLabelEval(df: DataFrame, id: Column, vec: Column, label: Column,
+      probeMod: Int = 10, k: Int = 5): DataFrame =
+    knnPredictions(df, id, vec, label, probeMod, k)
+      .groupBy(col("q_lab").as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("pred_lab") === col("q_lab"), 1L).otherwise(0L))
+          .as("n_correct"))
+
+  /** The per-probe prediction relation behind [[knnLabelEval]] and
+    * [[knnConfusion]]: (query_id, q_lab, pred_lab), one row per probe
+    * — probe selection, k-NN vote, and majority resolution exactly as
+    * documented on [[knnLabelEval]].
+    */
+  def knnPredictions(df: DataFrame, id: Column, vec: Column, label: Column,
       probeMod: Int = 10, k: Int = 5): DataFrame = {
     require(probeMod >= 1 && k >= 1, "probeMod and k must be >= 1")
     val sigs = withBinarySignature(
@@ -192,18 +205,109 @@ object BinaryEmbed {
       .orderBy(col("hamming"), col("nid"))
     val topk = scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-    val pred = topk.groupBy(col("query_id"), col("q_lab"), col("n_lab"))
+    topk.groupBy(col("query_id"), col("q_lab"), col("n_lab"))
       .agg(count(lit(1)).as("v"))
       // majority label, ties to the lowest label id — one struct-min
       // aggregate, no second window
       .groupBy(col("query_id"), col("q_lab"))
       .agg(min(struct((-col("v")).as("nv"), col("n_lab").as("pl")))
         .as("best"))
-      .select(col("q_lab"), col("best.pl").as("pred_lab"))
-    pred.groupBy(col("q_lab").as("label"))
-      .agg(count(lit(1)).as("n_probes"),
-        sum(when(col("pred_lab") === col("q_lab"), 1L).otherwise(0L))
-          .as("n_correct"))
+      .select(col("query_id"), col("q_lab"), col("best.pl").as("pred_lab"))
+  }
+
+  /** Multiclass confusion matrix of the k-NN probe eval:
+    * (label_true, label_pred, n) over the SAME per-probe predictions
+    * as [[knnLabelEval]] — the finer-grained audit that shows WHICH
+    * classes the embedding space confuses, not just how often. One
+    * extra map-side-combinable aggregate over ≤ |probes| rows; output
+    * is at most |labels|² rows.
+    */
+  def knnConfusion(df: DataFrame, id: Column, vec: Column, label: Column,
+      probeMod: Int = 10, k: Int = 5): DataFrame =
+    knnPredictions(df, id, vec, label, probeMod, k)
+      .groupBy(col("q_lab").as("label_true"),
+        col("pred_lab").as("label_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Contrastive training-triplet assembly — the pass that turns a
+    * labeled embedded corpus into (anchor, positive, negative) rows
+    * for a metric-learning / embedding fine-tune job:
+    *
+    *  - POSITIVE: the anchor's best embedding-cosine near-duplicate —
+    *    highest exact-integer cosine from
+    *    [[intCosineNearDupPairs]]'s verified pair relation (ties to
+    *    the lowest partner id). Anchors with no near-dup emit nothing
+    *    (no positive ⇒ no triplet).
+    *  - NEGATIVE: the nearest DIFFERENT-label vector by exact
+    *    signature Hamming distance among the anchor's sign-LSH
+    *    bucket-mates (ties to the lowest candidate id) — a "near but
+    *    wrong" hard negative, mined from the SAME bucket structure
+    *    the positives used, so no second index and no all-pairs scan.
+    *    Anchors whose buckets hold no different-label vector are
+    *    dropped (deterministic on both engines).
+    *
+    * Both "best" selections are single struct-min aggregates (the
+    * cosine is exact-rankable: num and nₐ·nᵦ < 2⁵³ make the division
+    * correctly rounded, so its negation orders identically anywhere)
+    * — no rank windows. Scale shape: pair generation is
+    * [[BucketPairs.boundedPairs]] on the LSH band keys (capped
+    * sub-bucket salting, never all-pairs), the final positive⋈negative
+    * join is id-keyed on two pre-aggregated relations.
+    */
+  def contrastiveTriplets(emb: DataFrame, id: Column, vec: Column,
+      label: Column, tPct: Int = 30, dim: Int = 64, bits: Int = 8,
+      tables: Int = 6, s: Long = 1000L, bucketCap: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.IntSignLshKeys
+    // best positive per anchor from the symmetrized near-dup pairs
+    val pairs = intCosineNearDupPairs(emb, id, vec, tPct, dim, bits,
+      tables, s, bucketCap)
+    val sym = pairs
+      .select(col("id_a").as("anchor"), col("id_b").as("partner"),
+        col("num"), col("cosine"))
+      .unionByName(pairs.select(col("id_b").as("anchor"),
+        col("id_a").as("partner"), col("num"), col("cosine")))
+    val bestPos = sym.groupBy("anchor")
+      .agg(min(struct((-col("cosine")).as("nc"), col("partner").as("pid"),
+        col("num").as("pnum"), col("cosine").as("pcos"))).as("b"))
+      .select(col("anchor"), col("b.pid").as("pos_id"),
+        col("b.pnum").as("pos_num"), col("b.pcos").as("pos_cosine"))
+    // different-label bucket-mates under the same quantize+LSH keys;
+    // signatures come from the RAW float signs (the [[
+    // withBinarySignature]] contract), keys from the quantized vector
+    val q = Bridge.persistRows(withBinarySignature(
+      emb.filter(vec.isNotNull)
+        .select(id.as("_id"), label.as("_lab"), vec.as("_v"))
+        .withColumn("_q",
+          transform(col("_v"), x => floor(x.cast("double") * s + lit(0.5))
+            .cast("long"))), col("_v"))
+      .withColumn("_keys", Bridge.column(IntSignLshKeys(
+        Bridge.expression(col("_q")), dim, bits, tables)))
+      .select(col("_id"), col("_lab"), col("sig_lo").as("_lo"),
+        col("sig_hi").as("_hi"), posexplode(col("_keys"))
+          .as(Seq("_table", "_key"))))
+    val negPairs = BucketPairs
+      .boundedPairs(q, Seq("_table", "_key"), "_id",
+        Seq("_lab", "_lo", "_hi"), bucketCap)
+      .dropDuplicates("_id_a", "_id_b")
+      .filter(col("_lab_a") =!= col("_lab_b"))
+      .withColumn("_ham", hammingDist(col("_lo_a"), col("_hi_a"),
+        col("_lo_b"), col("_hi_b")))
+    val negSym = negPairs
+      .select(col("_id_a").as("anchor"), col("_id_b").as("cand"),
+        col("_lab_b").as("cand_lab"), col("_ham"))
+      .unionByName(negPairs.select(col("_id_b").as("anchor"),
+        col("_id_a").as("cand"), col("_lab_a").as("cand_lab"),
+        col("_ham")))
+    val bestNeg = negSym.groupBy("anchor")
+      .agg(min(struct(col("_ham").as("h"), col("cand").as("nid"),
+        col("cand_lab").as("nlab"))).as("b"))
+      .select(col("anchor"), col("b.nid").as("neg_id"),
+        col("b.nlab").as("neg_label"), col("b.h").as("neg_hamming"))
+    bestPos.join(bestNeg, "anchor")
+      .select(col("anchor").as("anchor_id"), col("pos_id"), col("pos_num"),
+        col("pos_cosine"), col("neg_id"), col("neg_label"),
+        col("neg_hamming"))
   }
 
   /** Embedding-cosine near-duplicate pairs, EXACT-integer end to end —

@@ -39,6 +39,37 @@ object Classifier {
   private def weight(c: Int, b: Int): Long =
     Shingles.md5Prefix60(UTF8String.fromString(s"w:$c:$b")) % 7 - 3
 
+  /** The hashed bucket-count feature relation (id, b, cnt) — one scan
+    * of the corpus through the codegen'd gram→bucket kernel, shared by
+    * [[hashNgramPredict]] (all-class argmax) and [[hashNgramScore]]
+    * (single-class scorer).
+    */
+  private def features(df: DataFrame, id: Column, text: Column,
+      n: Int, buckets: Int): DataFrame =
+    df.filter(text.isNotNull && length(text) >= n)
+      .select(id.as("id"),
+        explode(Bridge.column(CharGramBuckets(
+          Bridge.expression(lower(text)), n, buckets))).as("b"))
+      .groupBy("id", "b").agg(count(lit(1)).as("cnt"))
+
+  /** One class's raw score per document: (id, score) — the shape an
+    * eval pass consumes (ROC AUC, calibration bins need ONE scalar
+    * score per example, not the argmax). Same feature scan and
+    * broadcast weights as [[hashNgramPredict]], minus the argmax.
+    */
+  def hashNgramScore(df: DataFrame, id: Column, text: Column,
+      cls: Int, n: Int = 3, buckets: Int = 64): DataFrame = {
+    require(cls >= 0 && buckets >= 1, "cls and buckets must be >= 0/1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wts = (0 until buckets).map(b => (b.toLong, weight(cls, b)))
+      .toDF("b", "w")
+    features(df, id, text, n, buckets)
+      .join(broadcast(wts), "b")
+      .groupBy(col("id"))
+      .agg(sum(col("w") * col("cnt")).as("score"))
+  }
+
   /** Per-document predicted class and score: (id, cls, score), one
     * row per input document with at least `n` characters.
     */
@@ -47,12 +78,7 @@ object Classifier {
     require(classes >= 1 && buckets >= 1, "classes and buckets must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val feats = df
-      .filter(text.isNotNull && length(text) >= n)
-      .select(id.as("id"),
-        explode(Bridge.column(CharGramBuckets(
-          Bridge.expression(lower(text)), n, buckets))).as("b"))
-      .groupBy("id", "b").agg(count(lit(1)).as("cnt"))
+    val feats = features(df, id, text, n, buckets)
     val wts = (0 until classes).flatMap(c => (0 until buckets).map(b =>
       (c.toLong, b.toLong, weight(c, b)))).toDF("c", "b", "w")
     feats.join(broadcast(wts), "b")

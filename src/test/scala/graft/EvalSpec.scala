@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BinaryEmbed, Eval}
+
+/** Eval-metric operators against hand-computed values: tie-aware AUC,
+  * calibration bins, two-sample KS, plus partitioning-invariance for
+  * the distributed-scan paths and the knn confusion/eval consistency
+  * contract.
+  */
+class EvalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (score, label): a small set with a tie straddling the classes.
+  // Sorted: 1-, 2-, 2+, 3+, 4-, 5+   (P=3, N=3)
+  // U = Σ over positives of (#neg below + ties/2):
+  //   2+ → 1 + 0.5 = 1.5;  3+ → 2;  5+ → 3   ⇒ U = 6.5, AUC = 6.5/9
+  private val tied = Seq(
+    (1L, false), (2L, false), (2L, true), (3L, true), (4L, false), (5L, true))
+
+  test("rocAuc matches the hand-computed tie-aware value") {
+    val df = tied.toDF("s", "y")
+    val row = Eval.rocAuc(df, col("s"), col("y")).collect().head
+    assert(row.getAs[Long]("n_pos") === 3L)
+    assert(row.getAs[Long]("n_neg") === 3L)
+    assert(row.getAs[Long]("auc_num") === 13L) // 2U
+    assert(row.getAs[Long]("auc_den") === 18L)
+    assert(row.getAs[Double]("auc") === 13.0 / 18.0)
+  }
+
+  test("rocAuc: perfect separation gives 1.0, inverted gives 0.0") {
+    val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("s", "y")
+    assert(Eval.rocAuc(perfect, col("s"), col("y"))
+      .collect().head.getAs[Double]("auc") === 1.0)
+    val inverted = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("s", "y")
+    assert(Eval.rocAuc(inverted, col("s"), col("y"))
+      .collect().head.getAs[Double]("auc") === 0.0)
+  }
+
+  test("rocAuc: single-class input yields NULL auc, not a crash") {
+    val onlyPos = Seq((1L, true), (2L, true)).toDF("s", "y")
+    val row = Eval.rocAuc(onlyPos, col("s"), col("y")).collect().head
+    assert(row.getAs[Long]("n_neg") === 0L)
+    assert(row.isNullAt(row.fieldIndex("auc")))
+  }
+
+  test("rocAuc is invariant under partitioning") {
+    val df = (0L until 5000L).map(i => (i % 97, i % 3 == 0)).toDF("s", "y")
+    val a = Eval.rocAuc(df.repartition(1), col("s"), col("y"))
+      .collect().head.getAs[Long]("auc_num")
+    val b = Eval.rocAuc(df.repartition(17), col("s"), col("y"))
+      .collect().head.getAs[Long]("auc_num")
+    assert(a === b)
+  }
+
+  test("calibrationBins: bins partition the score range, counts add up") {
+    val df = (0L until 1000L).map(i => (i, i >= 500L)).toDF("s", "y")
+    val rows = Eval.calibrationBins(df, col("s"), col("y"), bins = 10)
+      .orderBy("bin").collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Long]("n")).sum === 1000L)
+    assert(rows.map(_.getAs[Long]("n_pos")).sum === 500L)
+    // monotone labels → first five bins all-negative, last five all-positive
+    assert(rows.take(5).forall(_.getAs[Long]("n_pos") === 0L))
+    assert(rows.drop(5).forall(r =>
+      r.getAs[Long]("n_pos") === r.getAs[Long]("n")))
+    // bin edges: lo/hi within [bin*100, bin*100+99]
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("score_lo") === i * 100L)
+      assert(r.getAs[Long]("score_hi") === i * 100L + 99L)
+    }
+  }
+
+  test("calibrationBins: constant score collapses to one bin") {
+    val df = Seq((7L, true), (7L, false), (7L, true)).toDF("s", "y")
+    val rows = Eval.calibrationBins(df, col("s"), col("y")).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("bin") === 0L)
+    assert(rows.head.getAs[Long]("n") === 3L)
+  }
+
+  test("ksTest matches the hand-computed statistic") {
+    // A = {1, 2, 3}, B = {2, 3, 4}: at v=1 |1/3 - 0| = 1/3 is the max
+    val df = Seq((1L, true), (2L, true), (3L, true),
+      (2L, false), (3L, false), (4L, false)).toDF("v", "a")
+    val row = Eval.ksTest(df, col("v"), col("a")).collect().head
+    assert(row.getAs[Long]("n_a") === 3L)
+    assert(row.getAs[Long]("n_b") === 3L)
+    assert(row.getAs[Long]("ks_num") === 3L) // |1*3 - 0*3|
+    assert(row.getAs[Long]("ks_den") === 9L)
+    assert(row.getAs[Double]("ks") === 3.0 / 9.0)
+  }
+
+  test("ksTest: identical samples give 0, disjoint give 1") {
+    val same = Seq((1L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("v", "a")
+    assert(Eval.ksTest(same, col("v"), col("a"))
+      .collect().head.getAs[Long]("ks_num") === 0L)
+    val disjoint = Seq((1L, true), (2L, true), (10L, false), (11L, false))
+      .toDF("v", "a")
+    val r = Eval.ksTest(disjoint, col("v"), col("a")).collect().head
+    assert(r.getAs[Long]("ks_num") === r.getAs[Long]("ks_den"))
+  }
+
+  test("ksTest is invariant under partitioning") {
+    val df = (0L until 4000L).map(i => ((i * 7) % 211, i % 5 != 0))
+      .toDF("v", "a")
+    val a = Eval.ksTest(df.repartition(1), col("v"), col("a"))
+      .collect().head.getAs[Long]("ks_num")
+    val b = Eval.ksTest(df.repartition(13), col("v"), col("a"))
+      .collect().head.getAs[Long]("ks_num")
+    assert(a === b)
+  }
+
+  test("knnConfusion diagonal reproduces knnLabelEval's n_correct") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val eval = BinaryEmbed.knnLabelEval(emb, col("vec_id"),
+        col("embedding"), col("label"))
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_probes"), r.getAs[Long]("n_correct"))).toMap
+    val conf = BinaryEmbed.knnConfusion(emb, col("vec_id"),
+        col("embedding"), col("label")).collect()
+    val diag = conf.filter(r =>
+        r.getAs[Int]("label_true") === r.getAs[Int]("label_pred"))
+      .map(r => r.getAs[Int]("label_true") -> r.getAs[Long]("n")).toMap
+    val rowTotals = conf.groupBy(_.getAs[Int]("label_true"))
+      .map { case (l, rs) => l -> rs.map(_.getAs[Long]("n")).sum }
+    eval.foreach { case (l, (nProbes, nCorrect)) =>
+      assert(rowTotals(l) === nProbes)
+      assert(diag.getOrElse(l, 0L) === nCorrect)
+    }
+  }
+
+  test("contrastiveTriplets: positive is a near-dup, negative differs in label") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val trips = BinaryEmbed.contrastiveTriplets(emb, col("vec_id"),
+      col("embedding"), col("label"), tPct = 30)
+    val pairs = BinaryEmbed.intCosineNearDupPairs(emb, col("vec_id"),
+        col("embedding"), tPct = 30)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p, p.swap)).toSet
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val rows = trips.collect()
+    assert(rows.nonEmpty, "fixture should yield at least one triplet")
+    rows.foreach { r =>
+      val a = r.getAs[Long]("anchor_id")
+      assert(pairs.contains((a, r.getAs[Long]("pos_id"))))
+      assert(labels(r.getAs[Long]("neg_id")) !== labels(a))
+      assert(r.getAs[Int]("neg_label") === labels(r.getAs[Long]("neg_id")))
+    }
+    // one triplet per anchor
+    assert(rows.map(_.getAs[Long]("anchor_id")).distinct.length
+      === rows.length)
+  }
+
+  test("contrastiveTriplets picks the best positive (max cosine)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val trips = BinaryEmbed.contrastiveTriplets(emb, col("vec_id"),
+        col("embedding"), col("label"), tPct = 30)
+      .select("anchor_id", "pos_cosine").as[(Long, Double)]
+      .collect().toMap
+    val best = BinaryEmbed.intCosineNearDupPairs(emb, col("vec_id"),
+        col("embedding"), tPct = 30)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, c) => Seq(a -> c, b -> c) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    trips.foreach { case (a, c) => assert(c === best(a)) }
+  }
+}
