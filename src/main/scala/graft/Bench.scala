@@ -88,19 +88,27 @@ object Bench {
       .foreach { case (name, fn) =>
       val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       try {
-        // one DISCARDED warmup execution per query before the timed
-        // reps: the first run of a plan pays its janino codegen
-        // compiles (measured 3-6 s one-time on the iterative RDD
-        // queries), which under background load can contaminate TWO
-        // of three reps and flip the median — the r6->r7
-        // q_dedup_clusters "regression" was partly this. The warmup
-        // time still rides rep_secs_loadavg (first entry, flagged by
-        // warmup:true) so rounds can see the compile cost without it
-        // polluting the median.
-        val laW = loadavg()
-        val tW = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val warm = ((System.nanoTime() - tW) / 1e9, laW)
+        // ADAPTIVE warmup (round-10; round-8 had one fixed warmup):
+        // the first run of a plan pays one-time janino codegen, and
+        // the RDD-persist-heavy queries (clusters, pagerank, ivf)
+        // keep warming for 2-3 executions — r9's q_dedup_clusters
+        // recorded 5.04 s from reps [10.75, 9.09, 5.04, 1.67] where
+        // the warm number is 1.67. Discard reps while the latest one
+        // still improved on the previous by >20% (i.e. the query is
+        // visibly still warming), minimum 2 discards, cap 4 — then
+        // take the median of the timed reps. All warmup samples
+        // still lead rep_secs_loadavg (first `len - reps` entries)
+        // so the compile/warm cost stays observable.
+        val warmups = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+        var keepWarming = true
+        while (keepWarming) {
+          val laW = loadavg()
+          val tW = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          warmups += (((System.nanoTime() - tW) / 1e9, laW))
+          keepWarming = warmups.size < 4 && (warmups.size < 2 ||
+            warmups(warmups.size - 2)._1 / warmups.last._1 > 1.2)
+        }
         var r = 0
         while (r < reps) {
           val la = loadavg()
@@ -111,7 +119,7 @@ object Bench {
         }
         val sorted = samples.map(_._1).sorted
         timings(name) = sorted(sorted.size / 2)
-        repDetail(name) = warm +: samples.toSeq
+        repDetail(name) = warmups.toSeq ++ samples.toSeq
         rowCounts(name) = fn(spark, sfDir).count()
       } catch {
         case e: Throwable =>

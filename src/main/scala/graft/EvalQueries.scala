@@ -77,6 +77,29 @@ object EvalQueries {
       BinaryEmbed.contrastiveTriplets(Tables.embeddings(s, d),
           col("vec_id"), col("embedding"), col("label"), tPct = 30)
         .orderBy("anchor_id")),
+
+    // Precision-recall curve: per-distinct-score threshold
+    // (tp, fp, fn, precision, recall) — the imbalance-honest
+    // companion surface to ROC (quality gates are heavily imbalanced;
+    // ROC AUC alone overstates them).
+    "q_pr_curve" -> ((s, d) =>
+      Eval.prCurve(scoredDocs(s, d), col("score"), col("_y"))
+        .orderBy("threshold")),
+
+    // Average precision (PR-AUC) as one row — per-threshold terms
+    // quantized to fixed point with half-up integer rounding so the
+    // sum is order-free and hash-gates exactly (see
+    // Eval.averagePrecision's quantization contract).
+    "q_pr_auc" -> ((s, d) =>
+      Eval.averagePrecision(scoredDocs(s, d), col("score"), col("_y"))),
+
+    // Precision/recall at top-k under the explicit (score DESC,
+    // doc_id ASC) tie-break — the "how good are the first k
+    // retrievals" eval at three operating points.
+    "q_precision_at_k" -> ((s, d) =>
+      Eval.precisionAtK(scoredDocs(s, d), col("score"), col("id"),
+          col("_y"), Seq(10, 50, 100))
+        .orderBy("k")),
   )
 
   /** Shared DuckDB CTE chain: class-0 hashed-classifier scores (the
@@ -249,5 +272,54 @@ object EvalQueries {
          |  b.neg_id, b.neg_label, b.neg_hamming
          |FROM bestp p JOIN bestn b ON b.anchor = p.anchor
          |ORDER BY anchor_id""".stripMargin,
+    "q_pr_curve" ->
+      s"""WITH $scoredCte,
+         |g AS (SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+         |  CAST(count(*) - sum(y) AS BIGINT) AS neg FROM lab GROUP BY score),
+         |c AS (SELECT score, pos, neg,
+         |  CAST(sum(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+         |  CAST(sum(neg) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+         |  FROM g),
+         |t AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos FROM g)
+         |SELECT c.score AS threshold, c.tp, c.fp,
+         |  CAST(t.n_pos - c.tp AS BIGINT) AS fn,
+         |  CAST(c.tp AS DOUBLE) / CAST(c.tp + c.fp AS DOUBLE)
+         |    AS "precision",
+         |  CASE WHEN t.n_pos = 0 THEN NULL
+         |       ELSE CAST(c.tp AS DOUBLE) / CAST(t.n_pos AS DOUBLE) END
+         |    AS recall
+         |FROM c, t ORDER BY threshold""".stripMargin,
+    "q_pr_auc" ->
+      s"""WITH $scoredCte,
+         |g AS (SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+         |  CAST(count(*) - sum(y) AS BIGINT) AS neg FROM lab GROUP BY score),
+         |c AS (SELECT score, pos,
+         |  CAST(sum(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+         |  CAST(sum(pos + neg) OVER (ORDER BY score DESC) AS BIGINT) AS den
+         |  FROM g),
+         |t AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos FROM g)
+         |SELECT t.n_pos,
+         |  CAST(sum((2 * c.pos * c.tp * 1000000000 + c.den)
+         |    // (2 * c.den)) AS BIGINT) AS ap_num,
+         |  CAST(t.n_pos * 1000000000 AS BIGINT) AS ap_den,
+         |  CASE WHEN t.n_pos = 0 THEN NULL
+         |       ELSE CAST(sum((2 * c.pos * c.tp * 1000000000 + c.den)
+         |           // (2 * c.den)) AS DOUBLE)
+         |         / CAST(t.n_pos * 1000000000 AS DOUBLE) END AS ap
+         |FROM c, t GROUP BY t.n_pos""".stripMargin,
+    "q_precision_at_k" ->
+      s"""WITH $scoredCte,
+         |r AS (SELECT doc_id, y,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM lab),
+         |t AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos FROM lab),
+         |kk AS (SELECT unnest([10, 50, 100]) AS k)
+         |SELECT CAST(kk.k AS BIGINT) AS k, CAST(sum(r.y) AS BIGINT) AS tp,
+         |  CAST(sum(r.y) AS DOUBLE) / CAST(kk.k AS DOUBLE) AS "precision",
+         |  CASE WHEN t.n_pos = 0 THEN NULL
+         |       ELSE CAST(sum(r.y) AS DOUBLE) / CAST(t.n_pos AS DOUBLE) END
+         |    AS recall
+         |FROM kk JOIN r ON r.rnk <= kk.k, t
+         |GROUP BY kk.k, t.n_pos ORDER BY k""".stripMargin,
   )
 }

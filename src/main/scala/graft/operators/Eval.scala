@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * integers — IEEE-correctly-rounded in any engine, so every metric
   * hash-gates against the DuckDB oracle.
   *
+  * Input contract: `score`/`value` must ALREADY be integral — the
+  * long cast here is a widening, never a quantization. A fractional
+  * score would TRUNCATE toward zero in Spark but ROUND half-even in
+  * DuckDB (2.7 → 2 vs 3), silently shifting every rank; quantize
+  * fractional scores explicitly (e.g. `round(score * 100)`) before
+  * calling, as q_ks_test does with prices.
+  *
   * Scale shape: each metric is one map-side-combinable group-by on
   * the score value followed by either a broadcast of the per-score
   * relation's 1-row totals or the two-phase distributed prefix scan
@@ -47,10 +54,17 @@ object Eval {
     * the value that matters at corpus scale and survives beyond that
     * because long→double conversion and division round identically
     * (to-nearest-even) everywhere.
+    *
+    * NULL scores are dropped before ranking (a NULL score has no rank
+    * position; keeping them would also make the prefix scan depend on
+    * the engine's NULLS FIRST/LAST default — Spark and DuckDB
+    * disagree, which would silently break the hash gate on NULL-bearing
+    * inputs).
     */
   def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
     val obs = df.select(score.cast("long").as("_s"),
       when(label, 1L).otherwise(0L).as("_y"))
+      .filter(col("_s").isNotNull)
     val byScore = obs.groupBy("_s")
       .agg(sum(col("_y")).as("_pos"),
         (count(lit(1)) - sum(col("_y"))).as("_neg"))
@@ -78,12 +92,19 @@ object Eval {
     * dialect (`/` would be double division). The min/max pair is a
     * 1-row broadcast; everything else is one map-side-combinable
     * aggregate. pos_rate is the single trailing division.
+    *
+    * Overflow contract (sibling to rocAuc/ksTest's): the bin index
+    * computes (score − min)·bins, so the exact surface needs
+    * (max − min)·bins < 2⁶³ — i.e. the score RANGE below ~2⁶³/bins
+    * (~9·10¹⁷ at the default 10 bins). Row count is unbounded. NULL
+    * scores are dropped (no bin position), matching rocAuc.
     */
   def calibrationBins(df: DataFrame, score: Column, label: Column,
       bins: Int = 10): DataFrame = {
     require(bins >= 1, "bins must be >= 1")
     val obs = df.select(score.cast("long").as("_s"),
       when(label, 1L).otherwise(0L).as("_y"))
+      .filter(col("_s").isNotNull)
     val mm = obs.agg(min(col("_s")).as("_mn"), max(col("_s")).as("_mx"))
     obs.crossJoin(broadcast(mm))
       .withColumn("bin", expr(s"(_s - _mn) * $bins DIV (_mx - _mn + 1)"))
@@ -115,19 +136,27 @@ object Eval {
     val Pack = 4294967296L // 2^32
     val obs = df.select(value.cast("long").as("_v"),
       when(isA, 1L).otherwise(0L).as("_a"))
+      .filter(col("_v").isNotNull) // NULL values have no CDF position
     val byV = obs.groupBy("_v")
       .agg(sum(col("_a")).as("_ca"),
         (count(lit(1)) - sum(col("_a"))).as("_cb"))
+    // coalesce: on an EMPTY input the global agg yields NULL n_a/n_b,
+    // and a NULL guard condition would fall through to raise_error —
+    // empty input must return the empty relation, not crash (the
+    // totals row only exists when byV is non-empty, so the coalesce
+    // arm fires only in the degenerate aggregate-over-nothing plan
+    // states; rocAuc's all-NULL row is the sibling behavior).
+    val tot = byV.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        when(coalesce(col("n_a"), lit(0L)) < lit(Pack / 2) &&
+            coalesce(col("n_b"), lit(0L)) < lit(Pack / 2),
+          lit(0L)).otherwise(raise_error(lit(
+            "ksTest: packed scan needs each side < 2^31 rows — " +
+              "run two scans")).cast("long")).as("_guard"))
     val cum = Packing.withGlobalCumsum(
         byV.withColumn("_packed", col("_ca") + col("_cb") * lit(Pack)),
         col("_v"), col("_packed"), "_cum_before")
       .withColumn("_cum", col("_cum_before") + col("_packed"))
-    val tot = byV.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
-      .select(col("n_a"), col("n_b"),
-        when(col("n_a") < lit(Pack / 2) && col("n_b") < lit(Pack / 2),
-          lit(0L)).otherwise(raise_error(lit(
-            "ksTest: packed scan needs each side < 2^31 rows — " +
-              "run two scans")).cast("long")).as("_guard"))
     cum.crossJoin(broadcast(tot))
       .select(col("n_a"), col("n_b"),
         (abs(expr(s"_cum % ${Pack}L") * col("n_b") -
@@ -141,5 +170,130 @@ object Eval {
           .otherwise(col("ks_num").cast("double") /
             (col("n_a") * col("n_b")).cast("double"))
           .cast("double").as("ks"))
+  }
+
+  /** The (score, pos, neg) per-distinct-score relation with the
+    * exclusive prefix sums of BOTH class counts above the threshold,
+    * packed into one two-phase scan (ksTest's carry-free packing,
+    * descending-score direction realized by scanning NEGATED scores
+    * ascending). Guard: each class < 2³¹ rows.
+    */
+  private def thresholdCounts(df: DataFrame, score: Column,
+      label: Column): DataFrame = {
+    val Pack = 4294967296L // 2^32
+    val obs = df.select(score.cast("long").as("_s"),
+      when(label, 1L).otherwise(0L).as("_y"))
+      .filter(col("_s").isNotNull)
+    val byScore = obs.groupBy("_s")
+      .agg(sum(col("_y")).as("_pos"),
+        (count(lit(1)) - sum(col("_y"))).as("_neg"))
+    // prefix in DESCENDING score order = ascending order of −score
+    Packing.withGlobalCumsum(
+        byScore.withColumn("_packed",
+          col("_pos") + col("_neg") * lit(Pack)),
+        (-col("_s")).as("_ns"), col("_packed"), "_cum_before")
+      .withColumn("tp", expr(s"_cum_before % ${Pack}L") + col("_pos"))
+      .withColumn("fp", expr(s"_cum_before DIV ${Pack}L") + col("_neg"))
+  }
+
+  /** Precision-recall curve: one row per distinct score threshold t
+    * (descending semantics: predict positive iff score ≥ t):
+    * (threshold, tp, fp, fn, precision, recall) — every count an
+    * exact BIGINT from one packed two-phase prefix scan over the
+    * distinct-score relation, precision/recall single trailing
+    * divisions. This is the exact, hash-gateable PR surface; the
+    * scalar summary is [[averagePrecision]]. Guard (inherited from
+    * the ksTest packing): each class < 2³¹ rows.
+    */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val cum = thresholdCounts(df, score, label)
+    val tot = cum.agg(sum(col("_pos")).as("n_pos"),
+      sum(col("_neg")).as("n_neg"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("_s").as("threshold"), col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double")).as("precision"),
+        when(col("n_pos") === 0L, lit(null)).otherwise(
+          col("tp").cast("double") / col("n_pos").cast("double"))
+          .cast("double").as("recall"))
+  }
+
+  /** Average precision (the PR-AUC companion to [[rocAuc]] for
+    * imbalanced gates): AP = Σₜ (ΔRecall·Precision) over descending
+    * thresholds = (1/n_pos)·Σₜ pos(t)·tp(t)/(tp(t)+fp(t)).
+    *
+    * The per-threshold terms are rationals with DIFFERENT
+    * denominators, so — unlike rocAuc — no common-denominator BIGINT
+    * exists. Summing doubles is order-dependent (not hash-gateable
+    * across engines), so each term is quantized to fixed point with
+    * half-up integer rounding BEFORE the sum:
+    * term = (2·pos·tp·SCALE + den) DIV (2·den), den = tp+fp —
+    * all-integer, order-free, identical in any dialect. Result row:
+    * (n_pos, ap_num, ap_den, ap) with ap = ap_num/ap_den,
+    * ap_den = n_pos·SCALE; quantization error < |distinct scores|
+    * /(SCALE·n_pos), i.e. ~10⁻⁹ relative at SCALE=10⁹ — far below
+    * any decision threshold an eval gate uses.
+    *
+    * Overflow contract: 2·pos(t)·tp(t)·SCALE < 2⁶³ per term needs
+    * pos(t)·tp(t) < 4.6·10⁹ at the default SCALE=10⁹ (lower SCALE to
+    * trade precision for headroom); the packed scan needs each class
+    * < 2³¹ rows (ksTest's bound).
+    */
+  def averagePrecision(df: DataFrame, score: Column, label: Column,
+      scale: Long = 1000000000L): DataFrame = {
+    require(scale >= 1L, "scale must be >= 1")
+    val cum = thresholdCounts(df, score, label)
+    cum.withColumn("_den", col("tp") + col("fp"))
+      .withColumn("_term", expr(
+        s"(2 * _pos * tp * ${scale}L + _den) DIV (2 * _den)"))
+      .agg(sum(col("_pos")).as("n_pos"), sum(col("_term")).as("ap_num"))
+      .select(col("n_pos"), col("ap_num"),
+        (col("n_pos") * lit(scale)).as("ap_den"),
+        when(coalesce(col("n_pos"), lit(0L)) === 0L, lit(null))
+          .otherwise(col("ap_num").cast("double") /
+            (col("n_pos") * lit(scale)).cast("double"))
+          .cast("double").as("ap"))
+  }
+
+  /** Precision/recall at the top-k rows ranked by (score DESC,
+    * `id` ASC — the explicit deterministic tie-break): one row per
+    * requested k: (k, tp, precision, recall). The global rank is the
+    * packed two-phase prefix scan over the PER-ROW relation (ids are
+    * unique, so |working set| = |rows| here, still fully distributed
+    * — no single-task sort); label hits and row counts share one
+    * packed scan. Exact BIGINTs + trailing divisions.
+    */
+  def precisionAtK(df: DataFrame, score: Column, id: Column,
+      label: Column, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "need ks >= 1")
+    val Pack = 4294967296L // 2^32
+    val obs = df.select(score.cast("long").as("_s"), id.as("_id"),
+      when(label, 1L).otherwise(0L).as("_y"))
+      .filter(col("_s").isNotNull)
+    // rank in (score desc, id asc) order: pack (y + 2^32·1) and scan
+    // ascending on the composite (−score, id) key
+    val cum = Packing.withGlobalCumsum(
+        obs.withColumn("_packed", col("_y") + lit(Pack)),
+        struct((-col("_s")).as("_ns"), col("_id")), col("_packed"),
+        "_cum_before")
+      .withColumn("_rank", expr(s"_cum_before DIV ${Pack}L") + 1L)
+      .withColumn("_tp_at", expr(s"_cum_before % ${Pack}L") + col("_y"))
+    val tot = obs.agg(sum(col("_y")).as("n_pos"))
+    val kdf = cum.sparkSession.createDataFrame(
+      ks.distinct.sorted.map(k => Tuple1(k.toLong)))
+      .toDF("k")
+    // tp@k = running positive count at the k-th ranked row (or at the
+    // last row when k > n): max _tp_at over rank ≤ k
+    cum.join(broadcast(kdf), col("_rank") <= col("k"))
+      .groupBy("k").agg(max(col("_tp_at")).as("tp"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("tp"),
+        (col("tp").cast("double") / col("k").cast("double"))
+          .as("precision"),
+        when(coalesce(col("n_pos"), lit(0L)) === 0L, lit(null))
+          .otherwise(col("tp").cast("double") /
+            col("n_pos").cast("double"))
+          .cast("double").as("recall"))
   }
 }

@@ -117,6 +117,114 @@ class EvalSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("ksTest: empty input returns no rows instead of firing the " +
+      "packed-scan guard") {
+    // round-9 ADVICE: the guard condition on NULL totals used to
+    // evaluate NULL → otherwise-branch → misleading raise_error
+    val empty = Seq.empty[(Long, Boolean)].toDF("v", "a")
+    assert(Eval.ksTest(empty, col("v"), col("a")).collect().isEmpty)
+  }
+
+  test("NULL scores/values are dropped, not ranked (engine NULLS " +
+      "FIRST/LAST divergence)") {
+    val withNulls = Seq((Some(1L), false), (Some(2L), true),
+      (None, true), (None, false)).toDF("s", "y")
+    val clean = Seq((1L, false), (2L, true)).toDF("s", "y")
+    assert(Eval.rocAuc(withNulls, col("s"), col("y")).collect().head ===
+      Eval.rocAuc(clean, col("s"), col("y")).collect().head)
+    assert(Eval.ksTest(withNulls, col("s"), col("y")).collect().head ===
+      Eval.ksTest(clean, col("s"), col("y")).collect().head)
+    assert(Eval.calibrationBins(withNulls, col("s"), col("y"))
+      .orderBy("bin").collect() ===
+      Eval.calibrationBins(clean, col("s"), col("y"))
+        .orderBy("bin").collect())
+  }
+
+  test("prCurve matches the hand-computed thresholds") {
+    // scores desc: 5+, 4-, 3+, 2+-, 1-  (P=3, N=3; tie at 2)
+    val df = tied.toDF("s", "y")
+    val rows = Eval.prCurve(df, col("s"), col("y"))
+      .orderBy(col("threshold").desc).collect()
+    // thresholds 5,4,3,2,1 → (tp,fp): (1,0) (1,1) (2,1) (3,2) (3,3)
+    val expect = Seq((5L, 1L, 0L), (4L, 1L, 1L), (3L, 2L, 1L),
+      (2L, 3L, 2L), (1L, 3L, 3L))
+    assert(rows.map(r => (r.getAs[Long]("threshold"), r.getAs[Long]("tp"),
+      r.getAs[Long]("fp"))).toSeq === expect)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fn") === 3L - r.getAs[Long]("tp"))
+      assert(r.getAs[Double]("precision") ===
+        r.getAs[Long]("tp").toDouble /
+          (r.getAs[Long]("tp") + r.getAs[Long]("fp")))
+      assert(r.getAs[Double]("recall") === r.getAs[Long]("tp") / 3.0)
+    }
+  }
+
+  test("averagePrecision matches the hand-computed fixed-point sum") {
+    // AP = (1/P)·Σ_t pos(t)·tp(t)/den(t) over thresholds desc:
+    //   t=5: 1·1/1;  t=3: 1·2/3;  t=2: 1·3/5   (pos(4)=pos(1)=0)
+    // = (1 + 2/3 + 3/5)/3 = 34/45
+    val df = tied.toDF("s", "y")
+    val S = 1000000000L
+    val row = Eval.averagePrecision(df, col("s"), col("y")).collect().head
+    def fp(num: Long, den: Long) = (2L * num * S + den) / (2L * den)
+    val expected = fp(1, 1) + fp(2, 3) + fp(3, 5)
+    assert(row.getAs[Long]("n_pos") === 3L)
+    assert(row.getAs[Long]("ap_num") === expected)
+    assert(row.getAs[Long]("ap_den") === 3L * S)
+    assert(math.abs(row.getAs[Double]("ap") - 34.0 / 45.0) < 1e-8)
+  }
+
+  test("averagePrecision: perfect ranking gives AP = 1") {
+    val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("s", "y")
+    val row = Eval.averagePrecision(perfect, col("s"), col("y"))
+      .collect().head
+    assert(row.getAs[Long]("ap_num") === row.getAs[Long]("ap_den"))
+    assert(row.getAs[Double]("ap") === 1.0)
+  }
+
+  test("averagePrecision is invariant under partitioning") {
+    val df = (0L until 5000L).map(i => (i % 97, i % 3 == 0)).toDF("s", "y")
+    val a = Eval.averagePrecision(df.repartition(1), col("s"), col("y"))
+      .collect().head.getAs[Long]("ap_num")
+    val b = Eval.averagePrecision(df.repartition(17), col("s"), col("y"))
+      .collect().head.getAs[Long]("ap_num")
+    assert(a === b)
+  }
+
+  test("precisionAtK matches the hand-computed top-k cuts") {
+    // rank by (score desc, id): 5+(a) 4-(b) 3+(c) 2+(d) 2-(e) 1-(f)
+    val df = Seq((5L, "a", true), (4L, "b", false), (3L, "c", true),
+      (2L, "d", true), (2L, "e", false), (1L, "f", false))
+      .toDF("s", "id", "y")
+    val rows = Eval.precisionAtK(df, col("s"), col("id"), col("y"),
+      Seq(1, 3, 5)).orderBy("k").collect()
+    val got = rows.map(r => (r.getAs[Long]("k"), r.getAs[Long]("tp"))).toSeq
+    assert(got === Seq((1L, 1L), (3L, 2L), (5L, 3L)))
+    assert(rows.map(_.getAs[Double]("precision")).toSeq ===
+      Seq(1.0, 2.0 / 3.0, 3.0 / 5.0))
+    assert(rows.map(_.getAs[Double]("recall")).toSeq ===
+      Seq(1.0 / 3.0, 2.0 / 3.0, 1.0))
+  }
+
+  test("precisionAtK tie-break is the id, deterministically") {
+    // two score-2 rows; at k=1 only the LOWER id ("d") is in the cut
+    val df = Seq((2L, "e", false), (2L, "d", true)).toDF("s", "id", "y")
+    val r1 = Eval.precisionAtK(df, col("s"), col("id"), col("y"), Seq(1))
+      .collect().head
+    assert(r1.getAs[Long]("tp") === 1L)
+  }
+
+  test("precisionAtK is invariant under partitioning") {
+    val df = (0L until 5000L).map(i => (i % 97, i, i % 3 == 0))
+      .toDF("s", "id", "y")
+    val a = Eval.precisionAtK(df.repartition(1), col("s"), col("id"),
+      col("y"), Seq(100)).collect().head.getAs[Long]("tp")
+    val b = Eval.precisionAtK(df.repartition(17), col("s"), col("id"),
+      col("y"), Seq(100)).collect().head.getAs[Long]("tp")
+    assert(a === b)
+  }
+
   test("knnConfusion diagonal reproduces knnLabelEval's n_correct") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val eval = BinaryEmbed.knnLabelEval(emb, col("vec_id"),

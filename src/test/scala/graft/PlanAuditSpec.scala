@@ -368,4 +368,62 @@ class PlanAuditSpec extends AnyFunSuite {
     // CodegenFallback would show up as ".eval(" on an InternalRow
     assert(code.contains(".compute("), code.take(600))
   }
+
+  /** Every Window node either partitions by the two-phase scan's _pid
+    * stamp or is the ~|partitions|-row offsets window (ORDER BY _pid)
+    * — i.e. no single-task window ever runs over the DATA relation.
+    */
+  private def assertNoDataWindowSerializes(q: String): Unit = {
+    val p = plan(q)
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, s"$q: expected window nodes, got none")
+    windows.foreach { w =>
+      assert(w.contains("_pid"),
+        s"$q plans a window that neither partitions by _pid nor scans " +
+          s"the offsets metadata:\n$w")
+    }
+  }
+
+  test("eval prefix scans (auc/ks/pr) never serialize the data " +
+    "relation through one window task") {
+    Seq("q_auc", "q_ks_test", "q_pr_curve", "q_pr_auc",
+      "q_precision_at_k").foreach(assertNoDataWindowSerializes)
+  }
+
+  test("eval metrics broadcast their 1-row totals relations") {
+    // prCurve/ksTest cross-join totals back onto the per-score
+    // relation — those must be broadcasts, never shuffled joins
+    Seq("q_pr_curve", "q_ks_test", "q_precision_at_k").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q lost its broadcast")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: totals relation fell into a sort-merge join")
+    }
+  }
+
+  test("triplets assembly rides equi-joins (no all-pairs fallback)") {
+    val p = plan("q_triplets")
+    assert(!p.contains("NestedLoop"),
+      "q_triplets candidate generation must stay on bucket equi-joins")
+  }
+
+  test("calibration bins: one broadcast min/max, aggregation-only " +
+    "otherwise (no windows at all)") {
+    val p = plan("q_calibration")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("Window ["),
+      "calibration must not plan any window")
+  }
+
+  test("PLANS.md covers every registered query (staleness gate)") {
+    // adding a query without regenerating PLANS.md (sbt "runMain
+    // graft.tools.DumpPlans") broke two rounds in a row — fail fast
+    val sections = scala.io.Source.fromFile("PLANS.md").getLines()
+      .collect { case l if l.startsWith("## ") =>
+        l.stripPrefix("## ").split(" ").head }
+      .toSet
+    val missing = SparkEntry.queries.keySet.diff(sections).toSeq.sorted
+    assert(missing.isEmpty,
+      s"queries with no PLANS.md section (run DumpPlans): $missing")
+  }
 }
