@@ -100,6 +100,28 @@ object EvalQueries {
       Eval.precisionAtK(scoredDocs(s, d), col("score"), col("id"),
           col("_y"), Seq(10, 50, 100))
         .orderBy("k")),
+
+    // Chi-square homogeneity between the train and val splits over
+    // $1000 price bands — the categorical drift gate next to
+    // q_ks_test (same splits, binned-value domain).
+    "q_chi2_drift" -> ((s, d) => {
+      val o = Sampling.splitAssign(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+          col("o_orderkey"),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .filter(col("split") =!= "test")
+      Eval.chiSquareDrift(o, expr("cents DIV 100000"),
+        col("split") === "train")
+    }),
+
+    // Top label-discriminative terms for lang='en' by per-term
+    // chi-square — log-free, so even the double statistic hash-gates.
+    "q_chi2_terms" -> ((s, d) =>
+      graft.operators.TermStats.discriminativeTerms(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          col("lang") === "en", k = 25)
+        .orderBy("rank")),
   )
 
   /** Shared DuckDB CTE chain: class-0 hashed-classifier scores (the
@@ -321,5 +343,56 @@ object EvalQueries {
          |    AS recall
          |FROM kk JOIN r ON r.rnk <= kk.k, t
          |GROUP BY kk.k, t.n_pos ORDER BY k""".stripMargin,
+    "q_chi2_drift" ->
+      """WITH sp AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    (((((o_orderkey % 1000000007) * 2654435761) % 1000000007)
+        |       + 40503) * 2654435761) % 1000000007 % 100 AS b
+        |  FROM orders),
+        |f AS (SELECT v // 100000 AS k,
+        |    CASE WHEN b < 80 THEN 1 ELSE 0 END AS a
+        |  FROM sp WHERE b < 90),
+        |g AS (SELECT k, CAST(sum(a) AS BIGINT) AS ca,
+        |  CAST(count(*) - sum(a) AS BIGINT) AS cb FROM f GROUP BY k),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_b FROM g),
+        |d AS (SELECT t.n_a, t.n_b,
+        |  g.ca * t.n_b - g.cb * t.n_a AS dd, g.ca + g.cb AS c
+        |  FROM g, t),
+        |s AS (SELECT n_a, n_b,
+        |  CAST(floor(CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE)
+        |    / CAST(c AS DOUBLE)) AS BIGINT) AS tt FROM d)
+        |SELECT n_a, n_b, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(count(*) - 1 AS BIGINT) AS dof,
+        |  CAST(sum(tt) AS BIGINT) AS chi2_num,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE CAST(sum(tt) AS DOUBLE)
+        |         / CAST(n_a * n_b AS DOUBLE) END AS chi2
+        |FROM s GROUP BY n_a, n_b""".stripMargin,
+    "q_chi2_terms" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    unnest(list_distinct(string_split_regex(lower(text), '\s+')))
+        |      AS term
+        |  FROM documents),
+        |pt AS (SELECT term, CAST(sum(y) AS BIGINT) AS a,
+        |  CAST(count(*) - sum(y) AS BIGINT) AS b
+        |  FROM t WHERE term <> '' GROUP BY term),
+        |tot AS (SELECT
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS q
+        |  FROM documents),
+        |s AS (SELECT term, a AS n_pos_docs, b AS n_neg_docs,
+        |  CASE WHEN p = 0 OR q = 0 OR p + q - a - b = 0 THEN 0.0
+        |       ELSE CAST(p + q AS DOUBLE)
+        |         * CAST(a * q - b * p AS DOUBLE)
+        |         * CAST(a * q - b * p AS DOUBLE)
+        |         / (CAST(a + b AS DOUBLE) * CAST(p + q - a - b AS DOUBLE)
+        |            * CAST(p AS DOUBLE) * CAST(q AS DOUBLE)) END AS chi2
+        |  FROM pt, tot)
+        |SELECT term, n_pos_docs, n_neg_docs, chi2, rank FROM (
+        |  SELECT *, row_number() OVER (ORDER BY chi2 DESC, term) AS rank
+        |  FROM s)
+        |WHERE rank <= 25 ORDER BY rank""".stripMargin,
   )
 }

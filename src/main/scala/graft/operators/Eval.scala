@@ -256,6 +256,56 @@ object Eval {
           .cast("double").as("ap"))
   }
 
+  /** Pearson chi-square homogeneity test between the `isA` and ¬`isA`
+    * populations over discrete `bucket` values — the CATEGORICAL
+    * drift companion to [[ksTest]] (KS needs an ordered value; this
+    * handles language codes, sources, topic ids, or pre-binned
+    * numerics), as one row: (n_a, n_b, n_buckets, dof, chi2_num,
+    * chi2) with dof = n_buckets − 1.
+    *
+    * Algebra: for the 2×K table the textbook Σ(O−E)²/E collapses to
+    * chi2 = (1/(n_a·n_b)) · Σ_k D_k²/c_k with
+    * D_k = a_k·n_b − b_k·n_a (exact BIGINT) and c_k = a_k + b_k —
+    * no expected-count fractions ever materialize. The per-bucket
+    * terms D_k²/c_k have unequal denominators (the [[averagePrecision]]
+    * situation), so each is floored to an integer BEFORE the sum:
+    * t_k = floor(double(D_k)²/double(c_k)) — floor of
+    * correctly-rounded double ops is bit-identical in any engine, the
+    * sum of longs is order-free, and the quantization error is < 1
+    * per bucket (≤ K/(n_a·n_b) on chi2 — noise at any scale).
+    * chi2 = chi2_num/(n_a·n_b) is the single trailing division.
+    *
+    * Overflow contract: t_k < 2⁶³ needs D_k²/c_k < 9.2·10¹⁸ —
+    * satisfied whenever both sides have < 2³¹ rows (the ksTest
+    * bound), since D_k²/c_k ≤ c_k·max(n_a,n_b)²... bounded by
+    * N·max(n)²; for larger corpora pre-scale the counts (chi2 is
+    * scale-degree-2 homogeneous, the p-value contract moves with it).
+    * NULL buckets are dropped, matching the siblings.
+    */
+  def chiSquareDrift(df: DataFrame, bucket: Column,
+      isA: Column): DataFrame = {
+    val obs = df.select(bucket.cast("long").as("_k"),
+      when(isA, 1L).otherwise(0L).as("_a"))
+      .filter(col("_k").isNotNull)
+    val byK = obs.groupBy("_k")
+      .agg(sum(col("_a")).as("_ca"),
+        (count(lit(1)) - sum(col("_a"))).as("_cb"))
+    val tot = byK.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
+    byK.crossJoin(broadcast(tot))
+      .withColumn("_d", col("_ca") * col("n_b") - col("_cb") * col("n_a"))
+      .withColumn("_t",
+        floor(col("_d").cast("double") * col("_d").cast("double") /
+          (col("_ca") + col("_cb")).cast("double")).cast("long"))
+      .groupBy("n_a", "n_b")
+      .agg(count(lit(1)).as("n_buckets"), sum(col("_t")).as("chi2_num"))
+      .select(col("n_a"), col("n_b"), col("n_buckets"),
+        (col("n_buckets") - 1L).as("dof"), col("chi2_num"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null))
+          .otherwise(col("chi2_num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double"))
+          .cast("double").as("chi2"))
+  }
+
   /** Precision/recall at the top-k rows ranked by (score DESC,
     * `id` ASC — the explicit deterministic tie-break): one row per
     * requested k: (k, tp, precision, recall). The global rank is the

@@ -86,6 +86,62 @@ object TermStats {
       .drop("_n")
   }
 
+  /** Top-`k` label-discriminative terms by Pearson chi-square — the
+    * classic feature-selection / corpus-diagnosis pass (Yang &
+    * Pedersen, "A Comparative Study on Feature Selection in Text
+    * Categorization", ICML 1997 found chi-square among the strongest
+    * selectors): which words most separate `label` docs from the
+    * rest? Used to mine classifier features, audit a quality gate for
+    * topic leakage, or build blocklist candidates.
+    *
+    * Per term's 2×2 presence table (a = label docs containing it,
+    * b = rest containing it; P/Q the class totals) the statistic is
+    * chi2 = N·(aQ − bP)² / ((a+b)·(N−a−b)·P·Q). UNLIKE tfidf/bm25
+    * this is log-free: one fixed-shape double expression over exact
+    * BIGINTs (·, −, / are all IEEE-correctly-rounded), so the double
+    * IS hash-gateable — the oracle mirrors the expression tree
+    * verbatim. Terms present in every doc (or absent classes)
+    * short-circuit to 0 (no discrimination measurable). Output:
+    * (term, n_pos_docs, n_neg_docs, chi2, rank), rank 1..k by
+    * (chi2 DESC, term).
+    *
+    * Shape: per-doc DISTINCT presence explode → one term-keyed
+    * partial-aggregated groupBy (map-side combine absorbs the token
+    * blow-up), class totals as a 1-row broadcast, then
+    * TakeOrderedAndProject for the global top-k — the rank window
+    * runs over ≤ k rows. No vocab broadcast, no collect.
+    */
+  def discriminativeTerms(df: DataFrame, id: Column, text: Column,
+      label: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val present = df.select(id.as("_id"),
+        when(label, 1L).otherwise(0L).as("_y"),
+        explode(array_distinct(words(text))).as("term"))
+      .filter(col("term") =!= "")
+    val perTerm = present.groupBy("term")
+      .agg(sum(col("_y")).as("n_pos_docs"),
+        (count(lit(1)) - sum(col("_y"))).as("n_neg_docs"))
+    val tot = df.agg(sum(when(label, 1L).otherwise(0L)).as("_p"),
+      sum(when(label, 0L).otherwise(1L)).as("_q"))
+    val scored = perTerm.crossJoin(broadcast(tot))
+      .withColumn("_u",
+        col("n_pos_docs") * col("_q") - col("n_neg_docs") * col("_p"))
+      .withColumn("_c", col("n_pos_docs") + col("n_neg_docs"))
+      .withColumn("_e", col("_p") + col("_q") - col("_c"))
+      .withColumn("chi2",
+        when(col("_p") === 0L || col("_q") === 0L || col("_e") === 0L,
+          lit(0.0))
+          .otherwise(
+            (col("_p") + col("_q")).cast("double") *
+              col("_u").cast("double") * col("_u").cast("double") /
+              (col("_c").cast("double") * col("_e").cast("double") *
+                col("_p").cast("double") * col("_q").cast("double"))))
+    val w = Window.orderBy(col("chi2").desc, col("term"))
+    scored.orderBy(col("chi2").desc, col("term")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select("term", "n_pos_docs", "n_neg_docs", "chi2", "rank")
+  }
+
   /** Top-`k` BM25 terms per document (Robertson & Zaragoza, "The
     * Probabilistic Relevance Framework: BM25 and Beyond", 2009) —
     * the retrieval scorer TF-IDF approximates: saturating term

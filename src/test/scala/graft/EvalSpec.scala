@@ -225,6 +225,37 @@ class EvalSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("chiSquareDrift matches the hand-computed 2x2 table") {
+    // A = {x,x,y}, B = {x,y,y,y}: D_x = 2*4-1*3 = 5 (c=3, t=floor(25/3)=8),
+    // D_y = 1*4-3*3 = -5 (c=4, t=floor(25/4)=6) -> chi2_num = 14
+    val df = Seq((1L, true), (1L, true), (2L, true),
+      (1L, false), (2L, false), (2L, false), (2L, false)).toDF("k", "a")
+    val r = Eval.chiSquareDrift(df, col("k"), col("a")).collect().head
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 4L)
+    assert(r.getAs[Long]("n_buckets") === 2L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Long]("chi2_num") === 14L)
+    assert(r.getAs[Double]("chi2") === 14.0 / 12.0)
+  }
+
+  test("chiSquareDrift: identical distributions give 0") {
+    val df = Seq((1L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("k", "a")
+    assert(Eval.chiSquareDrift(df, col("k"), col("a"))
+      .collect().head.getAs[Long]("chi2_num") === 0L)
+  }
+
+  test("chiSquareDrift is invariant under partitioning") {
+    val df = (0L until 6000L).map(i => ((i * 11) % 23, i % 4 != 0))
+      .toDF("k", "a")
+    val a = Eval.chiSquareDrift(df.repartition(1), col("k"), col("a"))
+      .collect().head.getAs[Long]("chi2_num")
+    val b = Eval.chiSquareDrift(df.repartition(19), col("k"), col("a"))
+      .collect().head.getAs[Long]("chi2_num")
+    assert(a === b)
+  }
+
   test("knnConfusion diagonal reproduces knnLabelEval's n_correct") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val eval = BinaryEmbed.knnLabelEval(emb, col("vec_id"),

@@ -415,10 +415,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "calibration must not plan any window")
   }
 
+  test("chi2 drift is aggregation-only: broadcast totals, no windows") {
+    val p = plan("q_chi2_drift")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("Window ["), "chi2 drift must not plan a window")
+  }
+
+  test("chi2 terms: global top-k prunes through TakeOrdered before " +
+    "the rank window (vocab never sorts globally)") {
+    val p = plan("q_chi2_terms")
+    assert(p.contains("TakeOrderedAndProject"),
+      p.linesIterator.filter(_.contains("Sort")).mkString("\n"))
+  }
+
   test("PLANS.md covers every registered query (staleness gate)") {
     // adding a query without regenerating PLANS.md (sbt "runMain
     // graft.tools.DumpPlans") broke two rounds in a row — fail fast
-    val sections = scala.io.Source.fromFile("PLANS.md").getLines()
+    // ISO-8859-1 never throws on arbitrary bytes (plan dumps can
+    // carry non-UTF-8 sequences); the `## q_` headers are pure ASCII
+    val sections = scala.io.Source.fromFile("PLANS.md")(
+        scala.io.Codec.ISO8859).getLines()
       .collect { case l if l.startsWith("## ") =>
         l.stripPrefix("## ").split(" ").head }
       .toSet

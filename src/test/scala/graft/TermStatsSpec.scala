@@ -227,4 +227,32 @@ class TermStatsSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("discriminativeTerms matches the hand-computed chi-square table") {
+    // P=2 en docs, Q=2 others. 'a': (2,0) -> chi2 = 4*16/(2*2*2*2) = 4;
+    // 'c': (1,2) -> u=-2, chi2 = 4*4/(3*1*2*2) = 4/3; 'b': (1,1) -> 0
+    val docs = Seq((1L, "a b", "en"), (2L, "a c", "en"),
+      (3L, "b c", "fr"), (4L, "c", "fr")).toDF("doc_id", "text", "lang")
+    val rows = TermStats.discriminativeTerms(docs, col("doc_id"),
+      col("text"), col("lang") === "en", k = 3).orderBy("rank").collect()
+    assert(rows.map(r => (r.getAs[String]("term"), r.getAs[Long]("n_pos_docs"),
+      r.getAs[Long]("n_neg_docs"))).toSeq ===
+      Seq(("a", 2L, 0L), ("c", 1L, 2L), ("b", 1L, 1L)))
+    assert(rows.map(_.getAs[Double]("chi2")).toSeq ===
+      Seq(4.0, 4.0 / 3.0, 0.0))
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+  }
+
+  test("discriminativeTerms: a term present in every doc scores 0, " +
+    "duplicate occurrences in one doc count once") {
+    val docs = Seq((1L, "x x y", "en"), (2L, "x", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val rows = TermStats.discriminativeTerms(docs, col("doc_id"),
+        col("text"), col("lang") === "en", k = 5)
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("n_pos_docs"), r.getAs[Double]("chi2"))).toMap
+    assert(rows("x") === ((1L, 0.0))) // in all docs -> e=0 guard
+    assert(rows("x")._1 === 1L)       // 'x x' counted once for doc 1
+    assert(rows("y")._2 > 0.0)        // only-en term discriminates
+  }
 }
