@@ -122,6 +122,49 @@ object EvalQueries {
           Tables.documents(s, d), col("doc_id"), col("text"),
           col("lang") === "en", k = 25)
         .orderBy("rank")),
+
+    // Per-label precision/recall/F1 derived from the k-NN confusion
+    // matrix — every ratio ONE division of exact marginal integers
+    // (f1 = 2tp/(2tp+fp+fn) avoids the float harmonic mean).
+    "q_knn_f1" -> ((s, d) =>
+      Eval.confusionF1(
+          BinaryEmbed.knnConfusion(Tables.embeddings(s, d), col("vec_id"),
+            col("embedding"), col("label"), probeMod = 10, k = 5),
+          col("label_true"), col("label_pred"), col("n"))
+        .orderBy("label")),
+
+    // Cohen's kappa over the same matrix — chance-corrected agreement
+    // with exact BIGINT numerator/denominator.
+    "q_kappa" -> ((s, d) =>
+      Eval.cohensKappa(
+        BinaryEmbed.knnConfusion(Tables.embeddings(s, d), col("vec_id"),
+          col("embedding"), col("label"), probeMod = 10, k = 5),
+        col("label_true"), col("label_pred"), col("n"))),
+
+    // Mean reciprocal rank of the first same-label neighbor —
+    // reciprocal ranks quantized by exact integer division so the
+    // scalar hash-gates (averagePrecision's fixed-point recipe).
+    "q_mrr" -> ((s, d) =>
+      BinaryEmbed.knnMrr(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), col("label"), probeMod = 10, k = 5)),
+
+    // Per-source ROC AUC — the fairness/segment audit: does the gate
+    // rank en-docs above others equally well in EVERY source, or is
+    // one slice at coin-flip? One exchange on the group key.
+    "q_auc_by_group" -> ((s, d) =>
+      Eval.rocAucByGroup(
+          scoredDocs(s, d).join(Tables.documents(s, d)
+            .select(col("doc_id").as("id"), col("source")), "id"),
+          col("source"), col("score"), col("_y"))
+        .orderBy("grp")),
+
+    // One-pass Poisson-bootstrap error bars on the corpus mean doc
+    // length: 32 deterministic hash-derived Poisson(1) replicates,
+    // every replicate's totals exact BIGINTs.
+    "q_bootstrap_ci" -> ((s, d) =>
+      Eval.poissonBootstrap(Tables.documents(s, d), col("doc_id"),
+          length(col("text")), reps = 32)
+        .orderBy("rep")),
   )
 
   /** Shared DuckDB CTE chain: class-0 hashed-classifier scores (the
@@ -394,5 +437,118 @@ object EvalQueries {
         |  SELECT *, row_number() OVER (ORDER BY chi2 DESC, term) AS rank
         |  FROM s)
         |WHERE rank <= 25 ORDER BY rank""".stripMargin,
+    "q_knn_f1" ->
+      s"""WITH $knnPredCte,
+         |cm AS (SELECT q_lab AS t, pred_lab AS p,
+         |  CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
+         |rt AS (SELECT t AS label, CAST(sum(n) AS BIGINT) AS r
+         |  FROM cm GROUP BY t),
+         |ct AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS c
+         |  FROM cm GROUP BY p),
+         |dg AS (SELECT t AS label, CAST(sum(n) AS BIGINT) AS tp
+         |  FROM cm WHERE t = p GROUP BY t),
+         |j AS (SELECT coalesce(rt.label, ct.label) AS label,
+         |  CAST(coalesce(dg.tp, 0) AS BIGINT) AS tp,
+         |  CAST(coalesce(ct.c, 0) - coalesce(dg.tp, 0) AS BIGINT) AS fp,
+         |  CAST(coalesce(rt.r, 0) - coalesce(dg.tp, 0) AS BIGINT) AS fn
+         |  FROM rt FULL OUTER JOIN ct ON rt.label = ct.label
+         |  LEFT JOIN dg ON dg.label = coalesce(rt.label, ct.label))
+         |SELECT label, tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+         |    AS "precision",
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+         |    AS recall,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |       ELSE CAST(2 * tp AS DOUBLE)
+         |         / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+         |FROM j ORDER BY label""".stripMargin,
+    "q_kappa" ->
+      s"""WITH $knnPredCte,
+         |cm AS (SELECT q_lab AS t, pred_lab AS p,
+         |  CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
+         |rt AS (SELECT t AS label, CAST(sum(n) AS BIGINT) AS r
+         |  FROM cm GROUP BY t),
+         |ct AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS c
+         |  FROM cm GROUP BY p),
+         |m AS (SELECT CAST(sum(coalesce(rt.r, 0) * coalesce(ct.c, 0))
+         |    AS BIGINT) AS rc
+         |  FROM rt FULL OUTER JOIN ct ON rt.label = ct.label),
+         |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT) AS agree
+         |  FROM cm)
+         |SELECT t2.n, t2.agree,
+         |  CAST(t2.n * t2.agree - m.rc AS BIGINT) AS kappa_num,
+         |  CAST(t2.n * t2.n - m.rc AS BIGINT) AS kappa_den,
+         |  CASE WHEN t2.n * t2.n - m.rc = 0 THEN NULL
+         |       ELSE CAST(t2.n * t2.agree - m.rc AS DOUBLE)
+         |         / CAST(t2.n * t2.n - m.rc AS DOUBLE) END AS kappa
+         |FROM t2, m""".stripMargin,
+    "q_mrr" ->
+      s"""WITH $knnPredCte,
+         |tq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT)
+         |  AS n_queries FROM topk),
+         |h AS (SELECT query_id, min(rnk) AS r FROM topk
+         |  WHERE n_lab = q_lab GROUP BY query_id),
+         |hh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(sum(1000000000 // r), 0) AS BIGINT) AS mrr_num
+         |  FROM h)
+         |SELECT tq.n_queries, hh.n_hit, hh.mrr_num,
+         |  CAST(tq.n_queries * 1000000000 AS BIGINT) AS mrr_den,
+         |  CASE WHEN tq.n_queries = 0 THEN NULL
+         |       ELSE CAST(hh.mrr_num AS DOUBLE)
+         |         / CAST(tq.n_queries * 1000000000 AS DOUBLE) END AS mrr
+         |FROM tq, hh""".stripMargin,
+    "q_auc_by_group" ->
+      s"""WITH $scoredCte,
+         |lab2 AS (SELECT l.doc_id, l.score, l.y, d.source
+         |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+         |g AS (SELECT source, score, CAST(sum(y) AS BIGINT) AS pos,
+         |  CAST(count(*) - sum(y) AS BIGINT) AS neg
+         |  FROM lab2 GROUP BY source, score),
+         |c AS (SELECT source, score, pos, neg,
+         |  CAST(coalesce(sum(neg) OVER (PARTITION BY source ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS neg_below
+         |  FROM g)
+         |SELECT source AS grp, CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(neg) AS BIGINT) AS n_neg,
+         |  CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS auc_num,
+         |  CAST(2 * sum(pos) * sum(neg) AS BIGINT) AS auc_den,
+         |  CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
+         |       ELSE CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+         |         / CAST(2 * sum(pos) * sum(neg) AS DOUBLE) END AS auc
+         |FROM c GROUP BY source ORDER BY grp""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH r AS (SELECT unnest(range(1, 33)) AS rep),
+        |o AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT r.rep, o.v,
+        |  (((((((o.doc_id % 1000000007) * 1009 + r.rep) % 1000000007)
+        |    * 2654435761) % 1000000007 + 40503) * 2654435761)
+        |    % 1000000007) % 1000000000 AS uu
+        |  FROM o CROSS JOIN r),
+        |w AS (SELECT rep, v,
+        |    CASE WHEN uu >= 367879441 THEN 1 ELSE 0 END
+        |  + CASE WHEN uu >= 735758882 THEN 1 ELSE 0 END
+        |  + CASE WHEN uu >= 919698603 THEN 1 ELSE 0 END
+        |  + CASE WHEN uu >= 981011843 THEN 1 ELSE 0 END
+        |  + CASE WHEN uu >= 996340153 THEN 1 ELSE 0 END
+        |  + CASE WHEN uu >= 999405815 THEN 1 ELSE 0 END
+        |  + CASE WHEN uu >= 999916759 THEN 1 ELSE 0 END
+        |  + CASE WHEN uu >= 999989751 THEN 1 ELSE 0 END
+        |  + CASE WHEN uu >= 999998875 THEN 1 ELSE 0 END
+        |  + CASE WHEN uu >= 999999889 THEN 1 ELSE 0 END
+        |  + CASE WHEN uu >= 999999990 THEN 1 ELSE 0 END
+        |  + CASE WHEN uu >= 999999999 THEN 1 ELSE 0 END AS wt
+        |  FROM u)
+        |SELECT CAST(rep AS BIGINT) AS rep,
+        |  CAST(sum(wt) AS BIGINT) AS w_total,
+        |  CAST(sum(wt * v) AS BIGINT) AS v_total,
+        |  CASE WHEN sum(wt) = 0 THEN NULL
+        |       ELSE CAST(sum(wt * v) AS DOUBLE)
+        |         / CAST(sum(wt) AS DOUBLE) END AS mean
+        |FROM w GROUP BY rep ORDER BY rep""".stripMargin,
   )
 }

@@ -189,6 +189,24 @@ object BinaryEmbed {
     */
   def knnPredictions(df: DataFrame, id: Column, vec: Column, label: Column,
       probeMod: Int = 10, k: Int = 5): DataFrame = {
+    val topk = knnTopK(df, id, vec, label, probeMod, k)
+    topk.groupBy(col("query_id"), col("q_lab"), col("n_lab"))
+      .agg(count(lit(1)).as("v"))
+      // majority label, ties to the lowest label id — one struct-min
+      // aggregate, no second window
+      .groupBy(col("query_id"), col("q_lab"))
+      .agg(min(struct((-col("v")).as("nv"), col("n_lab").as("pl")))
+        .as("best"))
+      .select(col("query_id"), col("q_lab"), col("best.pl").as("pred_lab"))
+  }
+
+  /** The ranked probe-neighbor relation shared by [[knnPredictions]]
+    * and [[knnMrr]]: (query_id, q_lab, n_lab, nid, hamming, rnk),
+    * rnk 1..k per probe in (hamming ASC, nid ASC) order — probe
+    * selection and scoring exactly as documented on [[knnLabelEval]].
+    */
+  private def knnTopK(df: DataFrame, id: Column, vec: Column,
+      label: Column, probeMod: Int, k: Int): DataFrame = {
     require(probeMod >= 1 && k >= 1, "probeMod and k must be >= 1")
     val sigs = withBinarySignature(
       df.select(id.as("_id"), vec.as("_v"), label.as("_lab")), col("_v"))
@@ -203,16 +221,42 @@ object BinaryEmbed {
           .as("hamming"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming"), col("nid"))
-    val topk = scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-    topk.groupBy(col("query_id"), col("q_lab"), col("n_lab"))
-      .agg(count(lit(1)).as("v"))
-      // majority label, ties to the lowest label id — one struct-min
-      // aggregate, no second window
-      .groupBy(col("query_id"), col("q_lab"))
-      .agg(min(struct((-col("v")).as("nv"), col("n_lab").as("pl")))
-        .as("best"))
-      .select(col("query_id"), col("q_lab"), col("best.pl").as("pred_lab"))
+  }
+
+  /** Mean reciprocal rank of the first SAME-label neighbor in each
+    * probe's k-NN list — the standard retrieval eval for an embedding
+    * index, as one row: (n_queries, n_hit, mrr_num, mrr_den, mrr).
+    *
+    * Exactness: each probe's reciprocal rank 1/r is quantized as
+    * `scale DIV r` (exact integer division, r ≤ k so the error is
+    * < k/scale absolute); probes with no same-label neighbor in the
+    * top k contribute 0 (the standard convention). The long sum is
+    * order-free, mrr = mrr_num/(n_queries·scale) the single trailing
+    * division — fully hash-gateable, like [[Eval.averagePrecision]].
+    *
+    * Scale shape: [[knnTopK]]'s broadcast-probe scan, then two
+    * aggregations over ≤ |probes|·k rows.
+    */
+  def knnMrr(df: DataFrame, id: Column, vec: Column, label: Column,
+      probeMod: Int = 10, k: Int = 5,
+      scale: Long = 1000000000L): DataFrame = {
+    require(scale >= 1L, "scale must be >= 1")
+    val topk = knnTopK(df, id, vec, label, probeMod, k)
+    val tot = topk.agg(countDistinct(col("query_id")).as("n_queries"))
+    val hits = topk.filter(col("n_lab") === col("q_lab"))
+      .groupBy("query_id").agg(min(col("rnk")).as("_r"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr(s"${scale}L DIV _r")).as("_num"))
+    tot.crossJoin(broadcast(hits))
+      .select(col("n_queries"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("_num"), lit(0L)).as("mrr_num"),
+        (col("n_queries") * lit(scale)).as("mrr_den"),
+        when(coalesce(col("n_queries"), lit(0L)) === 0L, lit(null))
+          .otherwise(coalesce(col("_num"), lit(0L)).cast("double") /
+            (col("n_queries") * lit(scale)).cast("double"))
+          .cast("double").as("mrr"))
   }
 
   /** Multiclass confusion matrix of the k-NN probe eval:

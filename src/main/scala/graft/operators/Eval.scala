@@ -256,6 +256,103 @@ object Eval {
           .cast("double").as("ap"))
   }
 
+  /** Per-group tie-aware ROC AUC — [[rocAuc]] segmented by `group`
+    * (source, language, snapshot, demographic slice): the fairness /
+    * per-segment audit that catches a gate scoring one slice well and
+    * another at coin-flip. One row per group, same exact-BIGINT
+    * columns as rocAuc prefixed by the group key.
+    *
+    * Shape difference from the global metric: the prefix scan here is
+    * an ORDINARY window partitioned by the group key (groups are the
+    * parallelism — no _pid machinery needed), over the per-(group,
+    * score) aggregated relation; the final group-by reuses the same
+    * hash partitioning, so the whole metric is ONE exchange on the
+    * group key. The one-monster-group limit is the EMA/CUSUM
+    * straggler story (SCALE.md): a group's distinct-score relation
+    * serializes through that group's task — for a single giant group
+    * use the global [[rocAuc]] per group instead.
+    */
+  def rocAucByGroup(df: DataFrame, group: Column, score: Column,
+      label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = df.select(group.as("grp"), score.cast("long").as("_s"),
+      when(label, 1L).otherwise(0L).as("_y"))
+      .filter(col("_s").isNotNull)
+    val byScore = obs.groupBy(col("grp"), col("_s"))
+      .agg(sum(col("_y")).as("_pos"),
+        (count(lit(1)) - sum(col("_y"))).as("_neg"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("_neg_below", coalesce(sum(col("_neg")).over(w), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(sum(col("_pos")).as("n_pos"), sum(col("_neg")).as("n_neg"),
+        sum(col("_pos") * (col("_neg_below") * 2 + col("_neg")))
+          .as("auc_num"))
+      .select(col("grp"), col("n_pos"), col("n_neg"), col("auc_num"),
+        (col("n_pos") * col("n_neg") * 2).as("auc_den"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(col("auc_num").cast("double") /
+            (col("n_pos") * col("n_neg") * 2).cast("double"))
+          .cast("double").as("auc"))
+  }
+
+  /** Poisson(1) CDF thresholds scaled to 10⁹ (round(10⁹·e⁻¹·Σ1/j!),
+    * exact-rational rounding) — the operator-defining constants of
+    * [[poissonBootstrap]]; a weight of k means the uniform draw fell
+    * below the k-th threshold only.
+    */
+  val PoissonCdf1e9: Seq[Long] = Seq(367879441L, 735758882L, 919698603L,
+    981011843L, 996340153L, 999405815L, 999916759L, 999989751L,
+    999998875L, 999999889L, 999999990L, 999999999L)
+
+  /** One-pass Poisson bootstrap of a mean (Chamandy, Muralidharan,
+    * Najmi & Naidu, "Estimating Uncertainty for Massive Data Streams",
+    * Google TR 2012): per replicate r, every row gets an independent
+    * Poisson(1) pseudo-count derived DETERMINISTICALLY from
+    * (hash(id), r) — the resample-without-resampling trick that puts
+    * error bars on corpus statistics in one scan, because
+    * Binomial(N, 1/N) → Poisson(1) as N → ∞ and a Poisson draw needs
+    * no knowledge of N or of the other rows.
+    *
+    * Output: one row per replicate, (rep, w_total, v_total, mean)
+    * with mean = v_total/w_total — both totals exact BIGINTs (the
+    * uniform draw is the [[Sampling.hashBucket]] multiplicative chain
+    * on key·1009 + rep, the Poisson inverse-CDF a fixed threshold
+    * comparison against [[PoissonCdf1e9]]), so every replicate
+    * hash-gates. The replicate-mean spread IS the uncertainty: the
+    * caller reads a CI off the R sorted means (R rows of metadata).
+    *
+    * Scale shape: the `reps`-way explode is absorbed by map-side
+    * combine before the only shuffle (≤ reps·|partitions| partial
+    * rows move; the shuffled relation is `reps` rows). Weights are
+    * bounded by 12 (P[w > 12] < 10⁻⁹ per draw), so
+    * v_total ≤ 12·Σ|v| — overflow surface Σ|v| < 2⁵⁹.
+    */
+  def poissonBootstrap(df: DataFrame, id: Column, value: Column,
+      reps: Int = 32): DataFrame = {
+    require(reps >= 1, "reps must be >= 1")
+    val Mod = 1000000007L
+    val obs = df.select(id.cast("long").as("_id"),
+      value.cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .select(col("_id"), col("_v"),
+        explode(sequence(lit(1), lit(reps))).as("rep"))
+    val u = Sampling.hashBucket(
+      pmod(col("_id"), lit(Mod)) * lit(1009L) + col("rep"), 1000000000)
+    val w = PoissonCdf1e9.map(t => when(u >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    obs.withColumn("_w", w)
+      .groupBy(col("rep").cast("long").as("rep"))
+      .agg(sum(col("_w")).as("w_total"),
+        sum(col("_w") * col("_v")).as("v_total"))
+      .select(col("rep"), col("w_total"), col("v_total"),
+        when(coalesce(col("w_total"), lit(0L)) === 0L, lit(null))
+          .otherwise(col("v_total").cast("double") /
+            col("w_total").cast("double"))
+          .cast("double").as("mean"))
+  }
+
   /** Pearson chi-square homogeneity test between the `isA` and ¬`isA`
     * populations over discrete `bucket` values — the CATEGORICAL
     * drift companion to [[ksTest]] (KS needs an ordered value; this
@@ -304,6 +401,85 @@ object Eval {
           .otherwise(col("chi2_num").cast("double") /
             (col("n_a") * col("n_b")).cast("double"))
           .cast("double").as("chi2"))
+  }
+
+  /** Per-label precision/recall/F1 from ANY confusion-matrix relation
+    * `conf` = (trueCol, predCol, nCol): one row per label value
+    * appearing as truth or prediction — (label, tp, fp, fn,
+    * precision, recall, f1). All counts exact BIGINTs from the
+    * matrix's row/column marginals; precision = tp/(tp+fp),
+    * recall = tp/(tp+fn), f1 = 2·tp/(2·tp+fp+fn) are each ONE
+    * trailing division of exact integers (the f1 simplification
+    * avoids the float harmonic mean), so the doubles hash-gate.
+    * Degenerate marginals (label never predicted / never true) yield
+    * NULL for the undefined ratio, 0-ward nothing.
+    *
+    * Scale: the confusion relation is ≤ |labels|² rows of metadata —
+    * every join here is bounded by label cardinality, not data.
+    */
+  def confusionF1(conf: DataFrame, trueCol: Column, predCol: Column,
+      nCol: Column): DataFrame = {
+    val c = conf.select(trueCol.as("_t"), predCol.as("_p"),
+      nCol.cast("long").as("_n"))
+    val rowTot = c.groupBy(col("_t").as("label"))
+      .agg(sum(col("_n")).as("_row"))
+    val colTot = c.groupBy(col("_p").as("label"))
+      .agg(sum(col("_n")).as("_col"))
+    val diag = c.filter(col("_t") === col("_p"))
+      .select(col("_t").as("label"), col("_n").as("_tp"))
+    rowTot.join(colTot, Seq("label"), "full_outer")
+      .join(diag, Seq("label"), "left_outer")
+      .select(col("label"),
+        coalesce(col("_tp"), lit(0L)).as("tp"),
+        (coalesce(col("_col"), lit(0L)) - coalesce(col("_tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("_row"), lit(0L)) - coalesce(col("_tp"), lit(0L)))
+          .as("fn"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0L, lit(null))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"))
+          .cast("double").as("precision"),
+        when(col("tp") + col("fn") === 0L, lit(null))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"))
+          .cast("double").as("recall"),
+        when(col("tp") * 2 + col("fp") + col("fn") === 0L, lit(null))
+          .otherwise((col("tp") * 2).cast("double") /
+            (col("tp") * 2 + col("fp") + col("fn")).cast("double"))
+          .cast("double").as("f1"))
+  }
+
+  /** Cohen's kappa (Cohen 1960) from ANY confusion-matrix relation —
+    * chance-corrected agreement between truth and prediction, as one
+    * row: (n, agree, kappa_num, kappa_den, kappa) with
+    * kappa = (N·Σdiag − Σᵢ rᵢ·cᵢ) / (N² − Σᵢ rᵢ·cᵢ) — the textbook
+    * (p_o − p_e)/(1 − p_e) cleared of fractions, every term an exact
+    * BIGINT (overflow surface N² < 2⁶³: ~3·10⁹ observations — and
+    * the confusion matrix is pre-aggregated metadata, so compute
+    * stays |labels|-sized regardless of N). kappa is NULL when the
+    * denominator is 0 (both raters constant).
+    */
+  def cohensKappa(conf: DataFrame, trueCol: Column, predCol: Column,
+      nCol: Column): DataFrame = {
+    val c = conf.select(trueCol.as("_t"), predCol.as("_p"),
+      nCol.cast("long").as("_n"))
+    val rowTot = c.groupBy(col("_t").as("_l")).agg(sum(col("_n")).as("_r"))
+    val colTot = c.groupBy(col("_p").as("_l")).agg(sum(col("_n")).as("_c"))
+    val margins = rowTot.join(colTot, Seq("_l"), "full_outer")
+      .agg(sum(coalesce(col("_r"), lit(0L)) * coalesce(col("_c"), lit(0L)))
+        .as("_rc"))
+    val totals = c.agg(sum(col("_n")).as("n"),
+      sum(when(col("_t") === col("_p"), col("_n")).otherwise(0L))
+        .as("agree"))
+    totals.crossJoin(broadcast(margins))
+      .select(col("n"), col("agree"),
+        (col("n") * col("agree") - col("_rc")).as("kappa_num"),
+        (col("n") * col("n") - col("_rc")).as("kappa_den"),
+        when(col("n") * col("n") - col("_rc") === 0L, lit(null))
+          .otherwise((col("n") * col("agree") - col("_rc")).cast("double") /
+            (col("n") * col("n") - col("_rc")).cast("double"))
+          .cast("double").as("kappa"))
   }
 
   /** Precision/recall at the top-k rows ranked by (score DESC,

@@ -256,6 +256,109 @@ class EvalSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("rocAucByGroup: each group row equals the global rocAuc of " +
+    "that slice") {
+    val df = (0L until 3000L)
+      .map(i => (s"g${i % 3}", (i * 7) % 101, i % 4 == 0))
+      .toDF("g", "s", "y")
+    val byGroup = Eval.rocAucByGroup(df, col("g"), col("s"), col("y"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("auc_num"), r.getAs[Long]("auc_den"))).toMap
+    Seq("g0", "g1", "g2").foreach { g =>
+      val solo = Eval.rocAuc(df.filter(col("g") === g), col("s"),
+        col("y")).collect().head
+      assert(byGroup(g) === ((solo.getAs[Long]("auc_num"),
+        solo.getAs[Long]("auc_den"))), s"group $g diverged")
+    }
+  }
+
+  test("poissonBootstrap: deterministic, weights bounded, replicate " +
+    "sizes concentrate around n") {
+    val df = (0L until 2000L).map(i => (i, 100L + i % 50)).toDF("id", "v")
+    val a = Eval.poissonBootstrap(df, col("id"), col("v"), reps = 8)
+      .orderBy("rep").collect()
+    val b = Eval.poissonBootstrap(df.repartition(13), col("id"), col("v"),
+      reps = 8).orderBy("rep").collect()
+    assert(a.toSeq === b.toSeq, "bootstrap must be partition-invariant")
+    assert(a.length === 8)
+    a.foreach { r =>
+      val w = r.getAs[Long]("w_total")
+      // Poisson(1) sum over 2000 rows: mean 2000, sd ~45 — a 10-sd
+      // band is astronomically safe and catches any weight-scale bug
+      assert(w > 1550 && w < 2450, s"replicate size $w implausible")
+      val m = r.getAs[Double]("mean")
+      assert(m > 100.0 && m < 150.0, s"replicate mean $m out of range")
+    }
+    // replicates must actually differ (independent pseudo-draws)
+    assert(a.map(_.getAs[Long]("w_total")).distinct.length > 1)
+  }
+
+  test("confusionF1 matches the hand-computed marginals") {
+    val conf = Seq((0, 0, 5L), (0, 1, 2L), (1, 1, 3L), (1, 0, 1L),
+      (2, 2, 4L)).toDF("t", "p", "n")
+    val rows = Eval.confusionF1(conf, col("t"), col("p"), col("n"))
+      .orderBy("label").collect()
+    assert(rows.map(r => (r.getAs[Int]("label"), r.getAs[Long]("tp"),
+      r.getAs[Long]("fp"), r.getAs[Long]("fn"))).toSeq ===
+      Seq((0, 5L, 1L, 2L), (1, 3L, 2L, 1L), (2, 4L, 0L, 0L)))
+    assert(rows.map(_.getAs[Double]("f1")).toSeq ===
+      Seq(10.0 / 13.0, 6.0 / 9.0, 1.0))
+    assert(rows(0).getAs[Double]("precision") === 5.0 / 6.0)
+    assert(rows(0).getAs[Double]("recall") === 5.0 / 7.0)
+  }
+
+  test("confusionF1: labels absent from one side get NULL for the " +
+    "undefined ratio, not a crash or a zero") {
+    val conf = Seq((0, 1, 2L)).toDF("t", "p", "n")
+    val rows = Eval.confusionF1(conf, col("t"), col("p"), col("n"))
+      .orderBy("label").collect()
+    // label 0: never predicted -> precision NULL, recall 0
+    assert(rows(0).getAs[Long]("tp") === 0L)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("precision")))
+    assert(rows(0).getAs[Double]("recall") === 0.0)
+    // label 1: never true -> recall NULL, precision 0
+    assert(rows(1).isNullAt(rows(1).fieldIndex("recall")))
+    assert(rows(1).getAs[Double]("precision") === 0.0)
+  }
+
+  test("cohensKappa matches the hand computation; perfect agreement " +
+    "gives 1, constant raters give NULL") {
+    val conf = Seq((0, 0, 5L), (0, 1, 2L), (1, 1, 3L), (1, 0, 1L),
+      (2, 2, 4L)).toDF("t", "p", "n")
+    val r = Eval.cohensKappa(conf, col("t"), col("p"), col("n"))
+      .collect().head
+    assert(r.getAs[Long]("n") === 15L)
+    assert(r.getAs[Long]("agree") === 12L)
+    assert(r.getAs[Long]("kappa_num") === 102L) // 15*12 - 78
+    assert(r.getAs[Long]("kappa_den") === 147L) // 225 - 78
+    assert(r.getAs[Double]("kappa") === 102.0 / 147.0)
+    val perfect = Seq((0, 0, 3L), (1, 1, 2L)).toDF("t", "p", "n")
+    assert(Eval.cohensKappa(perfect, col("t"), col("p"), col("n"))
+      .collect().head.getAs[Double]("kappa") === 1.0)
+    val constant = Seq((0, 0, 4L)).toDF("t", "p", "n")
+    val c = Eval.cohensKappa(constant, col("t"), col("p"), col("n"))
+      .collect().head
+    assert(c.isNullAt(c.fieldIndex("kappa"))) // N^2 == sum r*c
+  }
+
+  test("knnMrr is consistent with knnLabelEval on the fixture") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val mrr = BinaryEmbed.knnMrr(emb, col("vec_id"), col("embedding"),
+      col("label")).collect().head
+    val eval = BinaryEmbed.knnLabelEval(emb, col("vec_id"),
+      col("embedding"), col("label")).collect()
+    val nProbes = eval.map(_.getAs[Long]("n_probes")).sum
+    val nCorrect = eval.map(_.getAs[Long]("n_correct")).sum
+    assert(mrr.getAs[Long]("n_queries") === nProbes)
+    // a majority-correct probe necessarily has a correct neighbor in
+    // its top-k, so hits bound correct-majority from above
+    assert(mrr.getAs[Long]("n_hit") >= nCorrect)
+    assert(mrr.getAs[Long]("mrr_den") ===
+      mrr.getAs[Long]("n_queries") * 1000000000L)
+    val v = mrr.getAs[Double]("mrr")
+    assert(v > 0.0 && v <= 1.0)
+  }
+
   test("knnConfusion diagonal reproduces knnLabelEval's n_correct") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val eval = BinaryEmbed.knnLabelEval(emb, col("vec_id"),

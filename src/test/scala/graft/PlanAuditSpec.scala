@@ -428,6 +428,27 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Sort")).mkString("\n"))
   }
 
+  test("group AUC shuffles ONCE on the group key (window + final agg " +
+    "share it)") {
+    val p = plan("q_auc_by_group")
+    // exactly one exchange partitions on the bare group key: it feeds
+    // the window, and the final group-by reuses that partitioning —
+    // a second grp-only exchange would mean the agg re-shuffled
+    val grpExchanges =
+      "hashpartitioning\\(grp#\\d+, \\d+\\)".r.findAllIn(p).size
+    assert(grpExchanges === 1,
+      s"expected 1 grp-key exchange, got $grpExchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("poisson bootstrap: map-side combine before the only shuffle, " +
+    "no windows") {
+    val p = plan("q_bootstrap_ci")
+    assert(!p.contains("Window ["), "bootstrap must not plan a window")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "replicate totals must partial-aggregate before the exchange")
+  }
+
   test("PLANS.md covers every registered query (staleness gate)") {
     // adding a query without regenerating PLANS.md (sbt "runMain
     // graft.tools.DumpPlans") broke two rounds in a row — fail fast
