@@ -802,6 +802,54 @@ object BatchQueries {
         .limit(10)
     }),
 
+    // TPC-H Q8-shaped national market share: the DEEP warehouse join —
+    // 7 tables, two independent dimension chains hanging off lineitem
+    // (part; supplier→nation) plus the customer→nation→region market
+    // filter — with a conditional two-level DECIMAL rollup per order
+    // year. Plan shape under AQE: every dim chain broadcasts (part,
+    // supplier, both nation roles, region), the ONLY shuffle joins are
+    // lineitem⋈orders⋈customer on their keys — at 100 TB that is the
+    // plan you want: fact-to-fact shuffles on join keys, dims never
+    // shuffled. share = target/total is one correctly-rounded double
+    // division of two exact DECIMAL sums.
+    "q_market_share" -> ((s0, d) => {
+      val s = utc(s0)
+      val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(38,10)")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+          col("c_nationkey") === col("cn_key"))
+        .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("sn_key"),
+              col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(38,10)"))).as("_num"),
+          sum(vol).as("_den"))
+        .select(col("o_year"),
+          col("_num").cast("double").as("target_volume"),
+          col("_den").cast("double").as("total_volume"),
+          when(col("_den") === 0, lit(null))
+            .otherwise(col("_num").cast("double") /
+              col("_den").cast("double"))
+            .cast("double").as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
     // Iterative graph analytics beyond connected components: 3 rounds
     // of exact integer-scaled PageRank over the symmetrized
     // customer↔part purchase graph (orders ⋈ lineitem, bipartite ids
@@ -1743,6 +1791,33 @@ object BatchQueries {
         |  AND c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(38,10))
+        |      ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE)
+        |    AS target_volume,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,10))) AS DOUBLE) AS total_volume,
+        |  CASE WHEN SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(38,10))) = 0 THEN NULL
+        |    ELSE CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |        THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |          AS DECIMAL(38,10))
+        |        ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE)
+        |      / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(38,10))) AS DOUBLE) END AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
         |              l_partkey * 2 + 1 AS dst

@@ -449,6 +449,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "replicate totals must partial-aggregate before the exchange")
   }
 
+  test("market share (Q8 shape): every dimension chain broadcasts; " +
+    "only the fact-to-fact joins shuffle") {
+    val p = plan("q_market_share")
+    // part, customer-nation, region, supplier, supplier-nation = 5
+    // explicit broadcast dims (at the spec's tiny scale AQE may
+    // broadcast orders/customer too — also correct; what must NEVER
+    // happen is a dim falling into a shuffle or nested-loop join)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 5, s"expected >=5 broadcast dim joins, got $bhj:\n" +
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("NestedLoop"))
+    Seq("p_partkey", "r_regionkey", "s_suppkey", "cn_key", "sn_key")
+      .foreach { k => assert(!("SortMergeJoin [^\\n]*" + k).r
+        .findFirstIn(p).isDefined, s"dim key $k fell into a shuffle join") }
+    // the p_type filter reaches the part scan
+    assert(p.contains("EqualTo(p_type,PROMO)"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("PLANS.md covers every registered query (staleness gate)") {
     // adding a query without regenerating PLANS.md (sbt "runMain
     // graft.tools.DumpPlans") broke two rounds in a row — fail fast
