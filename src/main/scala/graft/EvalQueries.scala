@@ -148,6 +148,14 @@ object EvalQueries {
       BinaryEmbed.knnMrr(Tables.embeddings(s, d), col("vec_id"),
         col("embedding"), col("label"), probeMod = 10, k = 5)),
 
+    // Mean binary nDCG@5 of the probe k-NN lists — the
+    // position-sensitive retrieval eval; log₂ discounts enter only as
+    // frozen exact-rational-rounded integer constants, each probe's
+    // ratio fixed-point-quantized before the order-free sum.
+    "q_ndcg" -> ((s, d) =>
+      BinaryEmbed.knnNdcg(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), col("label"), probeMod = 10, k = 5)),
+
     // Per-source ROC AUC — the fairness/segment audit: does the gate
     // rank en-docs above others equally well in EVERY source, or is
     // one slice at coin-flip? One exchange on the group key.
@@ -500,6 +508,35 @@ object EvalQueries {
          |       ELSE CAST(hh.mrr_num AS DOUBLE)
          |         / CAST(tq.n_queries * 1000000000 AS DOUBLE) END AS mrr
          |FROM tq, hh""".stripMargin,
+    "q_ndcg" ->
+      s"""WITH $knnPredCte,
+         |per AS (SELECT query_id,
+         |  CAST(sum(CASE WHEN n_lab = q_lab
+         |    THEN list_extract([1000000000, 630929754, 500000000,
+         |      430676558, 386852807], rnk) ELSE 0 END) AS BIGINT) AS dcg,
+         |  CAST(sum(CASE WHEN n_lab = q_lab THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS h
+         |  FROM topk GROUP BY query_id),
+         |t AS (SELECT query_id, dcg, h,
+         |  CASE WHEN h = 0 THEN CAST(1 AS BIGINT)
+         |    ELSE list_extract([CAST(1000000000 AS BIGINT),
+         |      CAST(1630929754 AS BIGINT), CAST(2130929754 AS BIGINT),
+         |      CAST(2561606312 AS BIGINT), CAST(2948459119 AS BIGINT)], h)
+         |    END AS idcg
+         |  FROM per),
+         |s2 AS (SELECT query_id, h,
+         |  CASE WHEN h = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (2 * dcg * 1000000 + idcg) // (2 * idcg) END AS term
+         |  FROM t)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit_queries,
+         |  CAST(sum(term) AS BIGINT) AS ndcg_num,
+         |  CAST(count(*) * 1000000 AS BIGINT) AS ndcg_den,
+         |  CASE WHEN count(*) = 0 THEN NULL
+         |       ELSE CAST(sum(term) AS DOUBLE)
+         |         / CAST(count(*) * 1000000 AS DOUBLE) END AS ndcg
+         |FROM s2""".stripMargin,
     "q_auc_by_group" ->
       s"""WITH $scoredCte,
          |lab2 AS (SELECT l.doc_id, l.score, l.y, d.source

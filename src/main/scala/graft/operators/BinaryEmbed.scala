@@ -225,6 +225,67 @@ object BinaryEmbed {
       .filter(col("rnk") <= k)
   }
 
+  /** Fixed-point nDCG position discounts: round(10⁹/log₂(r+1)) for
+    * r = 1..10, exact-rational-rounded once and frozen as operator
+    * constants (the [[graft.operators.Eval.PoissonCdf1e9]] recipe) —
+    * what makes a log-based metric hash-gateable: the transcendental
+    * values appear only as these shared integer literals.
+    */
+  val NdcgDisc1e9: Seq[Long] = Seq(1000000000L, 630929754L, 500000000L,
+    430676558L, 386852807L, 356207187L, 333333333L, 315464877L,
+    301029996L, 289064826L)
+
+  /** Mean binary nDCG@k of the probe k-NN lists (relevance = neighbor
+    * shares the probe's label): one row (n_queries, n_hit_queries,
+    * ndcg_num, ndcg_den, ndcg) — the position-sensitive retrieval
+    * eval completing the precision@k / MRR triad.
+    *
+    * Exactness: DCG = Σ_{hit ranks r} D_r and the binary-ideal
+    * IDCG = P_h (prefix sum of the first h discounts) are exact
+    * BIGINTs over the [[NdcgDisc1e9]] constants; each probe's ratio
+    * quantizes to fixed point with half-up rounding BEFORE the
+    * order-free sum ([[graft.operators.Eval.averagePrecision]]'s
+    * trick), ndcg = ndcg_num/(n_queries·scale) the single trailing
+    * division. Probes with zero same-label neighbors contribute 0
+    * (standard convention) and are counted in n_queries.
+    *
+    * Scale shape: [[knnTopK]]'s broadcast-probe scan, per-probe
+    * aggregation over ≤ |probes|·k rows, discounts via element_at on
+    * a k-literal array — no join, no window beyond the top-k rank.
+    */
+  def knnNdcg(df: DataFrame, id: Column, vec: Column, label: Column,
+      probeMod: Int = 10, k: Int = 5,
+      scale: Long = 1000000L): DataFrame = {
+    require(k >= 1 && k <= NdcgDisc1e9.size,
+      s"k must be in [1, ${NdcgDisc1e9.size}] (precomputed discounts)")
+    require(scale >= 1L, "scale must be >= 1")
+    val topk = knnTopK(df, id, vec, label, probeMod, k)
+    val disc = element_at(
+      array(NdcgDisc1e9.take(k).map(lit): _*), col("rnk").cast("int"))
+    val prefix = NdcgDisc1e9.take(k).scanLeft(0L)(_ + _).tail
+    val per = topk.groupBy("query_id")
+      .agg(sum(when(col("n_lab") === col("q_lab"), disc).otherwise(0L))
+          .as("_dcg"),
+        sum(when(col("n_lab") === col("q_lab"), 1L).otherwise(0L))
+          .as("_h"))
+      .withColumn("_idcg", when(col("_h") === 0L, lit(1L))
+        .otherwise(element_at(array(prefix.map(lit): _*),
+          col("_h").cast("int"))))
+      .withColumn("_term", when(col("_h") === 0L, lit(0L))
+        .otherwise(expr(s"(2 * _dcg * ${scale}L + _idcg) DIV (2 * _idcg)")))
+    per.agg(count(lit(1)).as("n_queries"),
+        sum(when(col("_h") > 0L, 1L).otherwise(0L)).as("n_hit_queries"),
+        sum(col("_term")).as("ndcg_num"))
+      .select(col("n_queries"),
+        coalesce(col("n_hit_queries"), lit(0L)).as("n_hit_queries"),
+        coalesce(col("ndcg_num"), lit(0L)).as("ndcg_num"),
+        (col("n_queries") * lit(scale)).as("ndcg_den"),
+        when(coalesce(col("n_queries"), lit(0L)) === 0L, lit(null))
+          .otherwise(coalesce(col("ndcg_num"), lit(0L)).cast("double") /
+            (col("n_queries") * lit(scale)).cast("double"))
+          .cast("double").as("ndcg"))
+  }
+
   /** Mean reciprocal rank of the first SAME-label neighbor in each
     * probe's k-NN list — the standard retrieval eval for an embedding
     * index, as one row: (n_queries, n_hit, mrr_num, mrr_den, mrr).

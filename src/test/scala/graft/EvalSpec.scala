@@ -359,6 +359,29 @@ class EvalSpec extends AnyFunSuite {
     assert(v > 0.0 && v <= 1.0)
   }
 
+  test("knnNdcg is consistent with knnMrr on the fixture; discounts " +
+    "are the frozen exact-rational constants") {
+    // operator-constant sanity: D_3 = 10^9/log2(4) = 5*10^8 exactly,
+    // D_7 = 10^9/3 rounded
+    assert(BinaryEmbed.NdcgDisc1e9(0) === 1000000000L)
+    assert(BinaryEmbed.NdcgDisc1e9(2) === 500000000L)
+    assert(BinaryEmbed.NdcgDisc1e9(6) === 333333333L)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ndcg = BinaryEmbed.knnNdcg(emb, col("vec_id"), col("embedding"),
+      col("label")).collect().head
+    val mrr = BinaryEmbed.knnMrr(emb, col("vec_id"), col("embedding"),
+      col("label")).collect().head
+    // both count "probes with >=1 same-label neighbor in top-k"
+    assert(ndcg.getAs[Long]("n_queries") === mrr.getAs[Long]("n_queries"))
+    assert(ndcg.getAs[Long]("n_hit_queries") === mrr.getAs[Long]("n_hit"))
+    val v = ndcg.getAs[Double]("ndcg")
+    assert(v > 0.0 && v <= 1.0)
+    // nDCG >= fraction of hit queries * minimal single-hit ratio: a
+    // probe with h hits has DCG >= the WORST placement (last h ranks),
+    // so per-probe ndcg > 0 whenever h > 0 — num strictly positive
+    assert(ndcg.getAs[Long]("ndcg_num") > 0L)
+  }
+
   test("knnConfusion diagonal reproduces knnLabelEval's n_correct") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val eval = BinaryEmbed.knnLabelEval(emb, col("vec_id"),
