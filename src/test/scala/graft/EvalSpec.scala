@@ -192,6 +192,32 @@ class EvalSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("averagePrecision agrees with a sequential brute-force " +
+    "reference on pseudo-random inputs") {
+    val S = 1000000000L
+    for (seed <- 1 to 3) {
+      val data = (0 until 500).map { i =>
+        val h = (i * 2654435761L + seed * 40503L) % 1000000007L
+        ((h % 37), (h % 3) == 0L)
+      }
+      // sequential reference: group by score, walk thresholds
+      // descending, accumulate the SAME fixed-point terms
+      val byScore = data.groupBy(_._1).view.mapValues { vs =>
+        (vs.count(_._2).toLong, vs.size.toLong)
+      }.toSeq.sortBy(-_._1)
+      var tp = 0L; var all = 0L; var num = 0L
+      byScore.foreach { case (_, (pos, cnt)) =>
+        tp += pos; all += cnt
+        num += (2L * pos * tp * S + all) / (2L * all)
+      }
+      val nPos = data.count(_._2).toLong
+      val row = Eval.averagePrecision(data.toDF("s", "y"), col("s"),
+        col("y")).collect().head
+      assert(row.getAs[Long]("n_pos") === nPos, s"seed $seed")
+      assert(row.getAs[Long]("ap_num") === num, s"seed $seed")
+    }
+  }
+
   test("precisionAtK matches the hand-computed top-k cuts") {
     // rank by (score desc, id): 5+(a) 4-(b) 3+(c) 2+(d) 2-(e) 1-(f)
     val df = Seq((5L, "a", true), (4L, "b", false), (3L, "c", true),
