@@ -156,6 +156,14 @@ object EvalQueries {
       BinaryEmbed.knnNdcg(Tables.embeddings(s, d), col("vec_id"),
         col("embedding"), col("label"), probeMod = 10, k = 5)),
 
+    // Split conformal calibration of the classifier score: exact
+    // integer conformal rank k = ceil((n_cal+1)·0.9), threshold as a
+    // distributed order statistic, coverage audited on the held-out
+    // half — the distribution-free guarantee machinery.
+    "q_conformal" -> ((s, d) =>
+      Eval.conformalCalibrate(scoredDocs(s, d), col("id"), col("score"),
+        alphaNum = 1, alphaDen = 10)),
+
     // Per-source ROC AUC — the fairness/segment audit: does the gate
     // rank en-docs above others equally well in EVERY source, or is
     // one slice at coin-flip? One exchange on the group key.
@@ -508,6 +516,29 @@ object EvalQueries {
          |       ELSE CAST(hh.mrr_num AS DOUBLE)
          |         / CAST(tq.n_queries * 1000000000 AS DOUBLE) END AS mrr
          |FROM tq, hh""".stripMargin,
+    "q_conformal" ->
+      s"""WITH $scoredCte,
+         |o AS (SELECT doc_id, score,
+         |  (((((doc_id % 1000000007) * 2654435761) % 1000000007 + 40503)
+         |    * 2654435761) % 1000000007) % 2 = 0 AS cal
+         |  FROM lab),
+         |c AS (SELECT score FROM o WHERE cal),
+         |nk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+         |  CAST(((count(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k FROM c),
+         |g AS (SELECT score, count(*) AS cnt FROM c GROUP BY score),
+         |cm AS (SELECT score,
+         |  CAST(sum(cnt) OVER (ORDER BY score) AS BIGINT) AS cum FROM g),
+         |th AS (SELECT CAST(min(cm.score) AS BIGINT) AS threshold
+         |  FROM cm, nk WHERE cm.cum >= nk.k),
+         |tv AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(coalesce(sum(CASE WHEN o.score <= th.threshold
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_covered
+         |  FROM o, th WHERE NOT cal)
+         |SELECT nk.n_cal, nk.k, th.threshold, tv.n_test, tv.n_covered,
+         |  CASE WHEN th.threshold IS NULL OR tv.n_test = 0 THEN NULL
+         |       ELSE CAST(tv.n_covered AS DOUBLE)
+         |         / CAST(tv.n_test AS DOUBLE) END AS coverage
+         |FROM nk, th, tv""".stripMargin,
     "q_ndcg" ->
       s"""WITH $knnPredCte,
          |per AS (SELECT query_id,

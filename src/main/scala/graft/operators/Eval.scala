@@ -403,6 +403,63 @@ object Eval {
           .cast("double").as("chi2"))
   }
 
+  /** Split conformal calibration (Vovk et al.; Papadopoulos et al.
+    * 2002 inductive form): a deterministic content-addressed half of
+    * the data calibrates a nonconformity threshold, the other half
+    * audits coverage — the distribution-free way to turn ANY score
+    * into a prediction rule with a finite-sample guarantee
+    * (coverage ≥ 1 − α in expectation). One row:
+    * (n_cal, k, threshold, n_test, n_covered, coverage).
+    *
+    * Exact arithmetic end to end: the conformal rank
+    * k = ⌈(n_cal+1)·(1−α)⌉ is integer ceiling-division with α given
+    * as the rational alphaNum/alphaDen; the k-th smallest calibration
+    * score is an order statistic read off the distinct-score prefix
+    * scan (min value whose inclusive cumulative count ≥ k — no sort,
+    * no single-task window, the [[rocAuc]] machinery); coverage is
+    * the single trailing division. threshold is NULL when
+    * k > n_cal (calibration set too small for the requested α —
+    * the honest answer, not +∞).
+    *
+    * Scale shape: one combinable group-by on the score value per
+    * split, one two-phase prefix scan over |distinct cal scores|
+    * rows, 1-row broadcasts for k and the threshold.
+    */
+  def conformalCalibrate(df: DataFrame, id: Column, score: Column,
+      alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 0 && alphaNum < alphaDen,
+      "need 0 <= alphaNum/alphaDen < 1")
+    val obs = df.select(id.cast("long").as("_id"),
+      score.cast("long").as("_s"))
+      .filter(col("_s").isNotNull)
+      .withColumn("_cal", Sampling.hashBucket(col("_id"), 2) === 0)
+    val cal = obs.filter(col("_cal"))
+    val byV = cal.groupBy("_s").agg(count(lit(1)).as("_cnt"))
+    val nk = cal.agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr(
+        s"((n_cal + 1) * ${alphaDen - alphaNum} + ${alphaDen - 1}) " +
+          s"DIV $alphaDen"))
+    val cum = Packing.withGlobalCumsum(byV, col("_s"), col("_cnt"),
+        "_below")
+      .withColumn("_cum", col("_below") + col("_cnt"))
+    val thr = cum.crossJoin(broadcast(nk))
+      .filter(col("_cum") >= col("k"))
+      .agg(min(col("_s")).as("threshold"))
+    val cov = obs.filter(!col("_cal"))
+      .crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("_s") <= col("threshold"), 1L).otherwise(0L))
+          .as("n_covered"))
+    nk.crossJoin(broadcast(thr)).crossJoin(broadcast(cov))
+      .select(col("n_cal"), col("k"), col("threshold"), col("n_test"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(col("threshold").isNull ||
+            coalesce(col("n_test"), lit(0L)) === 0L, lit(null))
+          .otherwise(coalesce(col("n_covered"), lit(0L)).cast("double") /
+            col("n_test").cast("double"))
+          .cast("double").as("coverage"))
+  }
+
   /** Per-label precision/recall/F1 from ANY confusion-matrix relation
     * `conf` = (trueCol, predCol, nCol): one row per label value
     * appearing as truth or prediction — (label, tp, fp, fn,

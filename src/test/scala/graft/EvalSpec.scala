@@ -319,6 +319,48 @@ class EvalSpec extends AnyFunSuite {
     assert(a.map(_.getAs[Long]("w_total")).distinct.length > 1)
   }
 
+  test("conformalCalibrate agrees with a sequential brute-force " +
+    "reference and covers ~1-alpha") {
+    val M = 1000000007L; val M1 = 2654435761L; val M2 = 40503L
+    def calSide(id: Long): Boolean =
+      ((((id % M) * M1 % M) + M2) * M1 % M) % 2 == 0
+    val data = (0L until 4000L).map(i => (i, (i * 13) % 211))
+    val df = data.toDF("id", "s")
+    val row = Eval.conformalCalibrate(df, col("id"), col("s"))
+      .collect().head
+    // sequential reference
+    val cal = data.filter(d => calSide(d._1)).map(_._2).sorted
+    val k = ((cal.size + 1) * 9 + 9) / 10
+    val thr = cal(k - 1)
+    val test = data.filterNot(d => calSide(d._1)).map(_._2)
+    assert(row.getAs[Long]("n_cal") === cal.size.toLong)
+    assert(row.getAs[Long]("k") === k.toLong)
+    assert(row.getAs[Long]("threshold") === thr)
+    assert(row.getAs[Long]("n_test") === test.size.toLong)
+    assert(row.getAs[Long]("n_covered") === test.count(_ <= thr).toLong)
+    val cov = row.getAs[Double]("coverage")
+    assert(cov > 0.82 && cov < 0.98, s"coverage $cov far from 0.9")
+  }
+
+  test("conformalCalibrate: alpha = 0 needs k = n_cal + 1 -> NULL " +
+    "threshold, NULL coverage") {
+    val df = (0L until 100L).map(i => (i, i)).toDF("id", "s")
+    val row = Eval.conformalCalibrate(df, col("id"), col("s"),
+      alphaNum = 0, alphaDen = 10).collect().head
+    assert(row.getAs[Long]("k") === row.getAs[Long]("n_cal") + 1L)
+    assert(row.isNullAt(row.fieldIndex("threshold")))
+    assert(row.isNullAt(row.fieldIndex("coverage")))
+  }
+
+  test("conformalCalibrate is invariant under partitioning") {
+    val df = (0L until 4000L).map(i => (i, (i * 13) % 211)).toDF("id", "s")
+    val a = Eval.conformalCalibrate(df.repartition(1), col("id"), col("s"))
+      .collect().head
+    val b = Eval.conformalCalibrate(df.repartition(17), col("id"), col("s"))
+      .collect().head
+    assert(a === b)
+  }
+
   test("confusionF1 matches the hand-computed marginals") {
     val conf = Seq((0, 0, 5L), (0, 1, 2L), (1, 1, 3L), (1, 0, 1L),
       (2, 2, 4L)).toDF("t", "p", "n")
