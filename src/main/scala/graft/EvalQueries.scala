@@ -156,6 +156,18 @@ object EvalQueries {
       BinaryEmbed.knnNdcg(Tables.embeddings(s, d), col("vec_id"),
         col("embedding"), col("label"), probeMod = 10, k = 5)),
 
+    // Gate-threshold survival curve over the classifier score with
+    // token mass as the weight — "where do I set the gate" as a
+    // relation: per candidate threshold, surviving docs AND tokens.
+    "q_gate_tradeoff" -> ((s, d) =>
+      Eval.survivalByThreshold(
+          scoredDocs(s, d).join(Tables.documents(s, d)
+            .select(col("doc_id").as("id"),
+              size(split(col("text"), "\\s+")).cast("long").as("w")),
+            "id"),
+          col("score"), col("w"))
+        .orderBy("threshold")),
+
     // Split conformal calibration of the classifier score: exact
     // integer conformal rank k = ceil((n_cal+1)·0.9), threshold as a
     // distributed order statistic, coverage audited on the held-out
@@ -516,6 +528,27 @@ object EvalQueries {
          |       ELSE CAST(hh.mrr_num AS DOUBLE)
          |         / CAST(tq.n_queries * 1000000000 AS DOUBLE) END AS mrr
          |FROM tq, hh""".stripMargin,
+    "q_gate_tradeoff" ->
+      s"""WITH $scoredCte,
+         |w AS (SELECT l.doc_id, l.score,
+         |  CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT) AS w
+         |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+         |g AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(w) AS BIGINT) AS ws FROM w GROUP BY score),
+         |c AS (SELECT score,
+         |  CAST(sum(cnt) OVER (ORDER BY score DESC) AS BIGINT) AS n_kept,
+         |  CAST(sum(ws) OVER (ORDER BY score DESC) AS BIGINT) AS w_kept
+         |  FROM g),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |  CAST(sum(ws) AS BIGINT) AS wt FROM g)
+         |SELECT c.score AS threshold, c.n_kept, c.w_kept AS weight_kept,
+         |  CASE WHEN t.n = 0 THEN NULL
+         |       ELSE CAST(c.n_kept AS DOUBLE) / CAST(t.n AS DOUBLE) END
+         |    AS frac_rows,
+         |  CASE WHEN t.wt = 0 THEN NULL
+         |       ELSE CAST(c.w_kept AS DOUBLE) / CAST(t.wt AS DOUBLE) END
+         |    AS frac_weight
+         |FROM c, t ORDER BY threshold""".stripMargin,
     "q_conformal" ->
       s"""WITH $scoredCte,
          |o AS (SELECT doc_id, score,

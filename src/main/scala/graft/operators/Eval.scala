@@ -403,6 +403,47 @@ object Eval {
           .cast("double").as("chi2"))
   }
 
+  /** Gate-threshold survival curve: for every distinct score value t
+    * (as a candidate gate "keep rows with score ≥ t"), the surviving
+    * row count and surviving `weight` mass (token count, byte size,
+    * cost) plus their fractions — the curve a corpus curator actually
+    * consults when choosing where to set a quality gate: "threshold x
+    * keeps 40% of documents but 55% of tokens". One row per distinct
+    * score: (threshold, n_kept, weight_kept, frac_rows, frac_weight).
+    *
+    * Exactness/shape: one combinable group-by on the score, then TWO
+    * two-phase prefix scans over the |distinct scores| relation (row
+    * counts and weights scanned separately — no 2³¹ packing bound on
+    * the weight mass, unlike ksTest's carry-free trick), totals as a
+    * 1-row broadcast, fractions the trailing divisions. Descending
+    * semantics realized by scanning negated scores ascending.
+    */
+  def survivalByThreshold(df: DataFrame, score: Column,
+      weight: Column): DataFrame = {
+    val obs = df.select(score.cast("long").as("_s"),
+      weight.cast("long").as("_w"))
+      .filter(col("_s").isNotNull && col("_w").isNotNull)
+    val by = obs.groupBy("_s")
+      .agg(count(lit(1)).as("_cnt"), sum(col("_w")).as("_ws"))
+    val c1 = Packing.withGlobalCumsum(by, (-col("_s")).as("_ns1"),
+      col("_cnt"), "_cnt_below")
+    val c2 = Packing.withGlobalCumsum(c1, (-col("_s")).as("_ns2"),
+      col("_ws"), "_ws_below")
+    val tot = by.agg(sum(col("_cnt")).as("_n"), sum(col("_ws")).as("_wt"))
+    c2.crossJoin(broadcast(tot))
+      .select(col("_s").as("threshold"),
+        (col("_cnt_below") + col("_cnt")).as("n_kept"),
+        (col("_ws_below") + col("_ws")).as("weight_kept"),
+        when(coalesce(col("_n"), lit(0L)) === 0L, lit(null))
+          .otherwise((col("_cnt_below") + col("_cnt")).cast("double") /
+            col("_n").cast("double"))
+          .cast("double").as("frac_rows"),
+        when(coalesce(col("_wt"), lit(0L)) === 0L, lit(null))
+          .otherwise((col("_ws_below") + col("_ws")).cast("double") /
+            col("_wt").cast("double"))
+          .cast("double").as("frac_weight"))
+  }
+
   /** Split conformal calibration (Vovk et al.; Papadopoulos et al.
     * 2002 inductive form): a deterministic content-addressed half of
     * the data calibrates a nonconformity threshold, the other half

@@ -319,6 +319,39 @@ class EvalSpec extends AnyFunSuite {
     assert(a.map(_.getAs[Long]("w_total")).distinct.length > 1)
   }
 
+  test("survivalByThreshold agrees with a sequential reference and is " +
+    "monotone") {
+    val data = (0L until 1000L).map(i => ((i * 7) % 23, 10L + (i % 5)))
+    val rows = Eval.survivalByThreshold(data.toDF("s", "w"), col("s"),
+      col("w")).orderBy(col("threshold").desc).collect()
+    // sequential reference: for each distinct s desc, cum rows/weight
+    val grouped = data.groupBy(_._1).view.mapValues(vs =>
+      (vs.size.toLong, vs.map(_._2).sum)).toSeq.sortBy(-_._1)
+    var n = 0L; var w = 0L
+    grouped.zip(rows).foreach { case ((s, (cnt, ws)), r) =>
+      n += cnt; w += ws
+      assert(r.getAs[Long]("threshold") === s)
+      assert(r.getAs[Long]("n_kept") === n)
+      assert(r.getAs[Long]("weight_kept") === w)
+    }
+    // the lowest threshold keeps everything
+    assert(rows.last.getAs[Double]("frac_rows") === 1.0)
+    assert(rows.last.getAs[Double]("frac_weight") === 1.0)
+    // survival is monotone nonincreasing in the threshold
+    val kept = rows.map(_.getAs[Long]("n_kept"))
+    assert(kept.sameElements(kept.sorted))
+  }
+
+  test("survivalByThreshold is invariant under partitioning") {
+    val df = (0L until 3000L).map(i => ((i * 11) % 97, 1L + i % 7))
+      .toDF("s", "w")
+    val a = Eval.survivalByThreshold(df.repartition(1), col("s"), col("w"))
+      .orderBy("threshold").collect()
+    val b = Eval.survivalByThreshold(df.repartition(19), col("s"), col("w"))
+      .orderBy("threshold").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("conformalCalibrate agrees with a sequential brute-force " +
     "reference and covers ~1-alpha") {
     val M = 1000000007L; val M1 = 2654435761L; val M2 = 40503L
