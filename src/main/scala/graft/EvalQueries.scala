@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BinaryEmbed, Classifier, Eval, Sampling}
+import graft.operators.{BinaryEmbed, Classifier, Eval, Sampling, TextStats}
 
 /** Model-evaluation and training-pair-assembly queries — the audit
   * surface a corpus pipeline runs AFTER building its gates and
@@ -163,7 +163,7 @@ object EvalQueries {
       Eval.survivalByThreshold(
           scoredDocs(s, d).join(Tables.documents(s, d)
             .select(col("doc_id").as("id"),
-              size(split(col("text"), "\\s+")).cast("long").as("w")),
+              size(split(col("text"), TextStats.WsRegex)).cast("long").as("w")),
             "id"),
           col("score"), col("w"))
         .orderBy("threshold")),
@@ -443,7 +443,7 @@ object EvalQueries {
     "q_chi2_terms" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-        |    unnest(list_distinct(string_split_regex(lower(text), '\s+')))
+        |    unnest(list_distinct(string_split_regex(lower(text), '[ \t\n\r\f]+')))
         |      AS term
         |  FROM documents),
         |pt AS (SELECT term, CAST(sum(y) AS BIGINT) AS a,
@@ -531,7 +531,7 @@ object EvalQueries {
     "q_gate_tradeoff" ->
       s"""WITH $scoredCte,
          |w AS (SELECT l.doc_id, l.score,
-         |  CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT) AS w
+         |  CAST(len(string_split_regex(d.text, '[ \\t\\n\\r\\f]+')) AS BIGINT) AS w
          |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
          |g AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
          |  CAST(sum(w) AS BIGINT) AS ws FROM w GROUP BY score),

@@ -132,7 +132,7 @@ object LlmQueries {
     "q_chunk_windows" -> ((s, d) =>
       graft.operators.Packing.slidingChunks(
           docs(s, d).select(col("doc_id"),
-            size(split(col("text"), "\\s+")).cast("long").as("nt")),
+            size(split(col("text"), TextStats.WsRegex)).cast("long").as("nt")),
           col("doc_id"), col("nt"), window = 64, stride = 48)
         .select("doc_id", "n_tokens", "chunk_idx", "tok_start", "tok_end")
         .orderBy("doc_id", "chunk_idx")),
@@ -142,7 +142,7 @@ object LlmQueries {
     "q_pack_chunks" -> ((s, d) =>
       graft.operators.Packing.packChunks(
           docs(s, d).select(col("doc_id"),
-            size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
+            size(split(col("text"), TextStats.WsRegex)).cast("long").as("n_tokens")),
           col("doc_id"), col("n_tokens"), chunkTokens = 2048)
         .select("doc_id", "n_tokens", "cum_before", "chunk_id", "chunk_off")
         .orderBy("doc_id")),
@@ -771,7 +771,7 @@ object LlmQueries {
   }
 
   private val fpSql =
-    """md5(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+    """md5(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))"""
 
   /** SimHash recomputed from scratch: word trigrams → 60-bit md5-prefix
     * gram hash (the engine's SQL-parity hash) → per-bit majority vote
@@ -780,7 +780,7 @@ object LlmQueries {
     * signature 0, exactly like the kernel's empty-array fold.
     */
   private val simhashCte =
-    """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+    """t AS (SELECT doc_id, string_split_regex(text, '[ \t\n\r\f]+') AS w FROM documents),
       |s AS (
       |  SELECT doc_id,
       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -865,7 +865,7 @@ object LlmQueries {
       |)""".stripMargin
 
   private val shingleCte =
-    """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+    """t AS (SELECT doc_id, string_split_regex(text, '[ \t\n\r\f]+') AS w FROM documents),
       |s AS (
       |  SELECT doc_id,
       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -914,9 +914,9 @@ object LlmQueries {
     "q_text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,
-        |  len(string_split_regex(text, '\s+')) AS n_tokens,
-        |  CAST(length(text) - (len(string_split_regex(text, '\s+')) - 1) AS DOUBLE)
-        |    / len(string_split_regex(text, '\s+')) AS avg_token_len,
+        |  len(string_split_regex(text, '[ \t\n\r\f]+')) AS n_tokens,
+        |  CAST(length(text) - (len(string_split_regex(text, '[ \t\n\r\f]+')) - 1) AS DOUBLE)
+        |    / len(string_split_regex(text, '[ \t\n\r\f]+')) AS avg_token_len,
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
         |    / length(text) AS punct_ratio,
         |  len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|that)\b')) AS stopword_cnt,
@@ -933,7 +933,7 @@ object LlmQueries {
     "q_quality" ->
       """WITH s AS (
         |  SELECT doc_id,
-        |    len(string_split_regex(text, '\s+')) AS n_tokens,
+        |    len(string_split_regex(text, '[ \t\n\r\f]+')) AS n_tokens,
         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
         |      / length(text) AS punct_ratio,
         |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|that)\b')) AS stopword_cnt
@@ -974,7 +974,7 @@ object LlmQueries {
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_incremental" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '[ \t\n\r\f]+') AS w FROM documents),
         |s AS (
         |  SELECT doc_id,
         |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -1036,7 +1036,7 @@ object LlmQueries {
     // unguarded 0/0 row would pass the threshold filter)
     "q_containment" ->
       """WITH t AS (SELECT doc_id,
-        |  string_split_regex(text, '\s+') AS w FROM documents),
+        |  string_split_regex(text, '[ \t\n\r\f]+') AS w FROM documents),
         |s AS (SELECT doc_id,
         |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |                 for i in range(1, len(w)-1)]) AS sh FROM t),
@@ -1071,7 +1071,7 @@ object LlmQueries {
          |  FROM documents d LEFT JOIN lbl l USING (doc_id)),
          |st AS (
          |  SELECT doc_id,
-         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    len(string_split_regex(text, '[ \\t\\n\\r\\f]+')) AS n_tokens,
          |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
          |      / length(text) AS punct_ratio,
          |    len(regexp_extract_all(text, '\\b(the|a|of|to|and|in|is|that)\\b'))
@@ -1093,7 +1093,7 @@ object LlmQueries {
     // same word-trigram definition as the shingle CTE; benchmark =
     // doc_id % 10 == 8, threshold 50 shared distinct grams
     "q_decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '[ \t\n\r\f]+') AS w FROM documents),
         |s AS (
         |  SELECT doc_id,
         |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -1109,7 +1109,7 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin,
     "q_chunk_windows" ->
       """WITH t AS (SELECT doc_id,
-        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  CAST(len(string_split_regex(text, '[ \t\n\r\f]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |k AS (SELECT doc_id, n_tokens,
         |  CASE WHEN n_tokens <= 64 THEN 1
@@ -1124,7 +1124,7 @@ object LlmQueries {
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_pack_chunks" ->
       """WITH t AS (SELECT doc_id,
-        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  CAST(len(string_split_regex(text, '[ \t\n\r\f]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, n_tokens,
         |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -1157,7 +1157,7 @@ object LlmQueries {
       """WITH RECURSIVE
         |st AS (
         |  SELECT doc_id, text,
-        |    len(string_split_regex(text, '\s+')) AS n_tokens,
+        |    len(string_split_regex(text, '[ \t\n\r\f]+')) AS n_tokens,
         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
         |      / length(text) AS punct_ratio,
         |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|that)\b'))
@@ -1175,7 +1175,7 @@ object LlmQueries {
         |    + (least(CAST(stopword_cnt AS DOUBLE) * 10.0 / n_tokens, 1.0)
         |       * 0.3) >= 0.55
         |    AND len(regexp_extract_all(lower(text), '\b(slow)\b')) = 0),
-        |t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM g),
+        |t AS (SELECT doc_id, string_split_regex(text, '[ \t\n\r\f]+') AS w FROM g),
         |sh AS (
         |  SELECT doc_id,
         |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -1222,7 +1222,7 @@ object LlmQueries {
         |    '\b(slow|error|merge)\b')) > 0
         |ORDER BY doc_id""".stripMargin,
     "q_bpe_pairs" ->
-      """WITH w AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+      """WITH w AS (SELECT unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS w
         |           FROM documents),
         |p AS (SELECT unnest([substring(w, i, 2)
         |                     for i in range(1, length(w))]) AS pair
@@ -1232,7 +1232,7 @@ object LlmQueries {
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_vocab_oov" ->
       """WITH t AS (SELECT doc_id,
-        |  unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS term
         |  FROM documents),
         |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
         |v AS (SELECT term FROM (
@@ -1343,7 +1343,7 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_batch_padding" ->
       """WITH t AS (SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
         |    w -> w <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |r AS (SELECT doc_id, n_tokens,
@@ -1369,7 +1369,7 @@ object LlmQueries {
         |         AS split, text
         |       FROM h WHERE bucket < 90),
         |t AS (SELECT split,
-        |  unnest(string_split_regex(lower(text), '\s+')) AS w FROM sp),
+        |  unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS w FROM sp),
         |c AS (SELECT split, w, CAST(count(*) AS BIGINT) AS c
         |      FROM t WHERE w <> '' GROUP BY 1, 2),
         |n AS (SELECT split, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
@@ -1407,7 +1407,7 @@ object LlmQueries {
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
     "q_tfidf" ->
       """WITH t AS (SELECT doc_id,
-        |  unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
         |       FROM t WHERE term <> '' GROUP BY doc_id, term),
@@ -1429,7 +1429,7 @@ object LlmQueries {
       // every constant is CAST to DOUBLE — the q_winsorize lesson.
       val a = s"CAST(${1.2 + 1.0} AS DOUBLE)"
       s"""WITH t AS (SELECT doc_id,
-         |  unnest(string_split_regex(lower(text), '\\s+')) AS term
+         |  unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+')) AS term
          |  FROM documents),
          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
          |       FROM t WHERE term <> '' GROUP BY doc_id, term),
@@ -1474,7 +1474,7 @@ object LlmQueries {
          |FROM e JOIN v6 USING (j) GROUP BY e.id ORDER BY vec_id""".stripMargin,
     "q_unigram_lm" ->
       """WITH t AS (SELECT doc_id,
-        |  unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
         |       FROM t WHERE term <> '' GROUP BY doc_id, term),
@@ -1492,7 +1492,7 @@ object LlmQueries {
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bigram_lm" ->
       """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
         |    w -> w <> '') AS ws FROM documents),
         |b AS (SELECT doc_id,
         |  unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
@@ -1515,7 +1515,7 @@ object LlmQueries {
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
         |    w -> w <> '') AS ws FROM documents),
         |wc AS (SELECT doc_id, word, count(*) AS c
         |       FROM (SELECT doc_id, unnest(ws) AS word FROM w)
@@ -1543,7 +1543,7 @@ object LlmQueries {
         |FROM wp JOIN bp USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_shared_ngrams" ->
       """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
         |    w -> w <> '') AS ws FROM documents),
         |g AS (SELECT doc_id,
         |  unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
@@ -1561,7 +1561,7 @@ object LlmQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_spans" ->
       """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
         |    w -> w <> '') AS ws FROM documents),
         |g AS (SELECT doc_id, u.pos, u.gram FROM (
         |  SELECT doc_id, unnest([{'pos': i - 1,
@@ -1668,7 +1668,7 @@ object LlmQueries {
     "q_cms_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(
-        |    string_split_regex(lower(text), '\s+'), w -> w <> '')) AS term
+        |    string_split_regex(lower(text), '[ \t\n\r\f]+'), w -> w <> '')) AS term
         |  FROM documents WHERE text IS NOT NULL
         |),
         |exact AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),

@@ -46,7 +46,7 @@ object Dedup {
 
   /** Shingles directly from text (tokenized on whitespace). */
   def shingles(text: Column, n: Int): Column =
-    shinglesFromTokens(split(text, "\\s+"), n)
+    shinglesFromTokens(split(text, TextStats.WsRegex), n)
 
   /** 64-bit-hashed shingles (same single pass, xxhash64 per gram):
     * the set-similarity fast path — long join keys and sorted-long
@@ -54,7 +54,7 @@ object Dedup {
     * collision argument.
     */
   def hashedShingles(text: Column, n: Int): Column =
-    hashedShinglesFromTokens(split(text, "\\s+"), n)
+    hashedShinglesFromTokens(split(text, TextStats.WsRegex), n)
 
   /** Hashed shingles from a pre-tokenized array. */
   def hashedShinglesFromTokens(toks: Column, n: Int): Column =
@@ -105,7 +105,7 @@ object Dedup {
     // hashes + b band keys), so the per-consumer explode is arithmetic
     // over cached blocks.
     val withSh = Bridge.persistRows(df
-      .select(id.as("_id"), split(text, "\\s+").as("_toks"))
+      .select(id.as("_id"), split(text, TextStats.WsRegex).as("_toks"))
       .select(col("_id"),
         sort_array(hashedShinglesFromTokens(col("_toks"), shingleN)).as("_sh"))
       .withColumn("_bands", minhashBands(col("_sh"), k, bands)))
@@ -187,7 +187,7 @@ object Dedup {
       if (sqlParityHash) md5GramHashes(toks, shingleN)
       else hashedShinglesFromTokens(toks, shingleN)
     val withSim = Bridge.persistRows(df
-      .select(id.as("_id"), split(text, "\\s+").as("_toks"))
+      .select(id.as("_id"), split(text, TextStats.WsRegex).as("_toks"))
       .select(col("_id"),
         simhash(gramHashes(col("_toks"))).as("_sim")))
     val chunks = withSim.select(col("_id"), col("_sim"),
@@ -252,7 +252,7 @@ object Dedup {
       bands: Int = 8, threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     def banded(df: DataFrame, side: String): DataFrame = df
-      .select(id.as(s"_id$side"), split(text, "\\s+").as("_toks"))
+      .select(id.as(s"_id$side"), split(text, TextStats.WsRegex).as("_toks"))
       .select(col(s"_id$side"),
         sort_array(hashedShinglesFromTokens(col("_toks"), shingleN))
           .as(s"_sh$side"))

@@ -176,10 +176,18 @@ object Eval {
     * exclusive prefix sums of BOTH class counts above the threshold,
     * packed into one two-phase scan (ksTest's carry-free packing,
     * descending-score direction realized by scanning NEGATED scores
-    * ascending). Guard: each class < 2³¹ rows.
+    * ascending), plus the broadcast class totals (n_pos, n_neg) —
+    * already needed for the guard, so callers reuse them for free.
+    *
+    * Guard: the packing is carry-free only while EACH class has
+    * < 2³¹ rows; past that tp/fp would silently corrupt, so a
+    * raise_error on the 1-row totals (ksTest's pattern,
+    * coalesce-protected so empty input stays empty, not a crash)
+    * fails loudly instead. `guardLimit` exists only so tests can
+    * fire the guard at fixture scale.
     */
-  private def thresholdCounts(df: DataFrame, score: Column,
-      label: Column): DataFrame = {
+  private[graft] def thresholdCounts(df: DataFrame, score: Column,
+      label: Column, guardLimit: Long = 2147483648L): DataFrame = {
     val Pack = 4294967296L // 2^32
     val obs = df.select(score.cast("long").as("_s"),
       when(label, 1L).otherwise(0L).as("_y"))
@@ -187,12 +195,24 @@ object Eval {
     val byScore = obs.groupBy("_s")
       .agg(sum(col("_y")).as("_pos"),
         (count(lit(1)) - sum(col("_y"))).as("_neg"))
-    // prefix in DESCENDING score order = ascending order of −score
+    val tot = byScore.agg(sum(col("_pos")).as("n_pos"),
+        sum(col("_neg")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(coalesce(col("n_pos"), lit(0L)) < lit(guardLimit) &&
+            coalesce(col("n_neg"), lit(0L)) < lit(guardLimit),
+          lit(0L)).otherwise(raise_error(lit(
+            "thresholdCounts: packed scan needs each class < 2^31 rows" +
+              " — run two scans")).cast("long")).as("_guard"))
+    // prefix in DESCENDING score order = ascending order of −score;
+    // _guard is 0 under the bound, so folding it into tp only forces
+    // the raise_error to evaluate on the overflow path
     Packing.withGlobalCumsum(
         byScore.withColumn("_packed",
           col("_pos") + col("_neg") * lit(Pack)),
         (-col("_s")).as("_ns"), col("_packed"), "_cum_before")
-      .withColumn("tp", expr(s"_cum_before % ${Pack}L") + col("_pos"))
+      .crossJoin(broadcast(tot))
+      .withColumn("tp",
+        expr(s"_cum_before % ${Pack}L") + col("_pos") + col("_guard"))
       .withColumn("fp", expr(s"_cum_before DIV ${Pack}L") + col("_neg"))
   }
 
@@ -202,14 +222,13 @@ object Eval {
     * exact BIGINT from one packed two-phase prefix scan over the
     * distinct-score relation, precision/recall single trailing
     * divisions. This is the exact, hash-gateable PR surface; the
-    * scalar summary is [[averagePrecision]]. Guard (inherited from
-    * the ksTest packing): each class < 2³¹ rows.
+    * scalar summary is [[averagePrecision]]. Guard (enforced by a
+    * raise_error inside [[thresholdCounts]]): each class < 2³¹ rows.
     */
   def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    // thresholdCounts already joined the broadcast totals in
     val cum = thresholdCounts(df, score, label)
-    val tot = cum.agg(sum(col("_pos")).as("n_pos"),
-      sum(col("_neg")).as("n_neg"))
-    cum.crossJoin(broadcast(tot))
+    cum
       .select(col("_s").as("threshold"), col("tp"), col("fp"),
         (col("n_pos") - col("tp")).as("fn"),
         (col("tp").cast("double") /
@@ -238,7 +257,11 @@ object Eval {
     * Overflow contract: 2·pos(t)·tp(t)·SCALE < 2⁶³ per term needs
     * pos(t)·tp(t) < 4.6·10⁹ at the default SCALE=10⁹ (lower SCALE to
     * trade precision for headroom); the packed scan needs each class
-    * < 2³¹ rows (ksTest's bound).
+    * < 2³¹ rows — enforced by [[thresholdCounts]]'s raise_error.
+    *
+    * Empty input returns ZERO rows (not one all-NULL row): the DuckDB
+    * oracle's grouped aggregate yields no groups over an empty CTE,
+    * and the row-count gate must agree on the degenerate case too.
     */
   def averagePrecision(df: DataFrame, score: Column, label: Column,
       scale: Long = 1000000000L): DataFrame = {
@@ -254,6 +277,9 @@ object Eval {
           .otherwise(col("ap_num").cast("double") /
             (col("n_pos") * lit(scale)).cast("double"))
           .cast("double").as("ap"))
+      // empty input: the global agg materializes one NULL-n_pos row
+      // that the oracle's grouped shape doesn't — drop it
+      .filter(col("n_pos").isNotNull)
   }
 
   /** Per-group tie-aware ROC AUC — [[rocAuc]] segmented by `group`
@@ -587,9 +613,18 @@ object Eval {
     * unique, so |working set| = |rows| here, still fully distributed
     * — no single-task sort); label hits and row counts share one
     * packed scan. Exact BIGINTs + trailing divisions.
+    *
+    * Guard — STRICTER than the siblings': this scan packs per-ROW
+    * (not per-distinct-score) counts, and the high word accumulates
+    * the running ROW count, so the carry-free surface is TOTAL rows
+    * < 2³¹ (the siblings bound each class). A raise_error on the
+    * (already-needed) 1-row totals enforces it; past the bound every
+    * rank would silently shift. `guardLimit` exists only so tests
+    * can fire the guard at fixture scale.
     */
   def precisionAtK(df: DataFrame, score: Column, id: Column,
-      label: Column, ks: Seq[Int]): DataFrame = {
+      label: Column, ks: Seq[Int],
+      guardLimit: Long = 2147483648L): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "need ks >= 1")
     val Pack = 4294967296L // 2^32
     val obs = df.select(score.cast("long").as("_s"), id.as("_id"),
@@ -603,15 +638,24 @@ object Eval {
         "_cum_before")
       .withColumn("_rank", expr(s"_cum_before DIV ${Pack}L") + 1L)
       .withColumn("_tp_at", expr(s"_cum_before % ${Pack}L") + col("_y"))
-    val tot = obs.agg(sum(col("_y")).as("n_pos"))
+    val tot = obs.agg(sum(col("_y")).as("n_pos"),
+        count(lit(1)).as("_n_rows"))
+      .select(col("n_pos"),
+        when(col("_n_rows") < lit(guardLimit), lit(0L))
+          .otherwise(raise_error(lit(
+            "precisionAtK: packed per-row scan needs total rows < 2^31" +
+              " — run two scans")).cast("long")).as("_guard"))
     val kdf = cum.sparkSession.createDataFrame(
       ks.distinct.sorted.map(k => Tuple1(k.toLong)))
       .toDF("k")
     // tp@k = running positive count at the k-th ranked row (or at the
-    // last row when k > n): max _tp_at over rank ≤ k
+    // last row when k > n): max _tp_at over rank ≤ k. _guard is 0
+    // under the bound; folding it into tp forces the overflow path
+    // to evaluate the raise_error
     cum.join(broadcast(kdf), col("_rank") <= col("k"))
-      .groupBy("k").agg(max(col("_tp_at")).as("tp"))
+      .groupBy("k").agg(max(col("_tp_at")).as("_tp0"))
       .crossJoin(broadcast(tot))
+      .withColumn("tp", col("_tp0") + col("_guard"))
       .select(col("k"), col("tp"),
         (col("tp").cast("double") / col("k").cast("double"))
           .as("precision"),

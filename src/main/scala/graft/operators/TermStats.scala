@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object TermStats {
 
   /** Tokenize to lowercase whitespace-separated words. */
-  def words(text: Column): Column = split(lower(text), "\\s+")
+  def words(text: Column): Column = split(lower(text), TextStats.WsRegex)
 
   /** [[words]] with empty tokens removed. Java's split DROPS trailing
     * empty strings while DuckDB's string_split_regex KEEPS them, so

@@ -14,8 +14,19 @@ import graft.functions.{GramSetCount, PunctCount, SubtokenCount, WordSetCount}
   */
 object TextStats {
 
-  /** Whitespace tokens. */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Engine-identical whitespace class for the tokenizer contract:
+    * Java's `\s` is `[ \t\n\x0B\f\r]` (INCLUDES U+000B vertical tab)
+    * while DuckDB's RE2 `\s` is `[ \t\n\f\r]` (excludes it), so a
+    * bare `\s+` split disagrees across engines on VT-bearing text and
+    * breaks the hash gate. An explicit class is parsed identically by
+    * both regex dialects — this constant is THE tokenizer whitespace
+    * definition for every split in the engine and every DuckDB
+    * oracle (round-10 ADVICE, EvalQueries q_gate_tradeoff).
+    */
+  val WsRegex: String = "[ \\t\\n\\r\\f]+"
+
+  /** Whitespace tokens ([[WsRegex]] separators). */
+  def tokens(text: Column): Column = split(text, WsRegex)
 
   /** Stopword profiles for the language-ID heuristic. Small,
     * high-frequency function words per language; zh uses romanized
@@ -124,5 +135,5 @@ object TextStats {
     * usable as an exact-dedup key at any scale.
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(text), "\\s+", " "))
+    md5(regexp_replace(lower(text), WsRegex, " "))
 }

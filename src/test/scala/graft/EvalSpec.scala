@@ -251,6 +251,54 @@ class EvalSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("precisionAtK packed-scan guard FIRES past the row bound and " +
+      "stays silent under it (round-10 ADVICE: per-row packing bounds " +
+      "TOTAL rows, stricter than the per-class siblings)") {
+    val df = Seq((5L, "a", true), (4L, "b", false), (3L, "c", true))
+      .toDF("s", "id", "y")
+    // guardLimit 2: 3 rows >= 2 -> raise_error must surface
+    val e = intercept[Exception] {
+      Eval.precisionAtK(df, col("s"), col("id"), col("y"), Seq(1),
+        guardLimit = 2L).collect()
+    }
+    assert(e.getMessage != null &&
+      findRaise(e).exists(_.contains("precisionAtK")))
+    // under the bound the guard adds 0 — values identical to default
+    val ok = Eval.precisionAtK(df, col("s"), col("id"), col("y"), Seq(1),
+      guardLimit = 4L).collect().head
+    assert(ok.getAs[Long]("tp") === 1L)
+  }
+
+  test("thresholdCounts packed-scan guard FIRES past the class bound " +
+      "and prCurve/averagePrecision values are unchanged under it") {
+    val df = tied.toDF("s", "y")
+    // guardLimit 2: 3 negatives >= 2 -> raise_error through prCurve
+    val e = intercept[Exception] {
+      Eval.thresholdCounts(df, col("s"), col("y"), guardLimit = 2L)
+        .select("tp").collect()
+    }
+    assert(findRaise(e).exists(_.contains("thresholdCounts")))
+    val tp = Eval.thresholdCounts(df, col("s"), col("y"), guardLimit = 4L)
+      .orderBy(col("_s").desc).select("tp").as[Long].collect().toSeq
+    assert(tp === Seq(1L, 1L, 2L, 3L, 3L))
+  }
+
+  test("averagePrecision: empty input returns ZERO rows (oracle's " +
+      "grouped shape), not one all-NULL row; guard stays silent") {
+    val empty = Seq.empty[(Long, Boolean)].toDF("s", "y")
+    assert(Eval.averagePrecision(empty, col("s"), col("y"))
+      .collect().isEmpty)
+    assert(Eval.prCurve(empty, col("s"), col("y")).collect().isEmpty)
+  }
+
+  /** raise_error surfaces wrapped in SparkException layers — walk the
+    * cause chain and collect every message.
+    */
+  private def findRaise(e: Throwable): Seq[String] =
+    Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .flatMap(t => Option(t.getMessage)).toSeq
+
   test("chiSquareDrift matches the hand-computed 2x2 table") {
     // A = {x,x,y}, B = {x,y,y,y}: D_x = 2*4-1*3 = 5 (c=3, t=floor(25/3)=8),
     // D_y = 1*4-3*3 = -5 (c=4, t=floor(25/4)=6) -> chi2_num = 14

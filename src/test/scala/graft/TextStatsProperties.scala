@@ -51,15 +51,24 @@ object TextStatsProperties extends Properties("TextStats") {
     Prop.forAll(Gen.listOfN(5, textGen)) { texts =>
       val out = stats(texts)
       texts.indices.forall { i =>
-        out(i).getLong(2) == texts(i).split("\\s+").count(_ => true)
+        out(i).getLong(2) == texts(i).split(TextStats.WsRegex).count(_ => true)
       }
+    }
+
+  property("U+000B vertical tab is NOT a token separator (explicit-class " +
+      "contract: RE2 \\s excludes it, so the engine must too)") =
+    Prop.forAll(Gen.const(())) { _ =>
+      // "a<VT>b c" is TWO tokens under [ \t\n\r\f]+ in both engines
+      // (Java \s+ would have made it three — the round-10 hash-gate
+      // hazard this pins closed)
+      stats(List("a\u000Bb c"))(0).getLong(2) == 2L
     }
 
   property("fingerprint is whitespace/case-canonical") =
     Prop.forAll(textGen) { text =>
       import spark.implicits._
       val variants = Seq(text, text.toUpperCase,
-        text.replaceAll("\\s+", "  "))
+        text.replaceAll(TextStats.WsRegex, "  "))
       val fps = variants.zipWithIndex
         .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
         .select(TextStats.fingerprint(col("text")))
