@@ -193,6 +193,44 @@ object EvalQueries {
       Eval.poissonBootstrap(Tables.documents(s, d), col("doc_id"),
           length(col("text")), reps = 32)
         .orderBy("rep")),
+
+    // Equal-MASS reliability bins (the quantile companion to
+    // q_calibration's equal-width ones): each bin holds ~1/10 of the
+    // observations up to score ties — the binning practitioners use
+    // when the score distribution is skewed.
+    "q_calibration_quantile" -> ((s, d) =>
+      Eval.calibrationQuantileBins(scoredDocs(s, d), col("score"),
+          col("_y"), bins = 10)
+        .orderBy("bin")),
+
+    // Gini coefficient of the per-document token mass — the corpus
+    // concentration audit ("does 1% of documents hold 50% of the
+    // tokens?"); exact rational via the distinct-value prefix scan,
+    // no sort.
+    "q_gini" -> ((s, d) =>
+      Eval.gini(Tables.documents(s, d),
+        size(split(col("text"), TextStats.WsRegex)).cast("long"))),
+
+    // Herfindahl-Hirschman concentration of character mass across
+    // sources — the data-mixing audit next to q_gini: "how many
+    // effective sources does this corpus really have?" One combinable
+    // group-by, one metadata aggregate, exact BIGINT num/den.
+    "q_source_hhi" -> ((s, d) =>
+      Eval.hhi(Tables.documents(s, d), col("source"), col("n_chars"))),
+
+    // Fleiss' kappa over a deterministic 3-rater annotation panel
+    // (votes are the hashBucket chain on doc_id and rater — the
+    // machinery is what's under test; real annotations would arrive
+    // as the same (item, category) relation). Exact cleared-fraction
+    // BIGINTs, one trailing division.
+    "q_fleiss_kappa" -> ((s, d) => {
+      val ratings = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(2L))).as("rater"))
+        .withColumn("vote",
+          Sampling.hashBucket(col("doc_id") * 5 + col("rater"), 4))
+      Eval.fleissKappa(ratings, col("doc_id"), col("vote"))
+    }),
   )
 
   /** Shared DuckDB CTE chain: class-0 hashed-classifier scores (the
@@ -651,5 +689,92 @@ object EvalQueries {
         |       ELSE CAST(sum(wt * v) AS DOUBLE)
         |         / CAST(sum(wt) AS DOUBLE) END AS mean
         |FROM w GROUP BY rep ORDER BY rep""".stripMargin,
+    "q_calibration_quantile" ->
+      s"""WITH $scoredCte,
+         |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS pos FROM lab GROUP BY score),
+         |c AS (SELECT score, n, pos,
+         |  CAST(coalesce(sum(n) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS below
+         |  FROM g),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+         |SELECT CAST(c.below * 10 // t.nt AS BIGINT) AS bin,
+         |  CAST(min(c.score) AS BIGINT) AS score_lo,
+         |  CAST(max(c.score) AS BIGINT) AS score_hi,
+         |  CAST(sum(c.n) AS BIGINT) AS n,
+         |  CAST(sum(c.pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(c.pos) AS DOUBLE) / CAST(sum(c.n) AS DOUBLE)
+         |    AS pos_rate
+         |FROM c, t GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_gini" ->
+      """WITH w AS (SELECT CAST(len(string_split_regex(text,
+        |    '[ \t\n\r\f]+')) AS BIGINT) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY v),
+        |cu AS (SELECT v, c,
+        |  CAST(coalesce(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS below
+        |  FROM g),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(v * c) AS BIGINT) AS total FROM g)
+        |SELECT t.n, t.total,
+        |  CAST(sum(cu.v * cu.c * (2 * cu.below + cu.c + 1))
+        |    - (t.n + 1) * t.total AS BIGINT) AS gini_num,
+        |  CAST(t.n * t.total AS BIGINT) AS gini_den,
+        |  CASE WHEN t.n = 0 OR t.total = 0 THEN NULL
+        |       ELSE CAST(sum(cu.v * cu.c * (2 * cu.below + cu.c + 1))
+        |           - (t.n + 1) * t.total AS DOUBLE)
+        |         / CAST(t.n * t.total AS DOUBLE) END AS gini
+        |FROM cu, t GROUP BY t.n, t.total""".stripMargin,
+    "q_source_hhi" ->
+      """WITH g AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS c
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY source)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(c) AS BIGINT) AS total,
+        |  CAST(sum(c * c) AS BIGINT) AS hhi_num,
+        |  CAST(sum(c) * sum(c) AS BIGINT) AS hhi_den,
+        |  CASE WHEN sum(c) = 0 THEN NULL
+        |       ELSE CAST(sum(c * c) AS DOUBLE)
+        |         / CAST(sum(c) * sum(c) AS DOUBLE) END AS hhi,
+        |  CASE WHEN sum(c * c) = 0 THEN NULL
+        |       ELSE CAST(sum(c) * sum(c) AS DOUBLE)
+        |         / CAST(sum(c * c) AS DOUBLE) END AS eff_groups
+        |FROM g HAVING count(*) > 0""".stripMargin,
+    "q_fleiss_kappa" ->
+      """WITH r AS (SELECT doc_id, unnest([0, 1, 2]) AS rater
+        |  FROM documents),
+        |v AS (SELECT doc_id,
+        |  (((((doc_id * 5 + rater) % 1000000007) * 2654435761)
+        |    % 1000000007 + 40503) * 2654435761) % 1000000007 % 4 AS vote
+        |  FROM r),
+        |ik AS (SELECT doc_id, vote, CAST(count(*) AS BIGINT) AS nij
+        |  FROM v GROUP BY 1, 2),
+        |i AS (SELECT doc_id, CAST(sum(nij) AS BIGINT) AS ni,
+        |  CAST(sum(nij * nij) AS BIGINT) AS si FROM ik GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(min(ni) AS BIGINT) AS n_raters,
+        |  CAST(sum(si) AS BIGINT) AS s FROM i),
+        |k AS (SELECT vote, CAST(sum(nij) AS BIGINT) AS cj
+        |  FROM ik GROUP BY 1),
+        |kc AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+        |  CAST(sum(cj * cj) AS BIGINT) AS c2 FROM k)
+        |SELECT t.n_items, t.n_raters, kc.n_categories,
+        |  CAST((t.s - t.n_items * t.n_raters) * (t.n_items * t.n_raters)
+        |    - kc.c2 * (t.n_raters - 1) AS BIGINT) AS kappa_num,
+        |  CAST((t.n_raters - 1) * ((t.n_items * t.n_raters)
+        |    * (t.n_items * t.n_raters) - kc.c2) AS BIGINT) AS kappa_den,
+        |  CASE WHEN (t.n_raters - 1) * ((t.n_items * t.n_raters)
+        |      * (t.n_items * t.n_raters) - kc.c2) = 0 THEN NULL
+        |       ELSE CAST((t.s - t.n_items * t.n_raters)
+        |           * (t.n_items * t.n_raters)
+        |           - kc.c2 * (t.n_raters - 1) AS DOUBLE)
+        |         / CAST((t.n_raters - 1) * ((t.n_items * t.n_raters)
+        |           * (t.n_items * t.n_raters) - kc.c2) AS DOUBLE)
+        |  END AS kappa
+        |FROM t, kc""".stripMargin,
   )
 }

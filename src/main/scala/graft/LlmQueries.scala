@@ -422,6 +422,16 @@ object LlmQueries {
         .orderBy(col("cnt").desc, col("pair")).limit(20)
     }),
 
+    // BPE tokenizer TRAINING (Sennrich et al. 2016): three corpus-wide
+    // merge rounds — count adjacent symbol pairs, merge the most
+    // frequent pair everywhere via the exact greedy run-parity rule,
+    // repeat. Output is the learned merge table; the oracle replays
+    // every round CTE for CTE.
+    "q_bpe_merges" -> ((s, d) =>
+      graft.operators.Bpe.train(Tables.documents(s, d), col("doc_id"),
+          col("text"), rounds = 3)
+        .orderBy("round")),
+
     // Tokenizer-vocabulary coverage: vocab = top-100 corpus terms by
     // frequency (ties to the lexicographically smaller term), then the
     // per-document out-of-vocabulary token fraction. The vocab relation
@@ -653,6 +663,26 @@ object LlmQueries {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")),
 
+    // Greedy k-center coreset (Gonzalez farthest-point traversal):
+    // the 8 maximally-diverse exemplar embeddings in selection order
+    // with each pick's exact integer coverage radius — diversity-
+    // preserving subsampling next to k-means' density clustering.
+    // The oracle unrolls the 7 argmax steps as CTEs.
+    "q_kcenter" -> ((s, d) =>
+      graft.operators.Coreset.kCenter(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), k = 8)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("sel_rank")),
+
+    // The coverage clustering the k-center traversal implies: every
+    // vector assigned to its nearest selected exemplar with the exact
+    // integer distance — max(dist) here IS the k-center objective.
+    "q_kcenter_assign" -> ((s, d) =>
+      graft.operators.Coreset.kCenterAssign(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), k = 8)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
     // SemDeDup semantic near-duplicate pruning (Abbas et al. 2023):
     // k-means cells bound the candidate pairs (BucketPairs-salted,
     // never all-pairs), exact integer cosine >= 0.30 within a cell
@@ -674,6 +704,17 @@ object LlmQueries {
           docs(s, d).select("doc_id", "n_chars"),
           col("doc_id"), col("n_chars"), target = 50)
         .select("doc_id", "sample_w", "sample_cum")
+        .orderBy("doc_id")),
+
+    // Priority sampling (Duffield-Lund-Thorup): 50 length-weighted
+    // documents WITHOUT replacement with the unbiased max(w, tau)
+    // subset-sum estimators — deterministic hash priorities, one
+    // distributed top-(k+1), never a global sort.
+    "q_priority_sample" -> ((s, d) =>
+      graft.operators.Sampling.prioritySample(
+          docs(s, d).select("doc_id", "n_chars"),
+          col("doc_id"), col("n_chars"), k = 50)
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
     // Count-min sketch heavy hitters with the md5-prefix hash family:
@@ -1622,6 +1663,25 @@ object LlmQueries {
       (kmeansCte + """
         |SELECT vec_id, cl AS cluster, CAST(dist AS BIGINT) AS dist
         |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    "q_kcenter" -> kcenterOracle(8),
+    "q_kcenter_assign" -> kcenterOracle(8, assign = true),
+    "q_bpe_merges" -> bpeOracle(3),
+    "q_priority_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    (((((doc_id % 1000000007) * 2654435761) % 1000000007
+        |      + 40503) * 2654435761) % 1000000007) % 1000000000 + 1 AS u
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |p AS (SELECT doc_id, w,
+        |  CAST(w AS DOUBLE) * 1000000000.0 / CAST(u AS DOUBLE)
+        |    AS priority FROM w),
+        |t AS (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 51),
+        |thr AS (SELECT CASE WHEN count(*) = 51 THEN min(priority)
+        |  ELSE 0.0 END AS tau FROM t),
+        |s AS (SELECT * FROM t ORDER BY priority DESC, doc_id LIMIT 50)
+        |SELECT s.doc_id, s.w, s.priority,
+        |  greatest(CAST(s.w AS DOUBLE), thr.tau) AS w_hat
+        |FROM s, thr ORDER BY doc_id""".stripMargin,
     "q_semantic_dedup" ->
       (kmeansCte + """,
         |fin AS (SELECT vec_id, cl FROM a2 WHERE rn = 1),
@@ -1884,6 +1944,157 @@ object LlmQueries {
     * [[graft.operators.KMeans]] stage for stage (same quantization,
     * seed rule, tie-break, and sign-explicit centroid division).
     */
+  /** The greedy k-center traversal unrolled as DuckDB CTEs — mirrors
+    * [[graft.operators.Coreset.kCenter]] step for step: same
+    * quantization as [[kmeansCte]], lowest-id seed, then per step the
+    * farthest point (ties → lowest id) among the not-yet-selected,
+    * with the running min-distance relation updated by least().
+    * Distances are direct Σ(xᵥ−cᵥ)² sums — identical integers to the
+    * engine's nq − 2·q·c + nc expansion.
+    */
+  /** The BPE training loop unrolled as DuckDB CTEs — mirrors
+    * [[graft.operators.Bpe.train]] round for round: same char
+    * symbols (lowercased, [[graft.operators.TextStats.WsRegex]]
+    * words), same (freq DESC, left, right) argmax, and the same
+    * greedy run-parity merge rule (within each maximal run of
+    * consecutive match positions, merge the even offsets). A round
+    * whose best pair has freq < 2 selects nothing, so its branch
+    * contributes zero rows — the oracle's form of the trainer's
+    * early stop.
+    */
+  private def bpeOracle(rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= """WITH wd AS MATERIALIZED (
+            |  SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+            |         unnest(ws) AS w
+            |  FROM (SELECT doc_id,
+            |      list_filter(string_split_regex(lower(text),
+            |        '[ \t\n\r\f]+'), x -> x <> '') AS ws
+            |    FROM documents WHERE text IS NOT NULL)),
+            |t0 AS MATERIALIZED (
+            |  SELECT doc_id, widx, generate_subscripts(cs, 1) AS pos,
+            |         unnest(cs) AS tok
+            |  FROM (SELECT doc_id, widx,
+            |      [substr(w, i, 1) for i in range(1, len(w) + 1)] AS cs
+            |    FROM wd))""".stripMargin
+    for (n <- 1 to rounds) {
+      val prev = s"t${n - 1}"
+      b ++= s""",
+              |p$n AS MATERIALIZED (
+              |  SELECT ltok, rtok, CAST(count(*) AS BIGINT) AS freq
+              |  FROM (SELECT tok AS ltok, lead(tok) OVER
+              |      (PARTITION BY doc_id, widx ORDER BY pos) AS rtok
+              |    FROM $prev)
+              |  WHERE rtok IS NOT NULL GROUP BY 1, 2),
+              |b$n AS MATERIALIZED (
+              |  SELECT ltok, rtok, freq FROM p$n WHERE freq >= 2
+              |  ORDER BY freq DESC, ltok, rtok LIMIT 1),
+              |m$n AS MATERIALIZED (
+              |  SELECT doc_id, widx, pos, tok,
+              |    row_number() OVER wn$n AS idx,
+              |    lead(tok) OVER wn$n AS nx,
+              |    (tok = (SELECT ltok FROM b$n) AND
+              |     lead(tok) OVER wn$n = (SELECT rtok FROM b$n)) AS m
+              |  FROM $prev
+              |  WINDOW wn$n AS (PARTITION BY doc_id, widx ORDER BY pos)),
+              |g$n AS MATERIALIZED (
+              |  SELECT *, sum(CASE WHEN m THEN 1 ELSE 0 END) OVER
+              |      (PARTITION BY doc_id, widx ORDER BY pos
+              |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS mi
+              |  FROM m$n),
+              |h$n AS MATERIALIZED (
+              |  SELECT *, (m AND (mi - min(mi) OVER
+              |      (PARTITION BY doc_id, widx, idx - mi, m)) % 2 = 0)
+              |      AS mrg
+              |  FROM g$n),
+              |t$n AS MATERIALIZED (
+              |  SELECT doc_id, widx, pos,
+              |    CASE WHEN mrg THEN tok || nx ELSE tok END AS tok
+              |  FROM (SELECT *, coalesce(lag(mrg) OVER
+              |      (PARTITION BY doc_id, widx ORDER BY pos), false)
+              |      AS consumed
+              |    FROM h$n)
+              |  WHERE NOT consumed)""".stripMargin
+    }
+    b ++= (1 to rounds).map(n =>
+      s"""SELECT CAST($n AS BIGINT) AS round, ltok AS "left",
+         |  rtok AS "right", ltok || rtok AS merged, freq
+         |FROM b$n""".stripMargin)
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY round")
+    b.toString
+  }
+
+  private def kcenterOracle(k: Int, assign: Boolean = false): String = {
+    val b = new StringBuilder
+    b ++= """WITH q AS (
+            |  SELECT vec_id,
+            |    [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+            |     FOR x IN embedding] AS q
+            |  FROM embeddings WHERE embedding IS NOT NULL
+            |),
+            |qx AS MATERIALIZED (
+            |  SELECT vec_id, generate_subscripts(q, 1) AS pos,
+            |         unnest(q) AS v FROM q),
+            |s1 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM q),
+            |cc1 AS MATERIALIZED (SELECT pos, v FROM qx
+            |        WHERE vec_id = (SELECT vec_id FROM s1)),
+            |dd1 AS MATERIALIZED (SELECT x.vec_id,
+            |          CAST(sum((x.v - c.v) * (x.v - c.v)) AS BIGINT) AS d
+            |        FROM qx x JOIN cc1 c ON c.pos = x.pos
+            |        GROUP BY 1),
+            |md1 AS MATERIALIZED (SELECT vec_id, d FROM dd1)""".stripMargin
+    for (t <- 2 to k) {
+      val prior = (1 until t).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      b ++= s""",
+              |s$t AS MATERIALIZED (SELECT vec_id, d FROM md${t - 1}
+              |        WHERE vec_id NOT IN ($prior)
+              |        ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+      // the per-center distance relation feeds the next min-distance
+      // step; assignment mode needs it for the LAST center too
+      if (t < k || assign) {
+        b ++= s""",
+                |cc$t AS MATERIALIZED (SELECT pos, v FROM qx
+                |         WHERE vec_id = (SELECT vec_id FROM s$t)),
+                |dd$t AS MATERIALIZED (SELECT x.vec_id,
+                |           CAST(sum((x.v - c.v) * (x.v - c.v)) AS BIGINT)
+                |             AS d
+                |         FROM qx x JOIN cc$t c ON c.pos = x.pos
+                |         GROUP BY 1)""".stripMargin
+      }
+      if (t < k) {
+        b ++= s""",
+                |md$t AS MATERIALIZED (
+                |  SELECT m.vec_id, least(m.d, dd$t.d) AS d
+                |         FROM md${t - 1} m
+                |         JOIN dd$t ON dd$t.vec_id = m.vec_id)""".stripMargin
+      }
+    }
+    if (!assign) {
+      b ++= "\nSELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, " +
+        "CAST(NULL AS BIGINT) AS dist FROM s1"
+      for (t <- 2 to k)
+        b ++= s"\nUNION ALL SELECT CAST($t AS BIGINT), vec_id, " +
+          s"CAST(d AS BIGINT) FROM s$t"
+      b ++= "\nORDER BY sel_rank"
+    } else {
+      // nearest selected center per vector, ties -> lowest center id
+      val branches = (1 to k).map(t =>
+        s"SELECT vec_id, (SELECT vec_id FROM s$t) AS center_id, d " +
+          s"FROM dd$t").mkString("\n  UNION ALL ")
+      b ++= s""",
+              |alld AS (
+              |  $branches),
+              |ranked AS (SELECT vec_id, center_id, d, row_number() OVER
+              |  (PARTITION BY vec_id ORDER BY d, center_id) AS rn
+              |  FROM alld)
+              |SELECT vec_id, center_id, CAST(d AS BIGINT) AS dist
+              |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    }
+    b.toString
+  }
+
   private def kmeansCte: String =
     """WITH q AS (
       |  SELECT vec_id,

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Byte-pair-encoding tokenizer TRAINING (Sennrich, Haddow & Birch,
+  * ACL 2016) as a distributed relational computation: the iterative
+  * "count adjacent symbol pairs → merge the most frequent pair
+  * everywhere" loop that produces a subword vocabulary — run over
+  * the whole corpus with exact integer counts, a pinned
+  * deterministic tie-break, and a DuckDB oracle that replays every
+  * round CTE for CTE.
+  *
+  * The subtle part is applying a merge EXACTLY as the sequential
+  * greedy left-to-right scan would. A pair occurrence chain
+  * (positions i and i+1 both matching) is only possible when
+  * left == right (t[i], t[i+1], t[i+2] = x, x, x), and greedy takes
+  * every SECOND occurrence of a chain — so the closed relational
+  * form is: within each maximal run of consecutive match positions,
+  * merge the EVEN offsets. That rule reproduces greedy bit-for-bit
+  * for both the x≠y case (all runs have length 1) and the x==x
+  * run-parity case ("aaaa" → "(aa)(aa)", "aaa" → "(aa)a"), and both
+  * engines compute it with the same three window functions.
+  *
+  * Scale shape: symbols live as one (doc, word, pos, tok) relation —
+  * each round is ONE combinable pair-count aggregate (map-side
+  * combined; the shuffled relation is |distinct pairs|), a
+  * distributed top-1 (TakeOrdered), and one window pass partitioned
+  * by (doc, word) — millions of independent tiny partitions, no
+  * global sort anywhere. The merge TABLE (the trained vocabulary) is
+  * O(rounds) driver metadata, exactly what a BPE trainer emits; the
+  * symbol relation is persisted per round and unpersisted after the
+  * next round materializes. Word-internal merging only (the standard
+  * BPE word boundary): pairs never cross whitespace.
+  */
+object Bpe {
+
+  /** The per-(doc, word) character-symbol relation BPE starts from:
+    * (doc_id, widx, pos, tok) — lowercased, whitespace-split
+    * ([[TextStats.WsRegex]]), empty words dropped.
+    */
+  def charSymbols(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = df.select(id.as("doc_id"),
+        posexplode(filter(split(lower(text), TextStats.WsRegex),
+          w => length(w) > 0)))
+      .withColumnRenamed("pos", "widx")
+      .withColumnRenamed("col", "w")
+    words.select(col("doc_id"), col("widx"),
+        posexplode(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))))
+      .withColumnRenamed("col", "tok")
+  }
+
+  /** One greedy merge of (l, r) → l+r applied everywhere, via the
+    * run-parity rule. `syms` must have (doc_id, widx, pos, tok);
+    * output has the same shape (pos values stay sparse — only their
+    * ORDER matters, which every consumer respects).
+    */
+  private[graft] def applyMerge(syms: DataFrame, l: String,
+      r: String): DataFrame = {
+    val wOrd = Window.partitionBy("doc_id", "widx").orderBy("pos")
+    val marked = syms
+      .withColumn("_nx", lead(col("tok"), 1).over(wOrd))
+      .withColumn("_m", col("tok") === lit(l) && col("_nx") === lit(r))
+      .withColumn("_idx", row_number().over(wOrd))
+      // inclusive running count of match positions: rank among the
+      // m-rows for m-rows, so _idx - _mi is constant exactly along a
+      // run of CONSECUTIVE matches (the chain greedy walks)
+      .withColumn("_mi", sum(when(col("_m"), 1L).otherwise(0L))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_grp", col("_idx") - col("_mi"))
+    // even offset within the (doc, word, grp) m-run == greedy merge
+    val wRun = Window.partitionBy(col("doc_id"), col("widx"),
+      col("_grp"), col("_m"))
+    val merged = marked
+      .withColumn("_merge", col("_m") &&
+        pmod(col("_mi") - min(col("_mi")).over(wRun), lit(2L)) === 0L)
+      .withColumn("_consumed",
+        coalesce(lag(col("_merge"), 1).over(wOrd), lit(false)))
+    merged.filter(!col("_consumed"))
+      .select(col("doc_id"), col("widx"), col("pos"),
+        when(col("_merge"), concat(col("tok"), col("_nx")))
+          .otherwise(col("tok")).as("tok"))
+  }
+
+  /** Train `rounds` BPE merges over `text`: one row per learned
+    * merge, (round 1.., left, right, merged, freq) with freq the
+    * exact corpus-wide adjacent-pair count at the moment the merge
+    * was chosen (overlapping occurrences counted, the standard BPE
+    * convention) and ties broken (freq DESC, left ASC, right ASC).
+    * Stops early if no pair occurs twice (the vocabulary is done).
+    */
+  def train(df: DataFrame, id: Column, text: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = df.sparkSession
+    var syms = Bridge.persistRows(charSymbols(df, id, text))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    val wOrd = Window.partitionBy("doc_id", "widx").orderBy("pos")
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val top = syms
+        .withColumn("_nx", lead(col("tok"), 1).over(wOrd))
+        .filter(col("_nx").isNotNull)
+        .groupBy(col("tok").as("l"), col("_nx").as("r"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty || top.head.getAs[Long]("freq") < 2L) done = true
+      else {
+        val (l, r, f) = (top.head.getString(0), top.head.getString(1),
+          top.head.getAs[Long]("freq"))
+        out += ((round.toLong, l, r, l + r, f))
+        val next = Bridge.persistRows(applyMerge(syms, l, r))
+        syms.unpersist()
+        syms = next
+        round += 1
+      }
+    }
+    syms.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq.map {
+        case (n, l, r, m, f) => Row(n, l, r, m, f)
+      }, 1),
+      StructType(Seq(StructField("round", LongType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("freq", LongType, nullable = false))))
+  }
+}

@@ -664,4 +664,214 @@ object Eval {
             col("n_pos").cast("double"))
           .cast("double").as("recall"))
   }
+
+  /** Equal-MASS calibration (reliability) bins — the quantile-binned
+    * companion to the equal-WIDTH [[calibrationBins]]: `bins` bins
+    * each holding ~1/bins of the observations (the standard
+    * reliability-diagram practice for skewed score distributions,
+    * where equal-width binning dumps 99% of rows into one bin). One
+    * row per non-empty bin: (bin, score_lo, score_hi, n, n_pos,
+    * pos_rate).
+    *
+    * bin = exclusiveRankBefore(score)·bins DIV n — exact integer
+    * floor-division on the EXCLUSIVE cumulative count of the
+    * distinct-score relation, so every observation of one score value
+    * lands in one bin (a tie block goes wholly to the bin of its
+    * first element; bins are equal-mass up to score ties — the only
+    * deterministic, engine-identical choice; fractional tie-splitting
+    * would need within-score row order, which no engine defines).
+    *
+    * Shape: one combinable group-by on the score, one two-phase
+    * prefix scan over |distinct scores| rows
+    * ([[Packing.withGlobalCumsum]]), a 1-row broadcast total, one
+    * final |bins|-group aggregate. Overflow: rankBefore·bins < 2⁶³
+    * needs n·bins < 2⁶³ — unreachable. NULL scores dropped, matching
+    * the siblings.
+    */
+  def calibrationQuantileBins(df: DataFrame, score: Column,
+      label: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val obs = df.select(score.cast("long").as("_s"),
+      when(label, 1L).otherwise(0L).as("_y"))
+      .filter(col("_s").isNotNull)
+    val byScore = obs.groupBy("_s")
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_pos"))
+    val cum = Packing.withGlobalCumsum(byScore, col("_s"), col("_n"),
+      "_below")
+    // totals from the PERSISTED cumsum relation — aggregating byScore
+    // again would rescan the raw data
+    val tot = cum.agg(sum(col("_n")).as("_nt"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("bin", expr(s"_below * $bins DIV _nt"))
+      .groupBy("bin")
+      .agg(min(col("_s")).as("score_lo"), max(col("_s")).as("score_hi"),
+        sum(col("_n")).as("n"), sum(col("_pos")).as("n_pos"))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n").cast("double"))
+  }
+
+  /** Gini coefficient of a non-negative integral `value` — the
+    * corpus-concentration audit ("how unequally is the token mass
+    * spread across documents / sources?"; 0 = uniform, →1 = one row
+    * holds everything), as one row: (n, total, gini_num, gini_den,
+    * gini) with gini = gini_num/gini_den kept exact by the sample
+    * formula G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over ascending
+    * order statistics x₍ᵢ₎.
+    *
+    * No sort materializes: for a run of c equal values v whose
+    * exclusive prefix count is B, Σ of (2·i) over the run is
+    * c·(2B + c + 1), so 2·Σᵢ i·x₍ᵢ₎ = Σᵥ v·c·(2B + c + 1) — one
+    * combinable group-by on the value plus one two-phase prefix scan
+    * over |distinct values| rows, exactly the [[rocAuc]] machinery.
+    * Ties need no tie-break: the formula depends only on (v, c, B).
+    *
+    * Negative values would make the formula meaningless (Gini is
+    * defined for non-negative quantities), so a raise_error on the
+    * (already-needed) totals row rejects them loudly. gini is NULL
+    * when n = 0 or total = 0. Overflow: v·c·(2B+c+1) ≤ 3·vmax·n²
+    * per term needs vmax·n² < 3·10¹⁸ — at 10¹² rows keep values
+    * pre-scaled. NULL values dropped, matching the siblings.
+    */
+  def gini(df: DataFrame, value: Column): DataFrame = {
+    val obs = df.select(value.cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+    val byV = obs.groupBy("_v").agg(count(lit(1)).as("_c"))
+    val cum = Packing.withGlobalCumsum(byV, col("_v"), col("_c"),
+      "_below")
+    // totals from the PERSISTED cumsum relation (one raw-data scan)
+    val tot = cum.agg(sum(col("_c")).as("n"),
+        sum(col("_v") * col("_c")).as("total"), min(col("_v")).as("_mn"))
+      .select(col("n"), col("total"),
+        when(coalesce(col("_mn"), lit(0L)) >= 0L, lit(0L))
+          .otherwise(raise_error(lit(
+            "gini: values must be non-negative")).cast("long"))
+          .as("_guard"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first(col("n")).as("n"), first(col("total")).as("total"),
+        (sum(col("_v") * col("_c") *
+          (col("_below") * 2 + col("_c") + 1)) + first(col("_guard")))
+          .as("_w"))
+      .select(col("n"), col("total"),
+        (col("_w") - (col("n") + 1) * col("total")).as("gini_num"),
+        (col("n") * col("total")).as("gini_den"),
+        when(coalesce(col("n"), lit(0L)) === 0L ||
+            coalesce(col("total"), lit(0L)) === 0L, lit(null))
+          .otherwise((col("_w") - (col("n") + 1) * col("total"))
+            .cast("double") /
+            (col("n") * col("total")).cast("double"))
+          .cast("double").as("gini"))
+      .filter(col("n").isNotNull)
+  }
+
+  /** Herfindahl–Hirschman concentration of `weight` mass across
+    * `group` values — the mixture-concentration audit next to
+    * [[gini]] (gini ranks individual rows; HHI asks "how dominated
+    * is the corpus by its biggest SOURCES?"), as one row:
+    * (n_groups, total, hhi_num, hhi_den, hhi, eff_groups) with
+    * hhi = Σⱼ cⱼ² / (Σⱼ cⱼ)² ∈ (1/n_groups, 1] and
+    * eff_groups = 1/hhi — the "effective number of sources" figure a
+    * data-mixing plan quotes (10 equal sources → 10; one dominant →
+    * ~1). hhi_num/hhi_den are exact BIGINTs; the doubles are single
+    * trailing divisions.
+    *
+    * Shape: ONE map-side-combinable group-by (the per-group mass),
+    * then a 1-row aggregate over |groups| rows of metadata — no
+    * windows, no broadcasts even. Overflow: Σcⱼ² < 2⁶³ needs every
+    * group's mass < 3·10⁹ — pre-scale the weight (count kilotokens,
+    * not tokens) past that; HHI is scale-invariant so the ratio
+    * contract survives. Negative weights fire a raise_error (shares
+    * make no sense with negative mass); NULL groups/weights are
+    * dropped, matching the siblings.
+    */
+  def hhi(df: DataFrame, group: Column, weight: Column): DataFrame = {
+    val obs = df.select(group.as("_g"), weight.cast("long").as("_w"))
+      .filter(col("_g").isNotNull && col("_w").isNotNull)
+    val byG = obs.groupBy("_g").agg(sum(col("_w")).as("_c"))
+    byG.agg(count(lit(1)).as("n_groups"), sum(col("_c")).as("total"),
+        sum(col("_c") * col("_c")).as("_s2"), min(col("_c")).as("_mn"))
+      .select(col("n_groups"), col("total"),
+        (col("_s2") + when(coalesce(col("_mn"), lit(0L)) >= 0L, lit(0L))
+          .otherwise(raise_error(lit(
+            "hhi: group masses must be non-negative")).cast("long")))
+          .as("hhi_num"),
+        (col("total") * col("total")).as("hhi_den"))
+      .select(col("n_groups"), col("total"), col("hhi_num"),
+        col("hhi_den"),
+        when(coalesce(col("total"), lit(0L)) === 0L, lit(null))
+          .otherwise(col("hhi_num").cast("double") /
+            col("hhi_den").cast("double"))
+          .cast("double").as("hhi"),
+        when(coalesce(col("hhi_num"), lit(0L)) === 0L, lit(null))
+          .otherwise(col("hhi_den").cast("double") /
+            col("hhi_num").cast("double"))
+          .cast("double").as("eff_groups"))
+      .filter(col("n_groups") > 0L)
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among a
+    * CONSTANT number of raters per item from a raw ratings relation
+    * (one row per rating: item, category), the multi-rater
+    * generalization of [[cohensKappa]] and the labeling-QC gate a
+    * training-data pipeline runs over its annotation pool. One row:
+    * (n_items, n_raters, n_categories, kappa_num, kappa_den, kappa).
+    *
+    * Exact integers throughout, fractions cleared: with T = N·n total
+    * ratings, S = Σᵢⱼ nᵢⱼ², C = Σⱼ (Σᵢ nᵢⱼ)²,
+    * P̄ = (S−T)/(T·(n−1)) and P̄ₑ = C/T² give
+    * kappa_num = (S−T)·T − C·(n−1), kappa_den = (n−1)·(T² − C) — one
+    * common factor of T cancelled so the overflow surface is
+    * (n−1)·T² < 2⁶³ (T·√(n−1) < 3·10⁹: billions of ratings). kappa
+    * is NULL when the denominator is 0 (n = 1, or both marginals
+    * degenerate).
+    *
+    * The classic statistic REQUIRES every item rated by exactly n
+    * raters; unequal counts silently bias it, so a raise_error on the
+    * (already-needed) totals row rejects ragged panels loudly instead
+    * (coalesce-guarded: empty input returns zero rows, the grouped
+    * oracle shape).
+    *
+    * Shape: one combinable (item, category) count, two metadata
+    * aggregates over it (per-item N·1 rows, per-category |K| rows),
+    * 1-row broadcasts — no windows, no sorts.
+    */
+  def fleissKappa(df: DataFrame, item: Column,
+      category: Column): DataFrame = {
+    val obs = df.select(item.as("_i"), category.as("_k"))
+      .filter(col("_i").isNotNull && col("_k").isNotNull)
+    // the (item, category) counts feed BOTH marginal aggregates —
+    // persist so the raw ratings scan happens once
+    val byIK = org.apache.spark.sql.graft.Bridge.persistRows(
+      obs.groupBy("_i", "_k").agg(count(lit(1)).as("_nij")))
+    val byI = byIK.groupBy("_i")
+      .agg(sum(col("_nij")).as("_ni"),
+        sum(col("_nij") * col("_nij")).as("_si"))
+    val items = byI.agg(count(lit(1)).as("n_items"),
+        min(col("_ni")).as("_mn"), max(col("_ni")).as("_mx"),
+        sum(col("_si")).as("_s"))
+      .select(col("n_items"), col("_mn").as("n_raters"), col("_s"),
+        when(coalesce(col("_mn"), lit(0L)) ===
+            coalesce(col("_mx"), lit(0L)), lit(0L))
+          .otherwise(raise_error(lit(
+            "fleissKappa: every item must have the same number of " +
+              "ratings (classic Fleiss panel)")).cast("long"))
+          .as("_guard"))
+    val cats = byIK.groupBy("_k").agg(sum(col("_nij")).as("_cj"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("_cj") * col("_cj")).as("_c2"))
+    items.crossJoin(broadcast(cats))
+      .withColumn("_t", col("n_items") * col("n_raters") + col("_guard"))
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        ((col("_s") - col("_t")) * col("_t") -
+          col("_c2") * (col("n_raters") - 1)).as("kappa_num"),
+        ((col("n_raters") - 1) * (col("_t") * col("_t") - col("_c2")))
+          .as("kappa_den"),
+        when((col("n_raters") - 1) *
+            (col("_t") * col("_t") - col("_c2")) === 0L, lit(null))
+          .otherwise(((col("_s") - col("_t")) * col("_t") -
+            col("_c2") * (col("n_raters") - 1)).cast("double") /
+            ((col("n_raters") - 1) *
+              (col("_t") * col("_t") - col("_c2"))).cast("double"))
+          .cast("double").as("kappa"))
+      .filter(col("n_items").isNotNull && col("n_items") > 0L)
+  }
 }

@@ -213,6 +213,51 @@ object Sampling {
     * and let position stay implicit; the explicit `epoch_pos` is what
     * makes the order hash-gateable.)
     */
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 54(6) 2007): a
+    * weighted sample WITHOUT replacement of k rows carrying unbiased
+    * subset-sum estimators — the principled way to keep "50 documents
+    * that stand for the whole corpus, weighted by length" such that
+    * any subset's estimated total weight is exactly unbiased.
+    *
+    * Each row gets priority pᵢ = wᵢ/uᵢ with uᵢ a DETERMINISTIC
+    * uniform in (0,1] from the [[hashBucket]] chain (u =
+    * (bucket+1)/10⁹); the sample is the k highest priorities, the
+    * threshold τ the (k+1)-th, and the estimator ŵᵢ = max(wᵢ, τ) —
+    * E[Σ_subset ŵ] = Σ_subset w exactly (the paper's key theorem).
+    * Everything is deterministic and engine-identical: u is exact
+    * integer arithmetic, p and τ are single correctly-rounded double
+    * divisions of exactly-known integers (same operands → same IEEE
+    * result in any engine), ties break on the id. Output: one row
+    * per sampled row, (id, w, priority, w_hat), ordered semantics up
+    * to the caller.
+    *
+    * Scale shape: one narrow scan computing priorities + ONE
+    * distributed top-(k+1) (TakeOrdered — never a global sort), a
+    * 1-row threshold broadcast. n ≤ k degenerates honestly: all rows
+    * returned, τ = 0, ŵ = w (the paper's convention). Weights must
+    * be positive: w ≤ 0 rows are dropped (zero-weight rows can never
+    * be sampled; negative weights have no sampling probability).
+    */
+  def prioritySample(df: DataFrame, id: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val obs = df.select(id.cast("long").as("id"),
+        weight.cast("long").as("w"))
+      .filter(col("w").isNotNull && col("w") > 0L)
+      .withColumn("_u", hashBucket(col("id"), 1000000000) + 1L)
+      .withColumn("priority",
+        col("w").cast("double") * lit(1.0e9) / col("_u").cast("double"))
+    val top = obs.orderBy(col("priority").desc, col("id")).limit(k + 1)
+    val thr = top.agg(count(lit(1)).as("_n"),
+        min(col("priority")).as("_minp"))
+      .select(when(col("_n") === (k + 1).toLong, col("_minp"))
+        .otherwise(lit(0.0)).as("_tau"))
+    top.orderBy(col("priority").desc, col("id")).limit(k)
+      .crossJoin(broadcast(thr))
+      .select(col("id"), col("w"), col("priority"),
+        greatest(col("w").cast("double"), col("_tau")).as("w_hat"))
+  }
+
   def epochOrder(df: DataFrame, key: Column, source: Column): DataFrame = {
     val w = Window.partitionBy(source)
       .orderBy(md5(key.cast("string")), key)

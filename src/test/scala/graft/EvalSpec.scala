@@ -291,6 +291,145 @@ class EvalSpec extends AnyFunSuite {
     assert(Eval.prCurve(empty, col("s"), col("y")).collect().isEmpty)
   }
 
+  test("calibrationQuantileBins: uniform scores split into equal-mass " +
+      "bins; tie blocks stay whole") {
+    val df = (1L to 10L).map(s => (s, s > 5L)).toDF("s", "y")
+    val rows = Eval.calibrationQuantileBins(df, col("s"), col("y"),
+      bins = 2).orderBy("bin").collect()
+    assert(rows.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+      r.getAs[Long]("score_lo"), r.getAs[Long]("score_hi"))).toSeq ===
+      Seq((0L, 5L, 1L, 5L), (1L, 5L, 6L, 10L)))
+    // a tie block goes wholly to the bin of its first element
+    val tiedDf = Seq((1L, false), (1L, false), (1L, true), (2L, true))
+      .toDF("s", "y")
+    val t = Eval.calibrationQuantileBins(tiedDf, col("s"), col("y"),
+      bins = 2).orderBy("bin").collect()
+    assert(t.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"))).toSeq
+      === Seq((0L, 3L), (1L, 1L)))
+  }
+
+  test("calibrationQuantileBins is invariant under partitioning") {
+    val df = (0L until 4000L).map(i => ((i * 7) % 211, i % 3 == 0))
+      .toDF("s", "y")
+    val a = Eval.calibrationQuantileBins(df.repartition(1), col("s"),
+      col("y")).orderBy("bin").collect().toSeq
+    val b = Eval.calibrationQuantileBins(df.repartition(13), col("s"),
+      col("y")).orderBy("bin").collect().toSeq
+    assert(a === b)
+  }
+
+  test("gini matches hand-computed cases") {
+    def g(vs: Seq[Long]): (Long, Long, Double) = {
+      val r = Eval.gini(vs.map(Tuple1(_)).toDF("v"), col("v"))
+        .collect().head
+      (r.getAs[Long]("gini_num"), r.getAs[Long]("gini_den"),
+        r.getAs[Double]("gini"))
+    }
+    // ascending 1,2,3,4: 2*sum(i*x)=60, (n+1)*total=50 -> 10/40
+    assert(g(Seq(1L, 2L, 3L, 4L)) === ((10L, 40L, 0.25)))
+    // perfectly equal -> 0 even with ties
+    assert(g(Seq(5L, 5L, 5L))._1 === 0L)
+    // one holder of everything: (0,0,10) -> 20/30
+    assert(g(Seq(0L, 0L, 10L)) === ((20L, 30L, 2.0 / 3.0)))
+  }
+
+  test("gini: empty input returns zero rows; all-zero total gives " +
+      "NULL gini; negatives fire the guard") {
+    val empty = Seq.empty[Tuple1[Long]].toDF("v")
+    assert(Eval.gini(empty, col("v")).collect().isEmpty)
+    val zeros = Seq(0L, 0L).map(Tuple1(_)).toDF("v")
+    val r = Eval.gini(zeros, col("v")).collect().head
+    assert(r.isNullAt(r.fieldIndex("gini")))
+    val neg = Seq(1L, -2L).map(Tuple1(_)).toDF("v")
+    val e = intercept[Exception] { Eval.gini(neg, col("v")).collect() }
+    assert(findRaise(e).exists(_.contains("non-negative")))
+  }
+
+  test("gini is invariant under partitioning") {
+    val df = (0L until 3000L).map(i => Tuple1((i * 13) % 97))
+      .toDF("v")
+    val a = Eval.gini(df.repartition(1), col("v")).collect().head
+    val b = Eval.gini(df.repartition(11), col("v")).collect().head
+    assert(a === b)
+  }
+
+  test("hhi matches hand computations; eff_groups is its reciprocal") {
+    // two groups 30/10: hhi = (900+100)/1600 = 0.625, eff = 1.6
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 10L)).toDF("g", "w")
+    val r = Eval.hhi(df, col("g"), col("w")).collect().head
+    assert(r.getAs[Long]("n_groups") === 2L)
+    assert(r.getAs[Long]("total") === 40L)
+    assert(r.getAs[Long]("hhi_num") === 1000L)
+    assert(r.getAs[Long]("hhi_den") === 1600L)
+    assert(r.getAs[Double]("hhi") === 0.625)
+    assert(r.getAs[Double]("eff_groups") === 1.6)
+    // n equal groups -> eff_groups = n exactly
+    val eq = (0 until 8).flatMap(g => Seq((g.toString, 5L)))
+      .toDF("g", "w")
+    assert(Eval.hhi(eq, col("g"), col("w")).collect().head
+      .getAs[Double]("eff_groups") === 8.0)
+  }
+
+  test("hhi: empty input returns zero rows; negative mass fires the " +
+      "guard; zero total gives NULL ratios") {
+    val empty = Seq.empty[(String, Long)].toDF("g", "w")
+    assert(Eval.hhi(empty, col("g"), col("w")).collect().isEmpty)
+    val neg = Seq(("a", 5L), ("b", -1L)).toDF("g", "w")
+    val e = intercept[Exception] {
+      Eval.hhi(neg, col("g"), col("w")).collect()
+    }
+    assert(findRaise(e).exists(_.contains("non-negative")))
+    val zero = Seq(("a", 0L)).toDF("g", "w")
+    val r = Eval.hhi(zero, col("g"), col("w")).collect().head
+    assert(r.isNullAt(r.fieldIndex("hhi")))
+  }
+
+  test("fleissKappa matches the hand computation; perfect agreement " +
+      "gives 1; ragged panels fire the guard") {
+    // items: A rated (0,0), B rated (0,1) -> kappa = -1/3 (num -2/den 6)
+    val split = Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 1L))
+      .toDF("item", "cat")
+    val r = Eval.fleissKappa(split, col("item"), col("cat"))
+      .collect().head
+    assert(r.getAs[Long]("kappa_num") === -2L)
+    assert(r.getAs[Long]("kappa_den") === 6L)
+    assert(r.getAs[Double]("kappa") === -2.0 / 6.0)
+    // perfect agreement across distinct categories -> kappa 1
+    val perfect = Seq((1L, 0L), (1L, 0L), (2L, 1L), (2L, 1L))
+      .toDF("item", "cat")
+    assert(Eval.fleissKappa(perfect, col("item"), col("cat"))
+      .collect().head.getAs[Double]("kappa") === 1.0)
+    // ragged: item 1 has 2 ratings, item 2 has 1 -> loud failure
+    val ragged = Seq((1L, 0L), (1L, 0L), (2L, 1L)).toDF("item", "cat")
+    val e = intercept[Exception] {
+      Eval.fleissKappa(ragged, col("item"), col("cat")).collect()
+    }
+    assert(findRaise(e).exists(_.contains("same number of ratings")))
+  }
+
+  test("fleissKappa: empty input returns zero rows; single rater " +
+      "gives NULL kappa") {
+    val empty = Seq.empty[(Long, Long)].toDF("item", "cat")
+    assert(Eval.fleissKappa(empty, col("item"), col("cat"))
+      .collect().isEmpty)
+    val solo = Seq((1L, 0L), (2L, 1L)).toDF("item", "cat")
+    val r = Eval.fleissKappa(solo, col("item"), col("cat"))
+      .collect().head
+    assert(r.getAs[Long]("n_raters") === 1L)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  test("fleissKappa is invariant under partitioning") {
+    val df = (0L until 3000L)
+      .map(i => (i / 3, (i * 7 + i / 3) % 5))
+      .toDF("item", "cat")
+    val a = Eval.fleissKappa(df.repartition(1), col("item"), col("cat"))
+      .collect().head
+    val b = Eval.fleissKappa(df.repartition(13), col("item"), col("cat"))
+      .collect().head
+    assert(a === b)
+  }
+
   /** raise_error surfaces wrapped in SparkException layers — walk the
     * cause chain and collect every message.
     */

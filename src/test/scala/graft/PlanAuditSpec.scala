@@ -468,6 +468,20 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("round-11 eval additions: quantile-bin / gini prefix scans " +
+    "stay on the offsets metadata; fleiss kappa is window-free with " +
+    "broadcast totals") {
+    Seq("q_calibration_quantile", "q_gini")
+      .foreach(assertNoDataWindowSerializes)
+    val p = plan("q_fleiss_kappa")
+    assert(!p.contains("Window ["),
+      "fleissKappa is aggregation-only — no windows")
+    assert(p.contains("BroadcastExchange"),
+      "fleissKappa lost its 1-row totals broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "fleissKappa: a metadata relation fell into a shuffle join")
+  }
+
   test("PLANS.md covers every registered query (staleness gate)") {
     // adding a query without regenerating PLANS.md (sbt "runMain
     // graft.tools.DumpPlans") broke two rounds in a row — fail fast

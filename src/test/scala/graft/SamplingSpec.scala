@@ -120,4 +120,48 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq
     assert(a === b)
   }
+
+  test("prioritySample matches the sequential brute-force selection " +
+      "and estimator") {
+    // deterministic weights 1..200
+    val rows = (1L to 200L).map(i => (i, (i * 7) % 97 + 1))
+    val df = rows.toDF("id", "w")
+    val k = 10
+    // brute-force replay of the exact same arithmetic
+    val M = 1000000007L
+    val A = 2654435761L
+    def u(id: Long): Long =
+      ((((id % M) * A) % M + 40503L) * A) % M % 1000000000L + 1L
+    val pri = rows.map { case (id, w) =>
+      (id, w, w.toDouble * 1.0e9 / u(id).toDouble)
+    }.sortBy { case (id, _, p) => (-p, id) }
+    val tau = pri(k)._3 // (k+1)-th priority
+    val expect = pri.take(k)
+      .map { case (id, w, p) => (id, w, p, math.max(w.toDouble, tau)) }
+      .sortBy(_._1)
+    val got = Sampling.prioritySample(df, col("id"), col("w"), k)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got === expect)
+  }
+
+  test("prioritySample: n <= k returns everything with tau = 0 " +
+      "(w_hat = w); zero/negative weights are excluded") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, -4L), (4L, 7L))
+      .toDF("id", "w")
+    val got = Sampling.prioritySample(df, col("id"), col("w"), 10)
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 4L))
+    got.foreach(r => assert(r.getDouble(3) === r.getLong(1).toDouble))
+  }
+
+  test("prioritySample is invariant under partitioning") {
+    val df = (0L until 5000L).map(i => (i, i % 37 + 1)).toDF("id", "w")
+    val a = Sampling.prioritySample(df.repartition(1), col("id"),
+      col("w"), 25).orderBy("id").collect().toSeq
+    val b = Sampling.prioritySample(df.repartition(13), col("id"),
+      col("w"), 25).orderBy("id").collect().toSeq
+    assert(a === b)
+  }
 }
