@@ -207,8 +207,11 @@ object EvalQueries {
     // concentration audit ("does 1% of documents hold 50% of the
     // tokens?"); exact rational via the distinct-value prefix scan,
     // no sort.
+    // text.isNotNull mirrors the oracle's WHERE: size(NULL array) is
+    // -1 under Spark's legacy sizeOfNull, which would fire gini's
+    // negative-value guard instead of dropping the row
     "q_gini" -> ((s, d) =>
-      Eval.gini(Tables.documents(s, d),
+      Eval.gini(Tables.documents(s, d).filter(col("text").isNotNull),
         size(split(col("text"), TextStats.WsRegex)).cast("long"))),
 
     // Herfindahl-Hirschman concentration of character mass across

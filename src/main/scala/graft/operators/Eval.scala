@@ -140,23 +140,25 @@ object Eval {
     val byV = obs.groupBy("_v")
       .agg(sum(col("_a")).as("_ca"),
         (count(lit(1)) - sum(col("_a"))).as("_cb"))
+    val cum = Packing.withGlobalCumsum(
+        byV.withColumn("_packed", col("_ca") + col("_cb") * lit(Pack)),
+        col("_v"), col("_packed"), "_cum_before")
+      .withColumn("_cum", col("_cum_before") + col("_packed"))
     // coalesce: on an EMPTY input the global agg yields NULL n_a/n_b,
     // and a NULL guard condition would fall through to raise_error —
     // empty input must return the empty relation, not crash (the
     // totals row only exists when byV is non-empty, so the coalesce
     // arm fires only in the degenerate aggregate-over-nothing plan
     // states; rocAuc's all-NULL row is the sibling behavior).
-    val tot = byV.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
+    // Totals read the PERSISTED cumsum relation — aggregating byV
+    // again would rescan the raw data.
+    val tot = cum.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
       .select(col("n_a"), col("n_b"),
         when(coalesce(col("n_a"), lit(0L)) < lit(Pack / 2) &&
             coalesce(col("n_b"), lit(0L)) < lit(Pack / 2),
           lit(0L)).otherwise(raise_error(lit(
             "ksTest: packed scan needs each side < 2^31 rows — " +
               "run two scans")).cast("long")).as("_guard"))
-    val cum = Packing.withGlobalCumsum(
-        byV.withColumn("_packed", col("_ca") + col("_cb") * lit(Pack)),
-        col("_v"), col("_packed"), "_cum_before")
-      .withColumn("_cum", col("_cum_before") + col("_packed"))
     cum.crossJoin(broadcast(tot))
       .select(col("n_a"), col("n_b"),
         (abs(expr(s"_cum % ${Pack}L") * col("n_b") -
@@ -195,7 +197,15 @@ object Eval {
     val byScore = obs.groupBy("_s")
       .agg(sum(col("_y")).as("_pos"),
         (count(lit(1)) - sum(col("_y"))).as("_neg"))
-    val tot = byScore.agg(sum(col("_pos")).as("n_pos"),
+    // prefix in DESCENDING score order = ascending order of −score;
+    // _guard is 0 under the bound, so folding it into tp only forces
+    // the raise_error to evaluate on the overflow path
+    val cum = Packing.withGlobalCumsum(
+      byScore.withColumn("_packed",
+        col("_pos") + col("_neg") * lit(Pack)),
+      (-col("_s")).as("_ns"), col("_packed"), "_cum_before")
+    // totals from the PERSISTED cumsum relation (one raw-data scan)
+    val tot = cum.agg(sum(col("_pos")).as("n_pos"),
         sum(col("_neg")).as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
         when(coalesce(col("n_pos"), lit(0L)) < lit(guardLimit) &&
@@ -203,14 +213,7 @@ object Eval {
           lit(0L)).otherwise(raise_error(lit(
             "thresholdCounts: packed scan needs each class < 2^31 rows" +
               " — run two scans")).cast("long")).as("_guard"))
-    // prefix in DESCENDING score order = ascending order of −score;
-    // _guard is 0 under the bound, so folding it into tp only forces
-    // the raise_error to evaluate on the overflow path
-    Packing.withGlobalCumsum(
-        byScore.withColumn("_packed",
-          col("_pos") + col("_neg") * lit(Pack)),
-        (-col("_s")).as("_ns"), col("_packed"), "_cum_before")
-      .crossJoin(broadcast(tot))
+    cum.crossJoin(broadcast(tot))
       .withColumn("tp",
         expr(s"_cum_before % ${Pack}L") + col("_pos") + col("_guard"))
       .withColumn("fp", expr(s"_cum_before DIV ${Pack}L") + col("_neg"))
@@ -455,7 +458,8 @@ object Eval {
       col("_cnt"), "_cnt_below")
     val c2 = Packing.withGlobalCumsum(c1, (-col("_s")).as("_ns2"),
       col("_ws"), "_ws_below")
-    val tot = by.agg(sum(col("_cnt")).as("_n"), sum(col("_ws")).as("_wt"))
+    // totals from the PERSISTED cumsum relation (one raw-data scan)
+    val tot = c2.agg(sum(col("_cnt")).as("_n"), sum(col("_ws")).as("_wt"))
     c2.crossJoin(broadcast(tot))
       .select(col("_s").as("threshold"),
         (col("_cnt_below") + col("_cnt")).as("n_kept"),
@@ -502,13 +506,15 @@ object Eval {
       .withColumn("_cal", Sampling.hashBucket(col("_id"), 2) === 0)
     val cal = obs.filter(col("_cal"))
     val byV = cal.groupBy("_s").agg(count(lit(1)).as("_cnt"))
-    val nk = cal.agg(count(lit(1)).as("n_cal"))
-      .withColumn("k", expr(
-        s"((n_cal + 1) * ${alphaDen - alphaNum} + ${alphaDen - 1}) " +
-          s"DIV $alphaDen"))
     val cum = Packing.withGlobalCumsum(byV, col("_s"), col("_cnt"),
         "_below")
       .withColumn("_cum", col("_below") + col("_cnt"))
+    // n_cal from the PERSISTED cumsum relation (one calibration scan);
+    // coalesce keeps the empty-input row at 0, matching count()
+    val nk = cum.agg(coalesce(sum(col("_cnt")), lit(0L)).as("n_cal"))
+      .withColumn("k", expr(
+        s"((n_cal + 1) * ${alphaDen - alphaNum} + ${alphaDen - 1}) " +
+          s"DIV $alphaDen"))
     val thr = cum.crossJoin(broadcast(nk))
       .filter(col("_cum") >= col("k"))
       .agg(min(col("_s")).as("threshold"))
@@ -638,7 +644,8 @@ object Eval {
         "_cum_before")
       .withColumn("_rank", expr(s"_cum_before DIV ${Pack}L") + 1L)
       .withColumn("_tp_at", expr(s"_cum_before % ${Pack}L") + col("_y"))
-    val tot = obs.agg(sum(col("_y")).as("n_pos"),
+    // totals from the PERSISTED cumsum relation (one raw-data scan)
+    val tot = cum.agg(sum(col("_y")).as("n_pos"),
         count(lit(1)).as("_n_rows"))
       .select(col("n_pos"),
         when(col("_n_rows") < lit(guardLimit), lit(0L))
