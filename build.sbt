@@ -16,6 +16,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout WITHOUT sbt's "[info] "
+// line prefix: the driver archives a 2000-char output tail and tries
+// to parse the Bench JSON line out of it — a prefixed line defeats a
+// parser that expects the line to start with '{' (every BENCH_r{N}
+// through round 10 shows `parsed: null`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

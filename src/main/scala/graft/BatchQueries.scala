@@ -850,6 +850,195 @@ object BatchQueries {
         .orderBy("o_year")
     }),
 
+    // TPC-H Q21-shaped "suppliers who kept orders waiting" (lateness
+    // adapted to this schema: shipped > 60 days after the order date;
+    // the reference Q21 uses receipt > commit, columns this data model
+    // lacks). The textbook form is TWO lineitem self-joins (EXISTS
+    // another supplier / NOT EXISTS another late supplier); here both
+    // collapse into per-order aggregates — late-supplier-set size 1
+    // AND supplier-set size > 1 — so the plan is ONE shuffle of
+    // lineitem⋈orders on the order key plus a tiny second aggregate,
+    // instead of three passes over the fact table. At 100 TB that is
+    // the difference between one fact shuffle and three.
+    "q_late_suppliers" -> ((s, d) => {
+      val lo = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      // stage 1: (order, supplier) grain with an any-late flag —
+      // map-side combinable; stage 2: order grain, tiny
+      val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("late"), 1L).otherwise(0L)).as("is_late"))
+      val perOrder = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("is_late")).as("n_late"),
+          min(when(col("is_late") === 1L, col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_supp") > 1L && col("n_late") === 1L)
+      perOrder.groupBy(col("late_supp").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d)
+            .join(broadcast(Tables.nation(s, d)),
+              col("s_nationkey") === col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name")),
+          Seq("s_suppkey"))
+        .select(col("s_name"), col("n_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    }),
+
+    // TPC-H Q13 shape: customer distribution by order count INCLUDING
+    // zero-order customers — the left-outer-join-then-double-aggregate
+    // pattern (count of a nullable join key, then a histogram of the
+    // counts). The one real shuffle is customer ⋈ orders on custkey
+    // (both sides large — a shuffle join is correct; no broadcast);
+    // the count histogram is a ~|distinct counts|-row rollup. The
+    // priority filter applies to the JOIN'S RIGHT SIDE only, so it
+    // pushes below the join as a plain scan filter (an outer-join
+    // ON-clause filter against the preserved side would NOT).
+    "q_order_dist" -> ((s, d) => {
+      val co = Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      co.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q2 shape: for each part, the region-local suppliers whose
+    // observed unit cost achieves the per-part minimum — the
+    // correlated-min pattern, expressed as a partitioned window min +
+    // equality filter (what Catalyst rewrites Q2's correlated
+    // subquery into). Costs come from lineitem (min extendedprice per
+    // part+supplier) since the fixture set has no partsupp. Exactness:
+    // min over raw doubles involves no arithmetic, so the equality
+    // filter and the hash gate are bit-exact. Shape: one lineitem
+    // rollup (map-side combinable), dims broadcast, the window
+    // partitioned by partkey (millions of small partitions at scale —
+    // no single-partition window), TakeOrdered for the limit.
+    "q_min_cost_supplier" -> ((s, d) => {
+      val cost = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("supp_cost"))
+      val rs = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      cost.join(broadcast(rs), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("min_cost",
+          min(col("supp_cost")).over(Window.partitionBy("l_partkey")))
+        .filter(col("supp_cost") === col("min_cost"))
+        .join(Tables.part(s, d).filter(col("p_size") >= 30)
+            .select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"), col("supp_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 shape: parts whose corpus-wide revenue share exceeds
+    // a threshold fraction of the global total — the
+    // HAVING-vs-global-scalar pattern. Money is quantized to exact
+    // integer basis points at the source (round of an IEEE double
+    // product is bit-identical across engines), so the sums, the
+    // 1-row global total (broadcast cross join), and the share
+    // comparison (value·1000 > total — multiplication instead of a
+    // rounding division) are all exact BIGINT. Overflow headroom:
+    // total·1000 < 2⁶³ holds to ~10¹⁵ basis points ≈ $10¹¹ corpus
+    // revenue; beyond that swap the bp column to DECIMAL(38,10) (the
+    // q_market_share pattern) at ~2× agg cost.
+    "q_important_parts" -> ((s, d) => {
+      val bp = round(
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) *
+          lit(10000)).cast("long")
+      val pv = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(bp).as("value_bp"))
+      val tot = pv.agg(sum(col("value_bp")).as("_total"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("value_bp") * 1000L > col("_total"))
+        .select(col("p_partkey"), col("value_bp"))
+        .orderBy(col("value_bp").desc, col("p_partkey"))
+    }),
+
+    // TPC-H Q22 shape: above-average-balance customers in target
+    // segments with no urgent orders — global-scalar threshold + anti
+    // join. Money quantizes to exact BIGINT cents at the source
+    // (round of an identical IEEE double product), and the
+    // above-average test is cents·n > total (multiplication, no
+    // rounding division); the threshold is a 1-row broadcast. The
+    // anti join pushes its priority predicate into the orders scan
+    // (filter-then-anti-join ≡ NOT EXISTS with the predicate), so the
+    // fact side is pre-shrunk before the one shuffle.
+    "q_idle_capital" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("_cents"))
+      val thr = cust.filter(col("_cents") > 0L)
+        .agg(count(lit(1)).as("_n"), sum(col("_cents")).as("_tot"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("_cents") * col("_n") > col("_tot"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("_cents")).as("totacctbal_cents"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Bloom-filter semi-join reduction: build m=16384-bit / k=3 bits
+    // over a selective dim subset (parts with p_size >= 40), broadcast
+    // them, probe the fact side's distinct keys — the pre-shuffle
+    // fact-filter pattern (what Spark's runtime bloom pushdown does
+    // natively; the relational form is auditable). Output carries the
+    // exact membership alongside, so false positives are visible
+    // per key and false negatives are provably absent (spec-pinned).
+    "q_bloom_probe" -> ((s, d) => {
+      val m = 16384
+      val k = 3
+      val dim = Tables.part(s, d).filter(col("p_size") >= 40)
+      val bits = graft.operators.Sketch
+        .bloomBits(dim, col("p_partkey"), m, k)
+      graft.operators.Sketch
+        .bloomProbe(bits, Tables.lineitem(s, d), col("l_partkey"), m, k)
+        .join(broadcast(dim.select(col("p_partkey").as("key"),
+          lit(true).as("_act"))), Seq("key"), "left")
+        .select(col("key").as("partkey"), col("bloom_hit"),
+          coalesce(col("_act"), lit(false)).as("actual"))
+        .orderBy("partkey")
+    }),
+
+    // Frontier BFS: hop distances from one customer over the
+    // symmetrized customer↔part purchase graph (see operators/Bfs for
+    // the level-synchronous shape). Distances are exact integers, so
+    // an iterative distributed traversal hash-matches a bounded
+    // recursive CTE replay.
+    "q_bfs_dist" -> ((s, d) => {
+      val e0 = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct()
+      val e = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Bfs.distances(e, col("src"), col("dst"), 2L, 3)
+        .orderBy("dist", "node")
+    }),
+
     // Iterative graph analytics beyond connected components: 3 rounds
     // of exact integer-scaled PageRank over the symmetrized
     // customer↔part purchase graph (orders ⋈ lineitem, bipartite ids
@@ -1818,6 +2007,114 @@ object BatchQueries {
         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    // same per-order-aggregate collapse of Q21's two EXISTS self-joins
+    "q_late_suppliers" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |             THEN 1 ELSE 0 END) AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |po AS (
+        |  SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late,
+        |    min(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+        |  FROM lo GROUP BY 1),
+        |nw AS (
+        |  SELECT late_supp AS s_suppkey, CAST(count(*) AS BIGINT)
+        |    AS numwait
+        |  FROM po WHERE n_supp > 1 AND n_late = 1 GROUP BY 1)
+        |SELECT s_name, n_name, numwait
+        |FROM nw JOIN supplier USING (s_suppkey)
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_order_dist" ->
+      """WITH co AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""
+        .stripMargin,
+    "q_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supp_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |rs AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |rc AS (
+        |  SELECT c.l_partkey, c.l_suppkey, c.supp_cost,
+        |    min(c.supp_cost) OVER (PARTITION BY c.l_partkey) AS min_cost
+        |  FROM cost c JOIN rs ON c.l_suppkey = rs.s_suppkey)
+        |SELECT rs.s_acctbal, rs.s_name, rs.n_name, p.p_partkey,
+        |  p.p_brand, rc.supp_cost
+        |FROM rc JOIN rs ON rc.l_suppkey = rs.s_suppkey
+        |JOIN part p ON rc.l_partkey = p.p_partkey
+        |WHERE rc.supp_cost = rc.min_cost AND p.p_size >= 30
+        |ORDER BY rs.s_acctbal DESC, rs.n_name, rs.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin,
+    "q_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    SUM(CAST(round((l_extendedprice * (1.0 - l_discount))
+        |      * 10000) AS BIGINT)) AS value_bp
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(value_bp) AS total FROM pv)
+        |SELECT p_partkey, value_bp FROM pv, tot
+        |WHERE value_bp * 1000 > total
+        |ORDER BY value_bp DESC, p_partkey""".stripMargin,
+    "q_idle_capital" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+        |thr AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(cents) AS tot
+        |        FROM cust WHERE cents > 0),
+        |rich AS (SELECT c.* FROM cust c, thr
+        |         WHERE c.cents * thr.n > thr.tot),
+        |idle AS (SELECT r.* FROM rich r WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+        |   AND o.o_orderpriority = '1-URGENT'))
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+        |FROM idle GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "q_bloom_probe" ->
+      """WITH bits AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(r AS VARCHAR)
+        |      || ':' || CAST(p_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 16384 AS bit
+        |  FROM part, range(3) t(r) WHERE p_size >= 40),
+        |probe AS (SELECT DISTINCT l_partkey AS key FROM lineitem),
+        |pb AS (
+        |  SELECT p.key, CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR)
+        |      || ':' || CAST(p.key AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 16384 AS bit
+        |  FROM probe p, range(3) t(r)),
+        |hits AS (SELECT key, count(b.bit) AS nb
+        |  FROM pb LEFT JOIN bits b USING (bit) GROUP BY key),
+        |act AS (SELECT p_partkey AS key, TRUE AS actual FROM part
+        |        WHERE p_size >= 40)
+        |SELECT h.key AS partkey, (nb = 3) AS bloom_hit,
+        |  COALESCE(actual, FALSE) AS actual
+        |FROM hits h LEFT JOIN act USING (key)
+        |ORDER BY partkey""".stripMargin,
+    "q_bfs_dist" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |walk(node, d) AS (
+        |  SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.node
+        |  WHERE walk.d < 3)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY dist, node""".stripMargin,
     "q_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
         |              l_partkey * 2 + 1 AS dst

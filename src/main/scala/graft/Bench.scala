@@ -11,8 +11,10 @@ package graft
   *  - each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and
   *    reports the MEDIAN — single-shot numbers on a noisy box varied
   *    28–85s across identical code, making regressions undetectable;
-  *  - the JSON line is also written to `BENCH.json`, so the driver
-  *    never has to fish it out of interleaved sbt/log4j output.
+  *  - the COMPLETE record (all per-query medians, row counts, per-rep
+  *    seconds+loadavg) is written to `BENCH.json`; stdout carries a
+  *    length-capped headline line sized to survive the driver's
+  *    2000-char tail capture (see the layout comment below).
   *
   * Materialization (round-4 verdict finding #1): timing `df.count()`
   * lets Catalyst rewrite the plan under `count(1)` — unreferenced
@@ -126,13 +128,18 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
-    // stdout line layout (round-8): the driver archives only the LAST
-    // 2000 chars of the run's output (every BENCH_r{1..7}.json shows a
-    // 2000-char `tail` and `parsed: null` — the ~15 KB line never fit),
-    // so the fields a reader wants most — per-query medians and the
-    // total — go LAST, where a tail capture keeps them. Low-priority
-    // bulk (per-query row counts, per-rep seconds+loadavg) moves to the
-    // BENCH.json file only, which carries the complete record.
+    // stdout line layout (round-11; supersedes the round-8 attempt):
+    // the driver archives only the LAST 2000 chars of the run's output
+    // and then tries to parse a JSON line out of that tail — every
+    // BENCH_r{1..10}.json shows `parsed: null` because even with
+    // queries-last ordering the 173-query line is ~3.6 KB, so its
+    // opening brace never survives the tail cut. The stdout line must
+    // therefore FIT ENTIRELY inside the tail (with headroom for sbt's
+    // trailing "[success] Total time" line): print the total plus the
+    // slowest headline queries, length-capped, and nothing else on
+    // stdout. The complete per-query record (all medians, row counts,
+    // per-rep seconds+loadavg) goes to the BENCH.json file, which the
+    // quiesced BENCH_LOCAL_r{N} snapshots are committed from.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }
@@ -146,9 +153,25 @@ object Bench {
     val total = timings.values.sum
     val head = s""""metric":"total","unit":"sec","reps":$reps,""" +
       s""""loadavg_start":$loadavgStart,"sf":${jstr(sfDir)},"errors":$es"""
-    val line = s"""{$head,"queries":$qs,"value":${r3(total)}}"""
     val full = s"""{$head,"rows":$rs,"rep_secs_loadavg":$reph,""" +
       s""""queries":$qs,"value":${r3(total)}}"""
+    // Headline subset for the stdout line: slowest-first (the queries a
+    // perf reader wants), greedily packed under a 1400-char budget for
+    // the whole line — comfortably inside the 2000-char tail even after
+    // sbt appends its success banner.
+    val lineBudget = 1400
+    val headlineEntries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fixedOverhead = head.length + 120 // braces, keys, value, n_queries
+    var used = fixedOverhead
+    timings.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      val ent = s"${jstr(k)}:${r3(v)}"
+      if (used + ent.length + 1 <= lineBudget) {
+        headlineEntries += ent; used += ent.length + 1
+      }
+    }
+    val line = s"""{$head,"n_queries":${timings.size},""" +
+      s""""queries":${headlineEntries.mkString("{", ",", "}")},""" +
+      s""""queries_full":"BENCH.json","value":${r3(total)}}"""
     println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),

@@ -11,9 +11,9 @@ import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{CharGramBuckets, Cusum, DotProduct, Ema,
-  GramSetCount, LongDot, MinHashBands, MinHashSignature, NfcNormalize,
-  PunctCount, Shingles, SimHash, SortedOverlapCount, SubtokenCount,
-  WordSetCount}
+  GramSetCount, LongDot, MinHashBands, MinHashSignature,
+  MinHashSignatureMod, NfcNormalize, PunctCount, Shingles, SimHash,
+  SortedOverlapCount, SubtokenCount, WordSetCount}
 
 /** SQL surface for graft's custom expressions.
   *
@@ -69,6 +69,11 @@ object GraftFunctions {
       "minhash_bands(array<string>, k, b) - b LSH band keys over a k-MinHash",
       c => MinHashBands(c(0), intArg(c(1), "minhash_bands k"),
         intArg(c(2), "minhash_bands b"))),
+    ("minhash_signature_mod",
+      "minhash_signature_mod(array<long>, k) - k-component mod-p " +
+        "(p=2^61-1) MinHash over pre-hashed grams, SQL-replayable",
+      c => MinHashSignatureMod(c(0),
+        intArg(c(1), "minhash_signature_mod k"))),
     ("shingles",
       "shingles(array<string>, n) - distinct word n-gram shingles",
       c => Shingles(c(0), intArg(c(1), "shingles n"))),

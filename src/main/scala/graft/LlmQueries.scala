@@ -79,6 +79,23 @@ object LlmQueries {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, MOSS):
+    // the positional-guarantee dedup family — every shared token run
+    // of >= window+shingleN-1 yields a shared fingerprint. Pairs
+    // sharing >= 8 fingerprints, with fingerprint-set Jaccard.
+    "q_winnow" -> ((s, d) =>
+      Dedup.winnowPairs(docs(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_a", "doc_b")),
+
+    // SQL-parity MinHash-LSH audit: the ONLY query whose oracle
+    // recomputes the LSH *internals* — mod-p signatures, band keys,
+    // candidate set, component-match estimate — rather than
+    // brute-forcing the final pair set. One row per candidate pair
+    // with the estimation-error / candidate-precision evidence.
+    "q_lsh_parity" -> ((s, d) =>
+      Dedup.lshParityAudit(docs(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_a", "doc_b")),
+
     // Near-dup pairs closed transitively into duplicate CLUSTERS via
     // distributed connected components (alternating large-star /
     // small-star; no adjacency lists, no driver-side graph). Every doc
@@ -268,6 +285,47 @@ object LlmQueries {
           col("df"), col("term_rank"))
         .orderBy("doc_id", "term_rank")),
 
+    // HyperLogLog registers over corpus word 3-grams — the mergeable
+    // distinct-count sketch as an exact-integer relation (see
+    // operators/CardSketch for why every register and the harmonic
+    // denominator are hash-gateable). Corpus-sized work is one
+    // map-side-combinable max; the output is ≤ 256 rows.
+    "q_hll_ngrams" -> ((s, d) => {
+      val grams = docs(s, d)
+        .select(graft.operators.TermStats.cleanWords(col("text"))
+          .as("_ws"))
+        .select(explode(
+          graft.operators.TermStats.ngrams(col("_ws"), 3)).as("gram"))
+      graft.operators.CardSketch.hllRegisters(grams, col("gram"), 8)
+        .orderBy("bucket")
+    }),
+
+    // The one-row HLL summary: exact scaled harmonic denominator +
+    // the raw estimate (fixed-shape double over exact integers, the
+    // chi-square recipe) + the exact distinct count as audit column.
+    "q_hll_estimate" -> ((s, d) => {
+      val grams = docs(s, d)
+        .select(graft.operators.TermStats.cleanWords(col("text"))
+          .as("_ws"))
+        .select(explode(
+          graft.operators.TermStats.ngrams(col("_ws"), 3)).as("gram"))
+      val est = graft.operators.CardSketch.hllEstimate(
+        graft.operators.CardSketch.hllRegisters(grams, col("gram"), 8), 8)
+      est.crossJoin(broadcast(
+        grams.agg(count_distinct(col("gram")).as("n_exact"))))
+        .select(col("n_used"), col("s_scaled"), col("n_empty"),
+          col("estimate"), col("n_exact"))
+    }),
+
+    // Materialized posting lists — the retrieval-index build next to
+    // the scorers (tfidf/bm25): per-term df, total tf, and the
+    // capped ascending doc-id list. See TermStats.invertedIndex for
+    // the cap-vs-stopword scale contract.
+    "q_inverted_index" -> ((s, d) =>
+      graft.operators.TermStats
+        .invertedIndex(docs(s, d), col("doc_id"), col("text"), 5, 20)
+        .orderBy(col("df").desc, col("term"))),
+
     // BM25 top terms — the retrieval scorer TF-IDF approximates
     // (saturating tf, doc-length normalization). Gate surface is the
     // integer columns + rank, same contract as q_tfidf: the raw
@@ -431,6 +489,23 @@ object LlmQueries {
       graft.operators.Bpe.train(Tables.documents(s, d), col("doc_id"),
           col("text"), rounds = 3)
         .orderBy("round")),
+
+    // BPE ENCODING: train-once / apply-everywhere — the trained merge
+    // table (O(rounds) driver metadata) is applied to the corpus in
+    // rank order and the resulting token usage is aggregated. The
+    // whole merge chain partitions by the same (doc, word) key, so
+    // Catalyst plans ONE exchange for all R window passes; the oracle
+    // replays the identical rounds and aggregates t{R}.
+    "q_bpe_encode" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+      val merges = graft.operators.Bpe.trainedMerges(corpus,
+        col("doc_id"), col("text"), rounds = 3)
+      graft.operators.Bpe.encode(corpus, col("doc_id"), col("text"), merges)
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occ").desc, col("tok")).limit(50)
+    }),
 
     // Tokenizer-vocabulary coverage: vocab = top-100 corpus terms by
     // frequency (ties to the lexicographically smaller term), then the
@@ -674,6 +749,16 @@ object LlmQueries {
         .withColumnRenamed("id", "vec_id")
         .orderBy("sel_rank")),
 
+    // MMR diverse top-10 for query vector 0 (Carbonell-Goldstein,
+    // λ=1/2 ⇒ integer rel − redundancy objective): k narrow scans +
+    // TakeOrdered top-1s under the Coreset/KMeans integer-exactness
+    // recipe; the oracle unrolls every selection round.
+    "q_mmr" -> ((s, d) =>
+      graft.operators.Mmr.diverseTopK(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), queryId = 0L, k = 10)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("sel_rank")),
+
     // The coverage clustering the k-center traversal implies: every
     // vector assigned to its nearest selected exemplar with the exact
     // integer distance — max(dist) here IS the k-center objective.
@@ -716,6 +801,19 @@ object LlmQueries {
           col("doc_id"), col("n_chars"), k = 50)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+
+    // Rendezvous (highest-random-weight) sharding: stable doc→shard
+    // assignment for a 16-shard fleet plus the balance audit (docs and
+    // char mass per shard). One narrow scan, 16 codegen'd weight
+    // expressions per row, no shuffle before the 16-group aggregate;
+    // unlike `% 16`, growing the fleet relocates only ~1/17 of keys.
+    "q_shard_assign" -> ((s, d) =>
+      graft.operators.Sampling.rendezvousShard(
+          Tables.documents(s, d).select("doc_id", "n_chars"),
+          col("doc_id"), shards = 16)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("shard")),
 
     // Count-min sketch heavy hitters with the md5-prefix hash family:
     // top-20 corpus terms by CMS estimate with the exact count
@@ -1464,6 +1562,68 @@ object LlmQueries {
         |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
         |  FROM s)
         |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "q_hll_ngrams" ->
+      """WITH toks AS (SELECT
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+        |                w -> w <> '') AS ws
+        |  FROM documents),
+        |grams AS (SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |    for i in range(1, len(ws) - 1)]) AS gram
+        |  FROM toks WHERE len(ws) >= 3),
+        |h AS (SELECT CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)
+        |        AS h FROM grams),
+        |parts AS (SELECT h // 4503599627370496 AS bucket,
+        |                 h % 4503599627370496 AS w FROM h)
+        |SELECT bucket,
+        |  CAST(max(CASE WHEN w = 0 THEN 53
+        |                ELSE 53 - length(bin(w)) END) AS BIGINT) AS max_rho
+        |FROM parts GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_hll_estimate" ->
+      """WITH toks AS (SELECT
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+        |                w -> w <> '') AS ws
+        |  FROM documents),
+        |grams AS (SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |    for i in range(1, len(ws) - 1)]) AS gram
+        |  FROM toks WHERE len(ws) >= 3),
+        |h AS (SELECT CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)
+        |        AS h FROM grams),
+        |parts AS (SELECT h // 4503599627370496 AS bucket,
+        |                 h % 4503599627370496 AS w FROM h),
+        |regs AS (SELECT bucket,
+        |    max(CASE WHEN w = 0 THEN 53
+        |             ELSE 53 - length(bin(w)) END) AS max_rho
+        |  FROM parts GROUP BY bucket),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - max_rho AS INT))
+        |      AS BIGINT) AS s_used
+        |  FROM regs),
+        |e AS (SELECT n_used,
+        |    s_used + (256 - n_used) * CAST(9007199254740992 AS BIGINT)
+        |      AS s_scaled,
+        |    256 - n_used AS n_empty
+        |  FROM s),
+        |x AS (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS n_exact
+        |      FROM grams)
+        |SELECT n_used, s_scaled, n_empty,
+        |  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |    CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) *
+        |  CAST(65536.0 AS DOUBLE) *
+        |  (CAST(9007199254740992.0 AS DOUBLE) /
+        |    CAST(s_scaled AS DOUBLE)) AS estimate,
+        |  n_exact
+        |FROM e, x""".stripMargin,
+    "q_inverted_index" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t WHERE term <> '' GROUP BY doc_id, term)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS tf_total,
+        |  (list(doc_id ORDER BY doc_id))[1:20] AS postings
+        |FROM tf GROUP BY term HAVING count(*) >= 5
+        |ORDER BY df DESC, term""".stripMargin,
     "q_bm25" -> {
       // Interpolated k1+1 keeps the exact Scala double (round-trip
       // printed); bare fractional literals are DECIMAL in DuckDB, so
@@ -1664,8 +1824,44 @@ object LlmQueries {
         |SELECT vec_id, cl AS cluster, CAST(dist AS BIGINT) AS dist
         |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin),
     "q_kcenter" -> kcenterOracle(8),
+    "q_mmr" -> mmrOracle(10, 0L),
     "q_kcenter_assign" -> kcenterOracle(8, assign = true),
     "q_bpe_merges" -> bpeOracle(3),
+    "q_bpe_encode" -> bpeEncodeOracle(3),
+    "q_lsh_parity" -> lshParityOracle(16, 4),
+    // winnowing replay: positional trigram md5-prefix hashes, sliding
+    // min over each 4-gram window (1-based pos >= 4 == the engine's
+    // 0-based pos >= 3), distinct fingerprints, fp-keyed pair counts
+    "q_winnow" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(text, '[ \t\n\r\f]+') AS w
+        |  FROM documents),
+        |gg AS (SELECT doc_id, generate_subscripts(gs, 1) AS pos,
+        |         unnest(gs) AS gram
+        |  FROM (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w) - 1)] AS gs
+        |        FROM t)),
+        |gh AS (SELECT doc_id, pos,
+        |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM gg),
+        |wm AS (SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM gh),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= 4),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+        |       FROM fp GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared, na.n_fp AS n_fp_a,
+        |  nb.n_fp AS n_fp_b,
+        |  CAST(n_shared AS DOUBLE) / (na.n_fp + nb.n_fp - n_shared)
+        |    AS jaccard_fp
+        |FROM pr
+        |JOIN nf na ON na.doc_id = pr.doc_a
+        |JOIN nf nb ON nb.doc_id = pr.doc_b
+        |WHERE n_shared >= 8 ORDER BY doc_a, doc_b""".stripMargin,
     "q_priority_sample" ->
       """WITH w AS (
         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
@@ -1682,6 +1878,28 @@ object LlmQueries {
         |SELECT s.doc_id, s.w, s.priority,
         |  greatest(CAST(s.w AS DOUBLE), thr.tau) AS w_hat
         |FROM s, thr ORDER BY doc_id""".stripMargin,
+    // the rendezvous weight chain is hashBucket over the mixed key
+    // (doc_id mod p)*1000003 + s, spelled in exact BIGINT arithmetic;
+    // ties break (w DESC, s DESC) — the engine's struct-max convention
+    "q_shard_assign" ->
+      """WITH a0 AS (
+        |  SELECT doc_id, n_chars, r.s,
+        |    (((((((doc_id % 1000000007) * 1000003 + r.s) % 1000000007)
+        |      * 2654435761) % 1000000007 + 40503) * 2654435761)
+        |      % 1000000007) AS r2
+        |  FROM documents CROSS JOIN range(0, 16) r(s)),
+        |a AS (
+        |  SELECT doc_id, n_chars, s,
+        |    ((((r2 * r2) % 1000000007) + 40503) * 2654435761)
+        |      % 1000000007 AS w
+        |  FROM a0),
+        |b AS (SELECT doc_id, n_chars, s AS shard,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY w DESC, s DESC) AS rn
+        |  FROM a)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM b WHERE rn = 1 GROUP BY shard ORDER BY shard""".stripMargin,
     "q_semantic_dedup" ->
       (kmeansCte + """,
         |fin AS (SELECT vec_id, cl FROM a2 WHERE rn = 1),
@@ -1962,7 +2180,89 @@ object LlmQueries {
     * contributes zero rows — the oracle's form of the trainer's
     * early stop.
     */
-  private def bpeOracle(rounds: Int): String = {
+  private def bpeOracle(rounds: Int): String =
+    bpeCtes(rounds) + (1 to rounds).map(n =>
+      s"""SELECT CAST($n AS BIGINT) AS round, ltok AS "left",
+         |  rtok AS "right", ltok || rtok AS merged, freq
+         |FROM b$n""".stripMargin)
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY round")
+
+  /** Corpus ENCODING under the trained vocabulary: the same unrolled
+    * round CTEs, but the payload is the FINAL symbol relation t{R} —
+    * token usage stats after all merges applied (what
+    * [[graft.operators.Bpe.encode]] materializes).
+    */
+  private def bpeEncodeOracle(rounds: Int): String =
+    bpeCtes(rounds) + s"""
+      |SELECT tok, CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM t$rounds GROUP BY tok
+      |ORDER BY n_occ DESC, tok LIMIT 50""".stripMargin
+
+  /** The SQL-parity LSH pipeline replayed end to end: md5-prefix gram
+    * hashes → mod-p minwise signatures (coefficients inlined from
+    * [[graft.functions.MinHashMod.consts]], products exact via
+    * HUGEINT) → textual band keys → banded candidate pairs →
+    * component-match estimate + exact Jaccard. Mirrors
+    * [[graft.operators.Dedup.lshParityAudit]] stage for stage.
+    */
+  private def lshParityOracle(k: Int, bands: Int): String = {
+    val (as, bs) = graft.functions.MinHashMod.consts(k)
+    val r = k / bands
+    val constRows = (0 until k)
+      .map(j => s"(${j + 1}, ${as(j)}, ${bs(j)})").mkString(", ")
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split_regex(text, '[ \\t\\n\\r\\f]+') AS w
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                   for i in range(1, len(w)-1)]) AS sh
+       |  FROM t),
+       |gh AS MATERIALIZED (SELECT doc_id,
+       |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS g FROM s)),
+       |cn(j, a, b) AS (VALUES $constRows),
+       |sigc AS MATERIALIZED (
+       |  SELECT doc_id, cn.j,
+       |    min(CAST((CAST(cn.a AS HUGEINT) * gh.h + cn.b)
+       |             % 2305843009213693951 AS BIGINT)) AS v
+       |  FROM gh CROSS JOIN cn GROUP BY 1, 2),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id, list(v ORDER BY j) AS sig FROM sigc GROUP BY 1),
+       |bd AS MATERIALIZED (
+       |  SELECT doc_id, rb.b AS band,
+       |    array_to_string(sig[rb.b*$r+1 : rb.b*$r+$r], ',') AS bk
+       |  FROM sig CROSS JOIN range(0, $bands) rb(b)),
+       |cand AS MATERIALIZED (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared_bands
+       |  FROM bd x JOIN bd y ON x.band = y.band AND x.bk = y.bk
+       |    AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |mm AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(sum(CASE WHEN xa.v = xb.v THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_match_sig
+       |  FROM cand c
+       |  JOIN sigc xa ON xa.doc_id = c.doc_a
+       |  JOIN sigc xb ON xb.doc_id = c.doc_b AND xb.j = xa.j
+       |  GROUP BY 1, 2),
+       |hs AS (SELECT doc_id, list(h) AS hs FROM gh GROUP BY 1),
+       |ej AS (
+       |  SELECT c.doc_a, c.doc_b, c.n_shared_bands, m.n_match_sig,
+       |    len(list_intersect(a.hs, b.hs)) AS ovl,
+       |    len(a.hs) AS na, len(b.hs) AS nb
+       |  FROM cand c
+       |  JOIN mm m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, n_shared_bands, n_match_sig,
+       |  CAST(n_match_sig AS DOUBLE) / ${k}.0 AS est_jaccard,
+       |  CAST(ovl AS DOUBLE) / (na + nb - ovl) AS exact_jaccard
+       |FROM ej ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def bpeCtes(rounds: Int): String = {
     val b = new StringBuilder
     b ++= """WITH wd AS MATERIALIZED (
             |  SELECT doc_id, generate_subscripts(ws, 1) AS widx,
@@ -2017,11 +2317,63 @@ object LlmQueries {
               |    FROM h$n)
               |  WHERE NOT consumed)""".stripMargin
     }
-    b ++= (1 to rounds).map(n =>
-      s"""SELECT CAST($n AS BIGINT) AS round, ltok AS "left",
-         |  rtok AS "right", ltok || rtok AS merged, freq
-         |FROM b$n""".stripMargin)
-      .mkString("\n", "\nUNION ALL ", "\nORDER BY round")
+    b.toString
+  }
+
+  /** The MMR selection loop unrolled round for round — the
+    * [[kcenterOracle]] recipe with the objective flipped to
+    * rel − running-max-redundancy (greatest instead of least,
+    * argmax ordered (rel − red) DESC then vec_id).
+    */
+  private def mmrOracle(k: Int, queryId: Long): String = {
+    val b = new StringBuilder
+    b ++= s"""WITH q AS (
+             |  SELECT vec_id,
+             |    [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+             |     FOR x IN embedding] AS q
+             |  FROM embeddings WHERE embedding IS NOT NULL
+             |),
+             |qx AS MATERIALIZED (
+             |  SELECT vec_id, generate_subscripts(q, 1) AS pos,
+             |         unnest(q) AS v FROM q),
+             |qv AS MATERIALIZED (SELECT pos, v FROM qx
+             |        WHERE vec_id = $queryId),
+             |rel AS MATERIALIZED (SELECT x.vec_id,
+             |          CAST(sum(x.v * qv.v) AS BIGINT) AS rel
+             |        FROM qx x JOIN qv ON qv.pos = x.pos
+             |        WHERE x.vec_id <> $queryId GROUP BY 1),
+             |s1 AS MATERIALIZED (SELECT vec_id, rel,
+             |          CAST(0 AS BIGINT) AS red
+             |        FROM rel ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+    for (t <- 2 to k) {
+      val p = t - 1
+      val prior = (1 until t).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      // redundancy relation after p selections: running max dot
+      b ++= s""",
+              |cc$p AS MATERIALIZED (SELECT pos, v FROM qx
+              |         WHERE vec_id = (SELECT vec_id FROM s$p)),
+              |dd$p AS MATERIALIZED (SELECT x.vec_id,
+              |           CAST(sum(x.v * c.v) AS BIGINT) AS d
+              |         FROM qx x JOIN cc$p c ON c.pos = x.pos
+              |         WHERE x.vec_id <> $queryId GROUP BY 1),
+              |md$p AS MATERIALIZED (""".stripMargin
+      if (p == 1) b ++= s"""
+              |  SELECT vec_id, d AS red FROM dd1)""".stripMargin
+      else b ++= s"""
+              |  SELECT m.vec_id, greatest(m.red, dd$p.d) AS red
+              |  FROM md${p - 1} m JOIN dd$p USING (vec_id))""".stripMargin
+      b ++= s""",
+              |s$t AS MATERIALIZED (
+              |  SELECT r.vec_id, r.rel, m.red
+              |  FROM rel r JOIN md$p m USING (vec_id)
+              |  WHERE r.vec_id NOT IN ($prior)
+              |  ORDER BY r.rel - m.red DESC, r.vec_id LIMIT 1)""".stripMargin
+    }
+    b ++= (1 to k).map(t =>
+      s"""SELECT CAST($t AS BIGINT) AS sel_rank, vec_id, rel, red,
+         |  rel - red AS mmr FROM s$t""".stripMargin)
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY sel_rank")
     b.toString
   }
 

@@ -85,6 +85,99 @@ abstract class MinHashBase extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 }
 
+/** SQL-parity MinHash over the mod-p affine family: sig_j = min over
+  * pre-hashed grams h of (a_j·h + b_j) mod p, p = 2⁶¹ − 1 (Mersenne).
+  *
+  * Why a second family exists: the production signature
+  * ([[MinHashSignature]]) rehashes with WRAPPING 64-bit affine steps —
+  * fast, but not expressible in an engine whose BIGINT errors on
+  * overflow, so the LSH internals could only ever be checked by
+  * brute-forcing the final pair set. This family does the same minwise
+  * construction in modular arithmetic that DuckDB replays EXACTLY with
+  * HUGEINT intermediates (`(a::HUGEINT * h + b) % p`), putting
+  * signatures, band keys, candidate generation, and the
+  * matching-component Jaccard estimate all under the DuckDB hash gate
+  * (q_lsh_parity). Input grams are [[Shingles.md5Prefix60]] values
+  * (< 2⁶⁰ < p); a_j ∈ [1, p−1], b_j ∈ [0, p−1] from a fixed seed —
+  * [[MinHashMod.consts]] is the single source the oracle SQL inlines.
+  *
+  * (a·h) mod p without 128-bit types: with hi:lo the unsigned 128-bit
+  * product, 2⁶⁴ ≡ 8 and 2⁶¹ ≡ 1 (mod p), so a·h ≡ (hi·8) + (lo ≫ 61)
+  * + (lo & p) — each term < 2⁶¹ (hi < 2⁵⁷ because a < 2⁶¹, h < 2⁶⁰),
+  * the sum < 2⁶², and one fold + conditional subtract lands in [0, p).
+  * Math.multiplyHigh is the signed high word, which equals the
+  * unsigned one for non-negative operands.
+  */
+object MinHashMod {
+  val P: Long = (1L << 61) - 1
+
+  /** The j-indexed (a, b) coefficient arrays for a k-component
+    * signature — deterministic, and inlined verbatim into the oracle
+    * SQL by the query layer.
+    */
+  def consts(k: Int): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.SplittableRandom(0x6c736870726974L) // "lshprit"
+    (Array.fill(k)(rnd.nextLong(P - 1L) + 1L),
+      Array.fill(k)(rnd.nextLong(P)))
+  }
+
+  /** Fold x < 2⁶² into [0, p). */
+  @inline private def modP(x: Long): Long = {
+    val r = (x & P) + (x >>> 61)
+    if (r >= P) r - P else r
+  }
+
+  /** (a·h) mod p for 0 ≤ a < p, 0 ≤ h < 2⁶⁰. */
+  @inline def mulmod(a: Long, h: Long): Long = {
+    val hi = Math.multiplyHigh(a, h)
+    val lo = a * h
+    modP((hi << 3) + (lo >>> 61) + (lo & P))
+  }
+}
+
+/** `minhash_signature_mod(gram_hashes)` → array<long> of k mod-p
+  * minwise components (see [[MinHashMod]]). Input must be
+  * `array<long>` of md5-parity gram hashes; same single-pass shape and
+  * codegen strategy as [[MinHashBase]].
+  */
+case class MinHashSignatureMod(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "minhash_signature_mod"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val (aConsts, bConsts) = MinHashMod.consts(k)
+
+  def compute(arr: ArrayData): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        var v = MinHashMod.mulmod(aConsts(j), h) + bConsts(j)
+        if (v >= MinHashMod.P) v -= MinHashMod.P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashmod", this,
+      classOf[MinHashSignatureMod].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSignatureMod = copy(child = newChild)
+}
+
 /** `minhash_signature(shingles)` → array<long> of k components. */
 case class MinHashSignature(child: Expression, k: Int) extends MinHashBase {
   override def prettyName: String = "minhash_signature"

@@ -86,6 +86,27 @@ object Bpe {
           .otherwise(col("tok")).as("tok"))
   }
 
+  /** ENCODE a corpus with a trained merge list: apply each (left,
+    * right) merge in rank order to the character-symbol relation —
+    * the production contract of a tokenizer (train once, apply to
+    * every new batch). Returns the final (doc_id, widx, pos, tok)
+    * symbol relation; `pos` stays sparse (order-only, the
+    * [[applyMerge]] contract).
+    *
+    * Scale shape: the merge list is O(rounds) driver metadata and
+    * every round's window pass partitions by the SAME (doc_id, widx)
+    * key, so Catalyst plans ONE exchange for the whole chain — the
+    * R merge applications run back-to-back inside each task with no
+    * intermediate shuffle or persist (unlike training, which must
+    * materialize each round to count pairs before choosing the next
+    * merge).
+    */
+  def encode(df: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(charSymbols(df, id, text)) {
+      case (s, (l, r)) => applyMerge(s, l, r)
+    }
+
   /** Train `rounds` BPE merges over `text`: one row per learned
     * merge, (round 1.., left, right, merged, freq) with freq the
     * exact corpus-wide adjacent-pair count at the moment the merge
@@ -95,14 +116,40 @@ object Bpe {
     */
   def train(df: DataFrame, id: Column, text: Column,
       rounds: Int): DataFrame = {
-    require(rounds >= 1, "rounds must be >= 1")
     val spark = df.sparkSession
+    val out = trainLoop(df, id, text, rounds)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.map {
+        case (n, l, r, m, f) => Row(n, l, r, m, f)
+      }, 1),
+      StructType(Seq(StructField("round", LongType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("freq", LongType, nullable = false))))
+  }
+
+  /** The trained merge list as driver metadata — the form [[encode]]
+    * consumes (rank order preserved).
+    */
+  def trainedMerges(df: DataFrame, id: Column, text: Column,
+      rounds: Int): Seq[(String, String)] =
+    trainLoop(df, id, text, rounds).map(t => (t._2, t._3))
+
+  private def trainLoop(df: DataFrame, id: Column, text: Column,
+      rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    require(rounds >= 1, "rounds must be >= 1")
     var syms = Bridge.persistRows(charSymbols(df, id, text))
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     val wOrd = Window.partitionBy("doc_id", "widx").orderBy("pos")
     var round = 1
     var done = false
+    // the previous round's persisted relation: freed only AFTER the
+    // current round's top-1 job has materialized `syms` (persistRows
+    // is lazy — freeing `prev` before that job would force the new
+    // round to recompute the whole merge chain from the source)
+    var prev: DataFrame = null
     while (round <= rounds && !done) {
       val top = syms
         .withColumn("_nx", lead(col("tok"), 1).over(wOrd))
@@ -111,26 +158,19 @@ object Bpe {
         .agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("l"), col("r")).limit(1)
         .collect()
+      if (prev != null) { Bridge.unpersistRows(prev); prev = null }
       if (top.isEmpty || top.head.getAs[Long]("freq") < 2L) done = true
       else {
         val (l, r, f) = (top.head.getString(0), top.head.getString(1),
           top.head.getAs[Long]("freq"))
         out += ((round.toLong, l, r, l + r, f))
         val next = Bridge.persistRows(applyMerge(syms, l, r))
-        syms.unpersist()
+        prev = syms
         syms = next
         round += 1
       }
     }
-    syms.unpersist()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toSeq.map {
-        case (n, l, r, m, f) => Row(n, l, r, m, f)
-      }, 1),
-      StructType(Seq(StructField("round", LongType, nullable = false),
-        StructField("left", StringType, nullable = false),
-        StructField("right", StringType, nullable = false),
-        StructField("merged", StringType, nullable = false),
-        StructField("freq", LongType, nullable = false))))
+    Bridge.unpersistRows(syms)
+    out.toSeq
   }
 }

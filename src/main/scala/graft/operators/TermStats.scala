@@ -86,6 +86,48 @@ object TermStats {
       .drop("_n")
   }
 
+  /** Materialized inverted index — the retrieval-side posting-list
+    * build every search/RAG stack runs over its corpus: one row per
+    * term with document frequency, total term frequency, and the
+    * posting list (ascending doc ids, truncated to `postingsCap`).
+    *
+    * The cap is the scale contract: a stopword's full posting list at
+    * corpus scale is O(N) doc ids IN ONE ROW — an unbounded
+    * collect_list is the classic single-row OOM. The cap is enforced
+    * BEFORE aggregation (a row_number rank over (term, doc-id order)
+    * gates which ids enter the list), so the aggregation buffer never
+    * holds more than `postingsCap` ids per term — capping only in a
+    * final slice would still build the full list in memory first.
+    * df/tf_total stay exact over the FULL corpus; a production shard
+    * would range-partition postings by (term, docid-block), which is
+    * this same relation grouped by an additional `_id div B` key.
+    * `minDf` prunes the hapax tail (the vast majority of distinct
+    * terms) downstream.
+    *
+    * Shape: explode → (doc, term) count with map-side combine → the
+    * rank window and the term rollup both partition by term, so
+    * Catalyst plans ONE exchange for window + groupBy together (the
+    * window adds a within-partition sort, not a shuffle). Everything
+    * is exact integers/strings (hash-gateable).
+    */
+  def invertedIndex(df: DataFrame, id: Column, text: Column,
+      minDf: Int, postingsCap: Int): DataFrame = {
+    require(minDf >= 1, "minDf must be >= 1")
+    require(postingsCap >= 1, "postingsCap must be >= 1")
+    val tf = df.select(id.as("_id"), explode(words(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val ranked = tf.withColumn("_rn", row_number().over(
+      Window.partitionBy(col("term")).orderBy(col("_id"))))
+    ranked.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"),
+        sort_array(collect_list(
+          when(col("_rn") <= postingsCap, col("_id")))).as("postings"))
+      .filter(col("df") >= minDf.toLong)
+  }
+
   /** Top-`k` label-discriminative terms by Pearson chi-square — the
     * classic feature-selection / corpus-diagnosis pass (Yang &
     * Pedersen, "A Comparative Study on Feature Selection in Text

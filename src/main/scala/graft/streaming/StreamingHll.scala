@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Sketch
+
+/** An emitted HLL register after a micro-batch touched its bucket. */
+case class HllRegister(bucket: Long, max_rho: Long)
+
+/** CONTINUOUS HyperLogLog maintenance — the streaming twin of the
+  * oracle-gated batch registers ([[graft.operators.CardSketch]] /
+  * q_hll_ngrams): per-bucket max(rho) carried across micro-batches
+  * with `flatMapGroupsWithState`, using the SAME md5-prefix hash
+  * split, so drained-stream registers are bit-identical to the batch
+  * sketch on any chunking (max is order-free and
+  * duplicate-absorbing). A monitoring consumer reads ≤ 2^mBits rows
+  * and has the live distinct-count estimate of an unbounded stream —
+  * where exact streaming distinct needs O(|distinct|) keyed state.
+  *
+  * Scale: the one shuffle keys on bucket — ≤ 2^mBits live groups
+  * forever; each state value is one long. Update-mode emission: only
+  * buckets touched by a batch re-emit, and only when their register
+  * actually GREW (an unchanged max is not re-emitted — the natural
+  * HLL property that late duplicates are free).
+  */
+object StreamingHll {
+
+  implicit val regEnc: Encoder[HllRegister] = Encoders.product[HllRegister]
+  implicit val obsEnc: Encoder[(Long, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** (bucket, rho) observation rows for a (streaming or batch) item
+    * frame — the same hash split as
+    * [[graft.operators.CardSketch.hllRegisters]].
+    */
+  def observations(df: DataFrame, item: Column,
+      mBits: Int): Dataset[(Long, Long)] = {
+    require(mBits >= 4 && mBits <= 16, "mBits must be in [4, 16]")
+    val wBits = 60 - mBits
+    val wMod = 1L << wBits
+    df.select(Sketch.md5Prefix60(item).as("_h"))
+      .select(expr(s"_h div ${wMod}L").as("bucket"),
+        pmod(col("_h"), lit(wMod)).as("_w"))
+      .select(col("bucket"),
+        when(col("_w") === 0L, lit((wBits + 1).toLong))
+          .otherwise(lit((wBits + 1).toLong) -
+            length(bin(col("_w"))).cast("long")).as("rho"))
+      .as[(Long, Long)]
+  }
+
+  private def updateGroup(bucket: Long, rows: Iterator[(Long, Long)],
+      state: GroupState[Long]): Iterator[HllRegister] = {
+    val prev = state.getOption.getOrElse(0L)
+    var m = prev
+    rows.foreach(r => if (r._2 > m) m = r._2)
+    if (m > prev) {
+      state.update(m)
+      Iterator(HllRegister(bucket, m))
+    } else Iterator.empty
+  }
+
+  /** The live register relation: one (bucket, max_rho) row per bucket
+    * whose register GREW in a micro-batch. The latest row per bucket
+    * IS the sketch (registers only grow).
+    */
+  def registers(obs: Dataset[(Long, Long)]): Dataset[HllRegister] =
+    obs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateGroup _)
+}

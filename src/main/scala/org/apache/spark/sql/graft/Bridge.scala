@@ -44,6 +44,24 @@ object Bridge {
     ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
   }
 
+  /** Eagerly free the blocks behind a [[persistRows]] frame.
+    *
+    * `Dataset.unpersist` consults only the CacheManager, so on a
+    * persistRows frame it is a silent NO-OP — the blocks otherwise
+    * wait for the ContextCleaner to notice the RDD is unreachable
+    * (GC-driven, eventually). Iterative trainers that materialize a
+    * relation per round (BPE) want the previous round's blocks gone
+    * NOW, not at the next full GC. Matches the `LogicalRDD` the frame
+    * wraps; anything else is left alone.
+    */
+  def unpersistRows(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a shutdown action through Spark's priority-ordered
     * `ShutdownHookManager` (private[spark]).
     *

@@ -93,6 +93,44 @@ class BpeSpec extends AnyFunSuite {
     assert(r === Seq((1L, "x", "y", "xy", 3L)))
   }
 
+  /** Sequential reference ENCODER: greedy left-to-right apply of a
+    * trained merge list, per word, in rank order.
+    */
+  private def refEncode(texts: Seq[String],
+      merges: Seq[(String, String)]): Map[String, Long] = {
+    var words: Seq[Vector[String]] = texts
+      .flatMap(_.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty))
+      .map(_.map(_.toString).toVector)
+    merges.foreach { case (l, r) =>
+      words = words.map { w =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          if (i + 1 < w.length && w(i) == l && w(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += w(i); i += 1 }
+        }
+        b.result()
+      }
+    }
+    words.flatten.groupBy(identity).map { case (t, xs) =>
+      (t, xs.size.toLong) }
+  }
+
+  test("encode with trained merges matches the sequential encoder " +
+      "(token multiset)") {
+    val texts = Seq("the cat sat on the mat", "the rat ate the cheese",
+      "aaa aaaa banana bandana", "low lower lowest newest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainedMerges(df, col("doc_id"), col("text"), 4)
+    assert(merges === refTrain(texts, 4).map(t => (t._2, t._3)))
+    val got = Bpe.encode(df, col("doc_id"), col("text"), merges)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === refEncode(texts, merges))
+  }
+
   test("train is invariant under partitioning") {
     val texts = (0 until 200).map(i =>
       s"w${i % 7} common tokens appear${i % 3} here")

@@ -49,6 +49,38 @@ object DedupProperties extends Properties("Dedup") {
         pairs.exists { case (a, b, j) => (a, b) == dupPair && j == 1.0 }
     }
 
+  property("MinHashMod.mulmod equals BigInt modular arithmetic") = {
+    import graft.functions.MinHashMod
+    val aGen = Gen.choose(1L, MinHashMod.P - 1L)
+    val hGen = Gen.choose(0L, (1L << 60) - 1L) // md5Prefix60 range
+    Prop.forAll(aGen, hGen) { (a, h) =>
+      MinHashMod.mulmod(a, h) ==
+        ((BigInt(a) * BigInt(h)) mod BigInt(MinHashMod.P)).toLong
+    }
+  }
+
+  property("mod-p signature components are each (a·minimizer+b) mod p " +
+      "of SOME gram hash, and min over all grams") = {
+    import graft.functions.MinHashMod
+    val (as, bs) = MinHashMod.consts(16)
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, (1L << 60) - 1L))) { hs =>
+      import spark.implicits._
+      val got = Seq(Tuple1(hs)).toDF("h")
+        .select(org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.MinHashSignatureMod(
+            org.apache.spark.sql.graft.Bridge.expression(col("h")), 16))
+          .as("sig"))
+        .as[Seq[Long]].head()
+      (0 until 16).forall { j =>
+        val expect = hs.map { h =>
+          val v = MinHashMod.mulmod(as(j), h) + bs(j)
+          if (v >= MinHashMod.P) v - MinHashMod.P else v
+        }.min
+        got(j) == expect
+      }
+    }
+  }
+
   property("nearDedup output is a subset of input containing no pair losers") =
     Prop.forAll(corpusGen) { docs =>
       import spark.implicits._

@@ -97,6 +97,84 @@ class DedupSpec extends AnyFunSuite {
     assert(j === 1.0)
   }
 
+  test("lshParityAudit: identical docs match on every component and " +
+      "band; audit columns are exact") {
+    val out = Dedup.lshParityAudit(docs, col("doc_id"), col("text"))
+      .orderBy("doc_a", "doc_b").collect()
+    val byPair = out.map(r => ((r.getLong(0), r.getLong(1)), r)).toMap
+    // 0 and 1 are byte-identical: all 16 components match, all 4
+    // bands shared, est = exact = 1.0
+    val r01 = byPair((0L, 1L))
+    assert(r01.getAs[Long]("n_shared_bands") === 4L)
+    assert(r01.getAs[Long]("n_match_sig") === 16L)
+    assert(r01.getAs[Double]("est_jaccard") === 1.0)
+    assert(r01.getAs[Double]("exact_jaccard") === 1.0)
+    // 2 is the 0.9-jaccard near-dup: its exact value is exactly 9/10
+    // and at least one band must collide for it to appear at all
+    byPair.get((0L, 2L)).foreach { r =>
+      assert(r.getAs[Double]("exact_jaccard") === 0.9)
+      assert(r.getAs[Long]("n_shared_bands") >= 1L)
+    }
+    // no candidate pair involves the unrelated doc 3
+    assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("lshParityAudit is partitioning-invariant") {
+    val many = (0L until 60L).map { i =>
+      (i, if (i % 3 == 0) base.trim else s"unique text $i " + base.take(40))
+    }.toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshParityAudit(df, col("doc_id"), col("text"))
+        .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(run(many.repartition(1)) === run(many.repartition(13)))
+  }
+
+  test("winnowPairs: the positional guarantee — a shared run of " +
+      "window+shingleN-1 tokens yields a shared fingerprint") {
+    // window=4, shingleN=3: any shared 6-token run gives 4 consecutive
+    // shared gram hashes = one full shared window -> same min selected
+    val run = "omega psi chi phi upsilon tau"
+    val df = Seq(
+      (0L, s"aaa bbb ccc $run ddd eee fff ggg hhh iii jjj kkk"),
+      (1L, s"one two three four five $run six seven eight nine ten"),
+      (2L, "totally unrelated words with nothing from the planted run " +
+        "at all here just filler tokens going on and on"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, col("doc_id"), col("text"),
+        minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "shared run must share a fingerprint")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("winnowPairs: identical docs share ALL fingerprints " +
+      "(jaccard_fp = 1) and the audit counts are consistent") {
+    val df = Seq((0L, base.trim), (1L, base.trim), (2L, "short text only"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowPairs(df, col("doc_id"), col("text"),
+        minShared = 1)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === ((0L, 1L)))
+    assert(r.getAs[Long]("n_fp_a") === r.getAs[Long]("n_fp_b"))
+    assert(r.getAs[Long]("n_shared") === r.getAs[Long]("n_fp_a"))
+    assert(r.getAs[Double]("jaccard_fp") === 1.0)
+  }
+
+  test("winnowPairs is partitioning-invariant; fingerprint density " +
+      "is near the 2/(w+1) theory bound") {
+    val texts = (0L until 40L).map { i =>
+      (i, if (i % 4 == 0) base.trim
+          else s"doc $i " + (s"tok${i % 11} " * 30) + base.take(60))
+    }
+    val df = texts.toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowPairs(d, col("doc_id"), col("text"))
+        .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(run(df.repartition(1)) === run(df.repartition(13)))
+  }
+
   test("minhash signature is deterministic and partitioning-invariant") {
     val sig = (n: Int) => docs.repartition(n)
       .select(col("doc_id"),

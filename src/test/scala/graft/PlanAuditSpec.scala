@@ -482,6 +482,88 @@ class PlanAuditSpec extends AnyFunSuite {
       "fleissKappa: a metadata relation fell into a shuffle join")
   }
 
+  test("round-11 additions: late-suppliers collapses to aggregates " +
+    "(no self-joins), shard assign is one exchange, lsh parity joins " +
+    "stay equi") {
+    val ls = plan("q_late_suppliers")
+    // the Q21 EXISTS/NOT-EXISTS pair is collapsed into per-order
+    // aggregates: exactly ONE join touches lineitem (orders), the
+    // rest are the broadcast supplier/nation dims — never a
+    // second/third pass over the fact table
+    assert(!ls.contains("NestedLoop") && !ls.contains("CartesianProduct"))
+    Seq("s_suppkey", "n_nationkey").foreach { k =>
+      assert(!("SortMergeJoin [^\\n]*" + k).r.findFirstIn(ls).isDefined,
+        s"dim key $k fell into a shuffle join") }
+    assert(ls.contains("EqualTo(o_orderstatus,F)"),
+      "status filter must reach the orders scan")
+    val sa = plan("q_shard_assign")
+    assert(!sa.contains("Join") && !sa.contains("Window ["),
+      "shard assign is scan + aggregate only")
+    // one hash exchange (the 16-group aggregate); the only other
+    // exchange is the display orderBy's rangepartitioning
+    val ex = "Exchange hashpartitioning".r.findAllIn(sa).size
+    assert(ex === 1, s"expected the single group-by exchange, got $ex")
+    val lp = plan("q_lsh_parity")
+    assert(!lp.contains("NestedLoop") && !lp.contains("CartesianProduct"),
+      "lsh parity candidates must come from band-key equi-joins")
+    val wn = plan("q_winnow")
+    assert(!wn.contains("NestedLoop") && !wn.contains("CartesianProduct"),
+      "winnow pairs must come from the fingerprint equi-join")
+    // the sliding-min window is partitioned by the doc id — an
+    // unpartitioned window over the gram relation would serialize.
+    // q_winnow's executed plan hides it behind the persistRows
+    // boundary (Scan ExistingRDD), so audit the exposed stage relation
+    val fpPlan = graft.operators.Dedup.winnowFingerprints(
+        Tables.documents(spark, dir), org.apache.spark.sql.functions
+          .col("doc_id"), org.apache.spark.sql.functions.col("text"),
+        3, 4)
+      .queryExecution.executedPlan.toString
+    val winLine = fpPlan.linesIterator.find(_.contains("Window [min("))
+    assert(winLine.exists(_.contains("[_id")),
+      s"sliding-min window lost its doc partitioning: $winLine")
+  }
+
+  test("round-11 batch 2: TPC-H shapes push filters and broadcast " +
+    "dims; sketches stay scan-plus-rollup") {
+    // Q13: the priority filter is a plain pushed scan filter on the
+    // null-producing side — never an ON-clause residual
+    val od = plan("q_order_dist")
+    assert(od.contains("Not(EqualTo(o_orderpriority,1-URGENT))") ||
+      od.contains("NOT (o_orderpriority = 1-URGENT)"),
+      "priority filter must reach the orders scan")
+    // Q2: the correlated min is a window partitioned by partkey —
+    // never a single-partition window
+    val mc = plan("q_min_cost_supplier")
+    val mcWin = mc.linesIterator.find(_.contains("Window [min("))
+    assert(mcWin.exists(_.contains("[l_partkey")),
+      s"per-part min window lost its partitioning: $mcWin")
+    assert(mc.contains("TakeOrderedAndProject"),
+      "the limit must be TakeOrdered, not a global sort")
+    // Q11/Q22: the global scalar is a 1-row broadcast, not a shuffle
+    Seq("q_important_parts", "q_idle_capital").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange") ||
+        p.contains("BroadcastQueryStage"),
+        s"$q lost its 1-row threshold broadcast")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // bloom probe: the bits side broadcasts; lineitem is never
+    // shuffle-joined against the bit relation
+    val bp = plan("q_bloom_probe")
+    assert(bp.contains("BroadcastExchange") ||
+      bp.contains("BroadcastQueryStage"),
+      "bloom bits must broadcast")
+    assert(!("SortMergeJoin [^\\n]*bit").r.findFirstIn(bp).isDefined,
+      "the bit-membership join fell into a shuffle join")
+    // HLL: one hash exchange (the bucket rollup) + the display sort —
+    // the corpus-sized work is all map-side partial max
+    val hr = plan("q_hll_ngrams")
+    val hrEx = "Exchange hashpartitioning".r.findAllIn(hr).size
+    assert(hrEx === 1, s"expected the single bucket exchange, got $hrEx")
+    assert(hr.contains("partial_max"),
+      "register rollup must partial-aggregate map-side")
+  }
+
   test("PLANS.md covers every registered query (staleness gate)") {
     // adding a query without regenerating PLANS.md (sbt "runMain
     // graft.tools.DumpPlans") broke two rounds in a row — fail fast

@@ -164,4 +164,44 @@ class SamplingSpec extends AnyFunSuite {
       col("w"), 25).orderBy("id").collect().toSeq
     assert(a === b)
   }
+
+  test("rendezvousShard: growing the fleet S -> S+1 relocates keys " +
+      "ONLY to the new shard (the HRW stability guarantee)") {
+    val df = (0L until 2000L).toDF("id")
+    def shards(s: Int): Map[Long, Long] =
+      Sampling.rendezvousShard(df, col("id"), s)
+        .select("id", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val s16 = shards(16)
+    val s17 = shards(17)
+    // every key either stays put or moves to the NEW shard 16 —
+    // a modulus scheme would scatter movers across all shards
+    s16.foreach { case (k, old) =>
+      assert(s17(k) == old || s17(k) == 16L,
+        s"key $k moved $old -> ${s17(k)}, not to the new shard")
+    }
+    // and some keys DO move (the new shard wins ~1/17 of the time)
+    val moved = s16.count { case (k, old) => s17(k) != old }
+    assert(moved > 0 && moved < 400, s"moved=$moved of 2000")
+    // no shard is empty at 2000 keys / 16 shards
+    assert(s16.values.toSet.size === 16)
+  }
+
+  test("rendezvousShard matches the brute-force argmax and is " +
+      "partition-invariant") {
+    val M = 1000000007L
+    val A = 2654435761L
+    def w(id: Long, s: Long): Long = {
+      val r2 = (((((id % M) * 1000003L + s) % M) * A) % M + 40503L) * A % M
+      ((r2 * r2) % M + 40503L) * A % M
+    }
+    val df = (0L until 500L).toDF("id")
+    val got = Sampling.rendezvousShard(df.repartition(7), col("id"), 8)
+      .select("id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 500L).foreach { id =>
+      val exp = (0L until 8L).maxBy(s => (w(id, s), s))
+      assert(got(id) === exp, s"id=$id")
+    }
+  }
 }

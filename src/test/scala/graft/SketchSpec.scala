@@ -67,6 +67,65 @@ class SketchSpec extends AnyFunSuite {
     assert(viaCol === viaKernel)
   }
 
+  test("bloom filter: no false negatives ever; FP rate in the " +
+      "theoretical ballpark") {
+    val m = 1024
+    val k = 3
+    val keys = (0L until 200L by 2L).toDF("key") // evens only
+    val bits = Sketch.bloomBits(keys, col("key"), m, k)
+    assert(bits.count() <= (100 * k).toLong)
+    val probes = (0L until 400L).toDF("key")
+    val out = Sketch.bloomProbe(bits, probes, col("key"), m, k)
+      .as[(Long, Boolean)].collect().toMap
+    // every built key must hit — the defining one-sided guarantee
+    (0L until 200L by 2L).foreach(kk =>
+      assert(out(kk), s"false negative for $kk"))
+    // FP rate among the 300 non-members: (1-e^(-kn/m))^k ≈ 2.1% at
+    // n=100, m=1024, k=3; allow generous slack for hash variance
+    val nonMembers = (0L until 400L).filterNot(x => x % 2 == 0 && x < 200)
+    val fps = nonMembers.count(out(_))
+    assert(fps.toDouble / nonMembers.size < 0.10,
+      s"implausible FP rate: $fps/${nonMembers.size}")
+  }
+
+  test("HLL registers: merge-by-max == union build; estimate within " +
+      "theoretical error") {
+    import graft.operators.CardSketch
+    val mBits = 8
+    val n = 5000
+    val a = (0 until n / 2).map(i => s"item_$i").toDF("x")
+    val b = (n / 4 until n).map(i => s"item_$i").toDF("x") // overlaps a
+    val union = (0 until n).map(i => s"item_$i").toDF("x")
+    val ra = CardSketch.hllRegisters(a, col("x"), mBits)
+    val rb = CardSketch.hllRegisters(b, col("x"), mBits)
+    val merged = ra.union(rb).groupBy("bucket")
+      .agg(max(col("max_rho")).as("max_rho"))
+      .as[(Long, Long)].collect().toMap
+    val direct = CardSketch.hllRegisters(union, col("x"), mBits)
+      .as[(Long, Long)].collect().toMap
+    assert(merged === direct, "sketch merge must equal union build")
+    val est = CardSketch
+      .hllEstimate(CardSketch.hllRegisters(union, col("x"), mBits), mBits)
+      .select(col("estimate")).as[Double].head()
+    // sigma = 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert(math.abs(est / n - 1.0) < 0.26,
+      s"estimate $est too far from $n")
+  }
+
+  test("HLL registers are duplicate-absorbing and " +
+      "partitioning-invariant") {
+    import graft.operators.CardSketch
+    val base = (0 until 500).map(i => s"v$i")
+    val dups = base ++ base ++ base.take(100)
+    val r1 = CardSketch
+      .hllRegisters(dups.toDF("x").repartition(13), col("x"), 8)
+      .as[(Long, Long)].collect().toSet
+    val r2 = CardSketch
+      .hllRegisters(base.toDF("x").repartition(2), col("x"), 8)
+      .as[(Long, Long)].collect().toSet
+    assert(r1 === r2)
+  }
+
   test("weightedSystematic: heavy rows always kept, size near target") {
     val n = 2000L
     // weights 1..2000: stride = total/target; any row with w >= stride

@@ -80,6 +80,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sql(0).getSeq[Long](3) === sql(1).getSeq[Long](3))
   }
 
+  test("minhash_signature_mod runs from SQL and agrees with the DSL " +
+      "expression") {
+    import graft.functions.{MinHashMod, MinHashSignatureMod}
+    Seq((0L, Seq(17L, 9999L, 123456789L)), (1L, Seq(17L)))
+      .toDF("id", "hs").createOrReplaceTempView("mod_sql")
+    val sql = spark.sql(
+      """SELECT id, minhash_signature_mod(hs, 8) AS sig
+        |FROM mod_sql ORDER BY id""".stripMargin).collect()
+    val dsl = spark.table("mod_sql")
+      .select(col("id"), org.apache.spark.sql.graft.Bridge.column(
+        MinHashSignatureMod(org.apache.spark.sql.graft.Bridge
+          .expression(col("hs")), 8)).as("sig"))
+      .orderBy("id").collect()
+    assert(sql.map(_.getSeq[Long](1)).toSeq ===
+      dsl.map(_.getSeq[Long](1)).toSeq)
+    // single-gram doc: component j IS (a_j·17 + b_j) mod p
+    val (as, bs) = MinHashMod.consts(8)
+    val expect = (0 until 8).map { j =>
+      val v = MinHashMod.mulmod(as(j), 17L) + bs(j)
+      if (v >= MinHashMod.P) v - MinHashMod.P else v
+    }
+    assert(sql(1).getSeq[Long](1) === expect)
+  }
+
   test("text-scan kernels run from SQL text and match regexp_count") {
     val row = spark.sql(
       """SELECT

@@ -36,6 +36,25 @@ class TermStatsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("invertedIndex: df/tf_total/sorted capped postings") {
+    val out = TermStats
+      .invertedIndex(corpus, col("doc_id"), col("text"), 1, 2)
+      .select(col("term"), col("df"), col("tf_total"), col("postings"))
+      .as[(String, Long, Long, Seq[Long])].collect()
+      .sortBy(_._1).toSeq
+    assert(out === Seq(
+      // cap = 2: cherry (df 3) truncates to its two lowest doc ids
+      ("apple", 2L, 3L, Seq(0L, 2L)),
+      ("banana", 2L, 4L, Seq(0L, 1L)),
+      ("cherry", 3L, 3L, Seq(0L, 1L)),
+      ("date", 1L, 2L, Seq(2L))))
+    // minDf prunes the hapax tail
+    val pruned = TermStats
+      .invertedIndex(corpus, col("doc_id"), col("text"), 2, 10)
+      .select(col("term")).as[String].collect().sorted.toSeq
+    assert(pruned === Seq("apple", "banana", "cherry"))
+  }
+
   test("bm25: scores and ranks match a hand-rolled reference") {
     val out = TermStats.bm25TopTerms(corpus, col("doc_id"), col("text"), 3)
       .select(col("_id"), col("term"), col("tf"), col("df"), col("dl"),
