@@ -1039,6 +1039,27 @@ object BatchQueries {
         .orderBy("dist", "node")
     }),
 
+    // HyperBall: per-vertex 2-hop audience size via HLL register
+    // diffusion (see operators/Neighborhood) — per-node sketch state
+    // where the exact count would need a quadratic self-join. The
+    // registers and harmonic denominators are exact integers, so the
+    // whole diffusion replays in unrolled oracle SQL; estimate
+    // accuracy is spec-pinned instead (running exact at corpus scale
+    // would defeat the operator).
+    "q_ball_sketch" -> ((s, d) => {
+      val e0 = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct()
+      val e = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Neighborhood
+        .ballDenominators(e, col("src"), col("dst"), rounds = 2,
+          mBits = 4)
+        .orderBy("node")
+    }),
+
     // Iterative graph analytics beyond connected components: 3 rounds
     // of exact integer-scaled PageRank over the symmetrized
     // customer↔part purchase graph (orders ⋈ lineitem, bipartite ids
@@ -2115,6 +2136,34 @@ object BatchQueries {
         |  WHERE walk.d < 3)
         |SELECT node, CAST(min(d) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY dist, node""".stripMargin,
+    "q_ball_sketch" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |hops AS (SELECT src, dst FROM e
+        |         UNION ALL SELECT node, node FROM n),
+        |h AS (SELECT node, CAST(('0x' ||
+        |    substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM n),
+        |r0 AS (SELECT node, h // 72057594037927936 AS bucket,
+        |    CASE WHEN h % 72057594037927936 = 0 THEN 57
+        |         ELSE 57 - length(bin(h % 72057594037927936)) END
+        |      AS max_rho
+        |  FROM h),
+        |r1 AS (SELECT t.src AS node, r.bucket, max(r.max_rho) AS max_rho
+        |  FROM hops t JOIN r0 r ON r.node = t.dst GROUP BY 1, 2),
+        |r2 AS (SELECT t.src AS node, r.bucket, max(r.max_rho) AS max_rho
+        |  FROM hops t JOIN r1 r ON r.node = t.dst GROUP BY 1, 2),
+        |s AS (SELECT node, CAST(count(*) AS BIGINT) AS n_used,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(57 - max_rho AS INT))
+        |      AS BIGINT) AS s_used
+        |  FROM r2 GROUP BY node)
+        |SELECT node, n_used,
+        |  s_used + (16 - n_used) * CAST(144115188075855872 AS BIGINT)
+        |    AS s_scaled
+        |FROM s ORDER BY node""".stripMargin,
     "q_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
         |              l_partkey * 2 + 1 AS dst

@@ -317,6 +317,34 @@ object LlmQueries {
           col("estimate"), col("n_exact"))
     }),
 
+    // Grouped HLL: distinct-3-gram estimate PER CORPUS SLICE (source)
+    // — the dashboard deployment of the sketch (per-slice dedup-rate
+    // monitoring). Same exact-integer registers/denominator as
+    // q_hll_ngrams, one map-side-combinable rollup keyed
+    // (source, bucket); the exact distinct is kept as audit column
+    // (m = 64 ⇒ σ ≈ 13% per slice).
+    "q_hll_by_source" -> ((s, d) => {
+      val grams = docs(s, d)
+        .select(col("source"),
+          graft.operators.TermStats.cleanWords(col("text")).as("_ws"))
+        .select(col("source"), explode(
+          graft.operators.TermStats.ngrams(col("_ws"), 3)).as("gram"))
+      val den = graft.operators.CardSketch.hllDenominatorBy(
+        graft.operators.CardSketch.hllRegistersBy(
+          grams, col("source"), col("gram"), 6),
+        col("_grp"), 6)
+      den.join(grams.groupBy(col("source"))
+            .agg(count_distinct(col("gram")).as("n_exact")),
+          den("_grp") === col("source"))
+        .select(col("source"), col("n_used"), col("s_scaled"),
+          ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))) *
+            lit(4096.0) *
+            (lit(36028797018963968.0) / col("s_scaled").cast("double")))
+            .as("estimate"),
+          col("n_exact"))
+        .orderBy("source")
+    }),
+
     // Materialized posting lists — the retrieval-index build next to
     // the scorers (tfidf/bm25): per-term df, total tf, and the
     // capped ascending doc-id list. See TermStats.invertedIndex for
@@ -1562,6 +1590,42 @@ object LlmQueries {
         |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
         |  FROM s)
         |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "q_hll_by_source" ->
+      """WITH toks AS (SELECT source,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+        |                w -> w <> '') AS ws
+        |  FROM documents),
+        |grams AS (SELECT source,
+        |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |      for i in range(1, len(ws) - 1)]) AS gram
+        |  FROM toks WHERE len(ws) >= 3),
+        |h AS (SELECT source, CAST(('0x' || substr(md5(gram), 1, 15))
+        |        AS BIGINT) AS h FROM grams),
+        |parts AS (SELECT source, h // 18014398509481984 AS bucket,
+        |                 h % 18014398509481984 AS w FROM h),
+        |regs AS (SELECT source, bucket,
+        |    max(CASE WHEN w = 0 THEN 55
+        |             ELSE 55 - length(bin(w)) END) AS max_rho
+        |  FROM parts GROUP BY source, bucket),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_used,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INT))
+        |      AS BIGINT) AS s_used
+        |  FROM regs GROUP BY source),
+        |den AS (SELECT source, n_used,
+        |    s_used + (64 - n_used) * CAST(36028797018963968 AS BIGINT)
+        |      AS s_scaled
+        |  FROM s),
+        |x AS (SELECT source, CAST(count(DISTINCT gram) AS BIGINT)
+        |        AS n_exact FROM grams GROUP BY source)
+        |SELECT den.source, n_used, s_scaled,
+        |  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |    CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE))) *
+        |  CAST(4096.0 AS DOUBLE) *
+        |  (CAST(36028797018963968.0 AS DOUBLE) /
+        |    CAST(s_scaled AS DOUBLE)) AS estimate,
+        |  n_exact
+        |FROM den JOIN x ON den.source = x.source
+        |ORDER BY den.source""".stripMargin,
     "q_hll_ngrams" ->
       """WITH toks AS (SELECT
         |    list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),

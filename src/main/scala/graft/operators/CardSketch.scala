@@ -36,22 +36,63 @@ import org.apache.spark.sql.functions._
   */
 object CardSketch {
 
+  /** Append the HLL hash split of `item` as (bucket, rho) columns,
+    * keeping every existing column — the shared observation builder
+    * behind [[hllRegisters]], the streaming twin
+    * ([[graft.streaming.StreamingHll]]), and the per-vertex
+    * neighborhood sketch ([[Neighborhood]]).
+    */
+  def withHllParts(df: DataFrame, item: Column, mBits: Int): DataFrame = {
+    require(mBits >= 4 && mBits <= 16, "mBits must be in [4, 16]")
+    val wBits = 60 - mBits
+    val wMod = 1L << wBits
+    df.withColumn("_h", Sketch.md5Prefix60(item))
+      .withColumn("bucket", expr(s"_h div ${wMod}L"))
+      .withColumn("rho",
+        when(pmod(col("_h"), lit(wMod)) === 0L, lit((wBits + 1).toLong))
+          .otherwise(lit((wBits + 1).toLong) -
+            length(bin(pmod(col("_h"), lit(wMod)))).cast("long")))
+      .drop("_h")
+  }
+
   /** Non-empty HLL registers for `item`: (bucket, max_rho), bucket ∈
     * [0, 2^mBits), max_rho ∈ [1, 60−mBits+1]. Duplicates need not be
     * removed first (max absorbs them).
     */
-  def hllRegisters(df: DataFrame, item: Column, mBits: Int): DataFrame = {
-    require(mBits >= 4 && mBits <= 16, "mBits must be in [4, 16]")
-    val wBits = 60 - mBits
-    val wMod = 1L << wBits
-    df.select(Sketch.md5Prefix60(item).as("_h"))
-      .select(expr(s"_h div ${wMod}L").as("bucket"),
-        pmod(col("_h"), lit(wMod)).as("_w"))
-      .select(col("bucket"),
-        when(col("_w") === 0L, lit((wBits + 1).toLong))
-          .otherwise(lit((wBits + 1).toLong) -
-            length(bin(col("_w"))).cast("long")).as("rho"))
+  def hllRegisters(df: DataFrame, item: Column, mBits: Int): DataFrame =
+    withHllParts(df.select(item.as("_item")), col("_item"), mBits)
       .groupBy("bucket").agg(max(col("rho")).as("max_rho"))
+
+  /** Per-group HLL registers: (group, bucket, max_rho) — the grouped
+    * deployment (distinct-cardinality per corpus slice). Identical
+    * hash split, one map-side-combinable rollup; ≤ m rows per group.
+    */
+  def hllRegistersBy(df: DataFrame, group: Column, item: Column,
+      mBits: Int): DataFrame =
+    withHllParts(df.select(group.as("_grp"), item.as("_item")),
+        col("_item"), mBits)
+      .groupBy(col("_grp"), col("bucket"))
+      .agg(max(col("rho")).as("max_rho"))
+
+  /** Per-group exact scaled harmonic denominators from a grouped
+    * register relation: (group, n_used, s_scaled) — one row per
+    * group, every value exact BIGINT (the estimate division is left
+    * to the caller so the grouped and global paths share one
+    * formula).
+    */
+  def hllDenominatorBy(regs: DataFrame, group: Column,
+      mBits: Int): DataFrame = {
+    val wBits = 60 - mBits
+    val m = 1L << mBits
+    val top = 1L << (wBits + 1)
+    regs.groupBy(group.as("_grp"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(${wBits + 1} - max_rho AS INT))")).as("_s_used"))
+      .select(col("_grp"),
+        col("n_used"),
+        (col("_s_used") + (lit(m) - col("n_used")) * lit(top))
+          .as("s_scaled"))
   }
 
   /** One-row summary from a register relation: used-bucket count, the

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.operators.Sketch
-
 /** An emitted HLL register after a micro-batch touched its bucket. */
 case class HllRegister(bucket: Long, max_rho: Long)
 
@@ -33,23 +31,16 @@ object StreamingHll {
   implicit val longEnc: Encoder[Long] = Encoders.scalaLong
 
   /** (bucket, rho) observation rows for a (streaming or batch) item
-    * frame — the same hash split as
-    * [[graft.operators.CardSketch.hllRegisters]].
+    * frame — [[graft.operators.CardSketch.withHllParts]] IS the hash
+    * split (one shared definition, so stream and batch registers are
+    * mergeable by construction).
     */
   def observations(df: DataFrame, item: Column,
-      mBits: Int): Dataset[(Long, Long)] = {
-    require(mBits >= 4 && mBits <= 16, "mBits must be in [4, 16]")
-    val wBits = 60 - mBits
-    val wMod = 1L << wBits
-    df.select(Sketch.md5Prefix60(item).as("_h"))
-      .select(expr(s"_h div ${wMod}L").as("bucket"),
-        pmod(col("_h"), lit(wMod)).as("_w"))
-      .select(col("bucket"),
-        when(col("_w") === 0L, lit((wBits + 1).toLong))
-          .otherwise(lit((wBits + 1).toLong) -
-            length(bin(col("_w"))).cast("long")).as("rho"))
+      mBits: Int): Dataset[(Long, Long)] =
+    graft.operators.CardSketch
+      .withHllParts(df.select(item.as("_item")), col("_item"), mBits)
+      .select(col("bucket"), col("rho"))
       .as[(Long, Long)]
-  }
 
   private def updateGroup(bucket: Long, rows: Iterator[(Long, Long)],
       state: GroupState[Long]): Iterator[HllRegister] = {
