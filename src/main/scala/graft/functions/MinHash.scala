@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -141,9 +141,13 @@ object MinHashMod {
   * codegen strategy as [[MinHashBase]].
   */
 case class MinHashSignatureMod(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   override def prettyName: String = "minhash_signature_mod"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // reject array<string> etc. at ANALYSIS time — without this a
+  // mistyped SQL call surfaces as an executor ClassCastException
+  // (the NfcNormalize lesson); grams must be pre-hashed longs
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
 
   @transient private lazy val (aConsts, bConsts) = MinHashMod.consts(k)
 

@@ -46,7 +46,11 @@ object CardSketch {
     require(mBits >= 4 && mBits <= 16, "mBits must be in [4, 16]")
     val wBits = 60 - mBits
     val wMod = 1L << wBits
-    df.withColumn("_h", Sketch.md5Prefix60(item))
+    // NULL items are dropped here, not propagated: a null hash would
+    // otherwise become a (null, null) register that silently corrupts
+    // the harmonic denominator (count sees the row, sum skips it)
+    df.filter(item.isNotNull)
+      .withColumn("_h", Sketch.md5Prefix60(item))
       .withColumn("bucket", expr(s"_h div ${wMod}L"))
       .withColumn("rho",
         when(pmod(col("_h"), lit(wMod)) === 0L, lit((wBits + 1).toLong))

@@ -88,6 +88,25 @@ class SketchSpec extends AnyFunSuite {
       s"implausible FP rate: $fps/${nonMembers.size}")
   }
 
+  test("bloom semi-join reduction preserves join results exactly") {
+    // the production pattern: pre-filter the fact side through the
+    // broadcast bloom of a selective dim subset, THEN join — the
+    // one-sided guarantee means no fact row that would have joined is
+    // ever dropped, so reduced-join == direct-join exactly
+    val m = 2048
+    val k = 3
+    val dim = (0L until 300L by 3L).map(x => (x, s"d$x")).toDF("k", "dv")
+    val fact = (0L until 900L).map(x => (x % 300L, x)).toDF("k", "f")
+    val bits = Sketch.bloomBits(dim, col("k"), m, k)
+    val hits = Sketch.bloomProbe(bits, fact, col("k"), m, k)
+      .filter(col("bloom_hit")).select(col("key").as("k"))
+    val reduced = fact.join(hits, "k").join(dim, "k")
+      .select("k", "f", "dv").as[(Long, Long, String)].collect().toSet
+    val direct = fact.join(dim, "k")
+      .select("k", "f", "dv").as[(Long, Long, String)].collect().toSet
+    assert(reduced === direct)
+  }
+
   test("HLL registers: merge-by-max == union build; estimate within " +
       "theoretical error") {
     import graft.operators.CardSketch

@@ -102,6 +102,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
       if (v >= MinHashMod.P) v - MinHashMod.P else v
     }
     assert(sql(1).getSeq[Long](1) === expect)
+    // mistyped input (array<string>) must fail at ANALYSIS, not as an
+    // executor ClassCastException
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT minhash_signature_mod(array('a','b'), 8)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("minhash_signature_mod") ||
+      err.getMessage.toLowerCase.contains("data type"))
   }
 
   test("text-scan kernels run from SQL text and match regexp_count") {
