@@ -972,6 +972,35 @@ object BatchQueries {
         .orderBy(col("value_bp").desc, col("p_partkey"))
     }),
 
+    // TPC-H Q20 shape: suppliers holding a dominant share (> 20%) of
+    // some part's shipped quantity — the correlated-aggregate-
+    // threshold semi-join. Quantities quantize to exact BIGINT at the
+    // source; the share test is qty·5 > total (multiplication, not a
+    // rounding division). Both rollups are map-side combinable; the
+    // per-part total joins back on partkey and the supplier dims
+    // broadcast. At scale the pq→tot pair is the canonical two-level
+    // rollup: the second level's input is already |parts×suppliers|
+    // -bounded, far below the fact table.
+    "q_dominant_suppliers" -> ((s, d) => {
+      val pq = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+      val tot = pq.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("total"))
+      pq.join(tot, "l_partkey")
+        .filter(col("qty") * 5L > col("total"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_dom_parts"))
+        .join(broadcast(Tables.supplier(s, d)
+            .join(broadcast(Tables.nation(s, d)),
+              col("s_nationkey") === col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("n_dom_parts"))
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q22 shape: above-average-balance customers in target
     // segments with no urgent orders — global-scalar threshold + anti
     // join. Money quantizes to exact BIGINT cents at the source
@@ -2088,6 +2117,19 @@ object BatchQueries {
         |SELECT p_partkey, value_bp FROM pv, tot
         |WHERE value_bp * 1000 > total
         |ORDER BY value_bp DESC, p_partkey""".stripMargin,
+    "q_dominant_suppliers" ->
+      """WITH pq AS (SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(round(l_quantity) AS BIGINT)) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, SUM(qty) AS total FROM pq GROUP BY 1),
+        |dom AS (SELECT pq.l_suppkey, CAST(count(*) AS BIGINT)
+        |          AS n_dom_parts
+        |  FROM pq JOIN tot USING (l_partkey)
+        |  WHERE pq.qty * 5 > tot.total GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name, n_dom_parts
+        |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
     "q_idle_capital" ->
       """WITH cust AS (
         |  SELECT c_custkey, c_nationkey,

@@ -131,6 +131,31 @@ class BpeSpec extends AnyFunSuite {
     assert(got === refEncode(texts, merges))
   }
 
+  test("encodePacked == window-form encode == sequential, per " +
+      "(doc, word, position)") {
+    // includes the l == r chain cases where the run-parity rule and
+    // the fold must agree occurrence-for-occurrence
+    val texts = Seq("the cat sat on the mat", "aaa aaaa aaaaa banana",
+      "abab ababab xyxyx", "low lower lowest newest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainedMerges(df, col("doc_id"), col("text"), 4)
+    def tokens(out: org.apache.spark.sql.DataFrame): Seq[((Long, Int), Seq[String])] =
+      out.select("doc_id", "widx", "pos", "tok").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .groupBy(t => (t._1, t._2))
+        .map { case (k, v) => k -> v.sortBy(_._3).map(_._4).toSeq }
+        .toSeq.sortBy(_._1)
+    val packed = tokens(
+      Bpe.encodePacked(df, col("doc_id"), col("text"), merges))
+    val window = tokens(
+      Bpe.encode(df, col("doc_id"), col("text"), merges))
+    assert(packed === window)
+    val flat = packed.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    assert(flat === refEncode(texts, merges))
+  }
+
   test("train is invariant under partitioning") {
     val texts = (0 until 200).map(i =>
       s"w${i % 7} common tokens appear${i % 3} here")

@@ -539,6 +539,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-part min window lost its partitioning: $mcWin")
     assert(mc.contains("TakeOrderedAndProject"),
       "the limit must be TakeOrdered, not a global sort")
+    // Q20: supplier/nation dims broadcast — the only shuffle joins are
+    // the fact-derived rollups
+    val ds = plan("q_dominant_suppliers")
+    Seq("s_suppkey", "n_nationkey").foreach { k =>
+      assert(!("SortMergeJoin [^\\n]*" + k).r.findFirstIn(ds).isDefined,
+        s"q_dominant_suppliers: dim key $k fell into a shuffle join") }
     // Q11/Q22: the global scalar is a 1-row broadcast, not a shuffle
     Seq("q_important_parts", "q_idle_capital").foreach { q =>
       val p = plan(q)
