@@ -1029,6 +1029,61 @@ object BatchQueries {
         .orderBy("c_nationkey")
     }),
 
+    // TPC-H Q17 shape — small-lot revenue: lineitems of a selective
+    // part class whose quantity is under 0.2× that part's average,
+    // with the threshold as exact-integer cross-multiplication
+    // (5·q·n < Σq — no rounding division, the q_dominant_suppliers
+    // rule) and money in integer cents. The per-part stats relation
+    // is dim-bounded, so BOTH the dim filter and the stats broadcast;
+    // lineitem is scanned twice by necessity (the query correlates a
+    // row against its own group's aggregate), but only the dim-pruned
+    // slice ever shuffles (the stats rollup; AQE reuses the pruned
+    // scan for the probe side — ReusedExchange in PLANS.md).
+    // avg_yearly is the single trailing division (exact BIGINT cents
+    // → double, ÷ 700.0 = ÷100 cents ÷7 years), deterministic in any
+    // engine. Ref: the same correlated-aggregate filter as
+    // q_scalar_subquery, pushed to a 7-figure-row fact side.
+    "q_small_lots" -> ((s, d) => {
+      val dim = Tables.part(s, d).filter(col("p_size") <= 5)
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          round(col("l_quantity")).cast("long").as("_q"),
+          round(col("l_extendedprice") * 100).cast("long").as("_pc"))
+      val stats = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("_n"), sum(col("_q")).as("_sq"))
+      li.join(broadcast(stats), Seq("l_partkey"))
+        .filter(col("_q") * lit(5L) * col("_n") < col("_sq"))
+        .agg(count(lit(1)).as("n_lots"),
+          sum(col("_pc")).as("revenue_cents"))
+        .select(col("n_lots"), col("revenue_cents"),
+          (col("revenue_cents").cast("double") / lit(700.0))
+            .as("avg_yearly"))
+    }),
+
+    // TPC-H Q18 shape — large-volume orders: the HAVING-rollup semi
+    // filter (orders whose total quantity tops 150) joined back to
+    // orders and customers, top-100 by volume. The lineitem rollup is
+    // ONE map-side-combinable aggregate; both joins are equi-joins on
+    // the rollup's (already-shuffled) key; the final top-100 is
+    // TakeOrdered — no global sort, nothing about the shape changes
+    // when orders/customer stop fitting a broadcast at 100 TB.
+    "q_big_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 150L)
+      big.join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long")
+            .as("totalprice_cents"),
+          col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey")).limit(100)
+    }),
+
     // Bloom-filter semi-join reduction: build m=16384-bit / k=3 bits
     // over a selective dim subset (parts with p_size >= 40), broadcast
     // them, probe the fact side's distinct keys — the pre-shuffle
@@ -2146,6 +2201,34 @@ object BatchQueries {
         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
         |  CAST(sum(cents) AS BIGINT) AS totacctbal_cents
         |FROM idle GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "q_small_lots" ->
+      """WITH dim AS (SELECT p_partkey FROM part WHERE p_size <= 5),
+        |li AS (SELECT l_partkey,
+        |    CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem JOIN dim ON l_partkey = p_partkey),
+        |st AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lots,
+        |  CAST(sum(pc) AS BIGINT) AS revenue_cents,
+        |  CAST(CAST(sum(pc) AS BIGINT) AS DOUBLE) /
+        |    CAST(700.0 AS DOUBLE) AS avg_yearly
+        |FROM li JOIN st USING (l_partkey)
+        |WHERE q * 5 * n < sq""".stripMargin,
+    "q_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150)
+        |SELECT c_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |  sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_bloom_probe" ->
       """WITH bits AS (
         |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(r AS VARCHAR)

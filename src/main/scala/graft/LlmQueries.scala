@@ -58,6 +58,25 @@ object LlmQueries {
         .select("doc_id", "fp")
         .orderBy("doc_id")),
 
+    // Bounded-state Bloom dedup — the BATCH surface of the streaming
+    // twin (streaming/StreamingBloomDedup, the production answer to
+    // unbounded dropDuplicates state): each fingerprint's first row,
+    // via the sharded k-probe membership filter. The fixed hash
+    // functions make the outcome deterministic, and at this corpus
+    // the FP probability is ~1e-9 — so the gate equals exact dedup's
+    // survivor set (the operator contract is emitted ⊆ exact, equal
+    // whp; StreamingBloomDedupSpec pins the streaming side).
+    "q_bloom_dedup" -> ((s, d) => {
+      val withFp = docs(s, d)
+        .withColumn("fp", TextStats.fingerprint(col("text")))
+      graft.streaming.StreamingBloomDedup.firstSeen(
+          graft.streaming.StreamingBloomDedup.observations(
+            withFp, col("fp"), col("doc_id"), shards = 8))
+        .toDF()
+        .select(col("key"), col("ord"))
+        .orderBy("ord")
+    }),
+
     "q_dedup_near_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(docs(s, d), col("doc_id"), col("text"))
         .orderBy("doc_a", "doc_b")),
@@ -337,7 +356,9 @@ object LlmQueries {
             .agg(count_distinct(col("gram")).as("n_exact")),
           den("_grp") === col("source"))
         .select(col("source"), col("n_used"), col("s_scaled"),
-          ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))) *
+          // α₆₄ = 0.709 — published small-m constant (CardSketch.alpha);
+          // the asymptotic formula only applies from m = 128 up
+          (lit(graft.operators.CardSketch.alpha(6)) *
             lit(4096.0) *
             (lit(36028797018963968.0) / col("s_scaled").cast("double")))
             .as("estimate"),
@@ -348,11 +369,25 @@ object LlmQueries {
     // Materialized posting lists — the retrieval-index build next to
     // the scorers (tfidf/bm25): per-term df, total tf, and the
     // capped ascending doc-id list. See TermStats.invertedIndex for
-    // the cap-vs-stopword scale contract.
+    // the cap-vs-stopword scale contract. The typed array stays on
+    // the operator API; the GATE surface serializes it to a comma
+    // string because the driver's pandas canonicalization cannot
+    // sort/hash array cells (r11's one red row).
     "q_inverted_index" -> ((s, d) =>
       graft.operators.TermStats
         .invertedIndex(docs(s, d), col("doc_id"), col("text"), 5, 20)
+        .withColumn("postings",
+          concat_ws(",", col("postings").cast("array<string>")))
         .orderBy(col("df").desc, col("term"))),
+
+    // Vocabulary-growth (Heaps'-law) audit: per-document new-term
+    // count + running vocabulary size vs running token count, via the
+    // packed two-phase prefix scan (see TermStats.vocabGrowth for the
+    // packing contract). A flat curve = the slice is repeating itself.
+    "q_vocab_growth" -> ((s, d) =>
+      graft.operators.TermStats
+        .vocabGrowth(docs(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
 
     // BM25 top terms — the retrieval scorer TF-IDF approximates
     // (saturating tf, doc-length normalization). Gate surface is the
@@ -1136,6 +1171,13 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn
          |  FROM documents
          |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // the Bloom gate's oracle IS exact dedup: at this corpus the
+    // filter's deterministic FP count is zero, so first-seen == the
+    // min-doc_id survivor per fingerprint
+    "q_bloom_dedup" ->
+      s"""SELECT fp AS key, CAST(min(doc_id) AS BIGINT) AS ord
+         |FROM (SELECT doc_id, $fpSql AS fp FROM documents)
+         |GROUP BY fp ORDER BY ord""".stripMargin,
     "q_dedup_near_pairs" ->
       s"""WITH $shingleCte
          |SELECT doc_a, doc_b, jaccard FROM pairs
@@ -1618,8 +1660,7 @@ object LlmQueries {
         |x AS (SELECT source, CAST(count(DISTINCT gram) AS BIGINT)
         |        AS n_exact FROM grams GROUP BY source)
         |SELECT den.source, n_used, s_scaled,
-        |  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
-        |    CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE))) *
+        |  CAST(0.709 AS DOUBLE) *
         |  CAST(4096.0 AS DOUBLE) *
         |  (CAST(36028797018963968.0 AS DOUBLE) /
         |    CAST(s_scaled AS DOUBLE)) AS estimate,
@@ -1685,9 +1726,33 @@ object LlmQueries {
         |       FROM t WHERE term <> '' GROUP BY doc_id, term)
         |SELECT term, CAST(count(*) AS BIGINT) AS df,
         |  CAST(sum(tf) AS BIGINT) AS tf_total,
-        |  (list(doc_id ORDER BY doc_id))[1:20] AS postings
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',')
+        |    AS postings
         |FROM tf GROUP BY term HAVING count(*) >= 5
         |ORDER BY df DESC, term""".stripMargin,
+    "q_vocab_growth" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS term
+        |  FROM documents),
+        |tok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS toks
+        |        FROM t WHERE term <> '' GROUP BY doc_id),
+        |fd AS (SELECT term, min(doc_id) AS fdoc
+        |       FROM t WHERE term <> '' GROUP BY term),
+        |nt AS (SELECT fdoc AS doc_id, CAST(count(*) AS BIGINT)
+        |         AS new_terms FROM fd GROUP BY fdoc)
+        |SELECT d.doc_id,
+        |  coalesce(tok.toks, 0) AS toks,
+        |  coalesce(nt.new_terms, 0) AS new_terms,
+        |  CAST(sum(coalesce(tok.toks, 0)) OVER (ORDER BY d.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_toks,
+        |  CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY d.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS vocab_size
+        |FROM documents d
+        |LEFT JOIN tok ON d.doc_id = tok.doc_id
+        |LEFT JOIN nt ON d.doc_id = nt.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_bm25" -> {
       // Interpolated k1+1 keeps the exact Scala double (round-trip
       // printed); bare fractional literals are DECIMAL in DuckDB, so

@@ -58,8 +58,13 @@ object Bfs {
         .select(col("node"), lit(d.toLong).as("dist")))
       live = next.count() > 0L
       if (live) levels += next
+      else Bridge.unpersistRows(next) // rejected empty frontier
       d += 1
     }
+    // every kept level was materialized by its count(), so the result
+    // union reads cached blocks and the edge relation can be freed
+    // now instead of waiting for the ContextCleaner
+    Bridge.unpersistRows(e)
     levels.reduce(_ union _)
   }
 }

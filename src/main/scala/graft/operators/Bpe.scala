@@ -221,6 +221,10 @@ object Bpe {
         round += 1
       }
     }
+    // normal completion (round > rounds) leaves BOTH the last round's
+    // relation (syms) and the second-to-last (prev — its in-loop free
+    // only runs when ANOTHER round executes) cached; free both
+    if (prev != null) Bridge.unpersistRows(prev)
     Bridge.unpersistRows(syms)
     out.toSeq
   }

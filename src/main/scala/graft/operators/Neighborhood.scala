@@ -76,12 +76,25 @@ object Neighborhood {
       // OUT-neighbors (v → w reads regs(w)), so the ball grows along
       // edge direction — the push form (grouping by dst) would grow
       // the ball of REVERSED reachability instead
+      val prev = regs
       regs = Bridge.persistRows(regs
         .join(hops, regs("node") === hops("dst"))
         .groupBy(col("src").as("_n"))
         .agg(mergedArray.as("r"))
         .select(col("_n").as("node"), col("r")))
+      // superstep discipline: materialize round r, THEN free round
+      // r−1's registers — at HyperBall round counts the dead rounds
+      // would otherwise pile onto the storage budget until a full GC
+      // lets the ContextCleaner notice (persistRows is lazy, so
+      // freeing before the count would force a full-chain recompute)
+      regs.count()
+      Bridge.unpersistRows(prev)
     }
+    // every round is materialized above, so the final registers are
+    // cache-backed and the edge relations can be freed eagerly (the
+    // returned frame no longer recomputes through them)
+    Bridge.unpersistRows(hops)
+    Bridge.unpersistRows(e)
     val unpacked = regs
       .select(col("node"), posexplode(col("r")).as(Seq("_b", "max_rho")))
       .filter(col("max_rho") > 0L)

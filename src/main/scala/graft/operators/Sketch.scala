@@ -57,10 +57,20 @@ object Sketch {
 
   /** Probe distinct `key` values of `probe` against a [[bloomBits]]
     * relation: (key, bloom_hit) — hit iff all k probe hashes land on
-    * set bits. The bits side is broadcast (≤ m rows); the probe side
-    * explodes k rows per distinct key, left-joins, and counts matches
-    * — the whole probe is one narrow scan + broadcast join, no
-    * shuffle of the fact table.
+    * set bits. The bits side is broadcast; the probe side explodes k
+    * rows per distinct key, left-joins, and counts matches — the
+    * whole probe is one narrow scan + broadcast join, no shuffle of
+    * the fact table.
+    *
+    * Broadcast bound: the bits relation holds SET bits, so its row
+    * count is ≤ min(m, n·k) — it scales with the BUILD-side key count
+    * n, not with the filter width m (raising m at fixed n only
+    * lowers the FP rate; the broadcast stays n·k longs). The
+    * semi-join-reduction contract is a SELECTIVE build side (n·k in
+    * the millions broadcasts in tens of MB); a build side so large
+    * that n·k rows can't broadcast is the signal that bloom
+    * pre-filtering is the wrong tool and the plain shuffle semi-join
+    * ([[graft.operators.Dedup]] equi-joins) should run instead.
     */
   def bloomProbe(bits: DataFrame, probe: DataFrame, key: Column,
       m: Int, k: Int): DataFrame = {

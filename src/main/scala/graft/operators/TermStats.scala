@@ -128,6 +128,55 @@ object TermStats {
       .filter(col("df") >= minDf.toLong)
   }
 
+  /** Vocabulary-growth (Heaps'-law) curve: for every document in
+    * `id` order, the number of NEW terms it introduces and the
+    * running vocabulary size next to the running token count — the
+    * corpus-composition audit behind "is this crawl slice adding
+    * vocabulary or repeating itself?" (Heaps, Information Retrieval:
+    * Computational and Theoretical Aspects, 1978: V(n) ≈ K·n^β; a
+    * slice whose curve goes flat is near-duplicate-heavy).
+    *
+    * Output: (doc_id, toks, new_terms, cum_toks, vocab_size), one row
+    * per document (empty documents included with zeros), ordered by
+    * doc_id; vocab_size/cum_toks are INCLUSIVE prefix sums. All exact
+    * integers.
+    *
+    * Scale shape: a term's first document is one map-side-combinable
+    * min aggregate over the (doc, term) relation (|vocab| rows out —
+    * never collected, never broadcast); per-doc token and new-term
+    * counts are two more combinable aggregates; the two running
+    * totals ride ONE packed two-phase prefix scan
+    * ([[Packing.withGlobalCumsum]]: range-partition by doc_id, local
+    * window, |partitions|-row offsets relation — no global
+    * single-task window). Packing contract: new_terms rides the low
+    * 32 bits, so the scan is exact while total vocabulary < 2³² terms
+    * and total tokens < 2³¹ — document-count-scale corpora far beyond
+    * the reference's; past that, run two scans.
+    */
+  def vocabGrowth(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val t = df.select(id.as("_id"), explode(words(text)).as("term"))
+      .filter(col("term") =!= "")
+    val toks = t.groupBy("_id").agg(count(lit(1)).as("toks"))
+    val firstDoc = t.groupBy("term").agg(min(col("_id")).as("_fd"))
+      .groupBy(col("_fd").as("_id"))
+      .agg(count(lit(1)).as("new_terms"))
+    val base = df.select(id.as("_id"))
+      .join(toks, Seq("_id"), "left")
+      .join(firstDoc, Seq("_id"), "left")
+      .select(col("_id"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("_pk",
+        col("toks") * lit(4294967296L) + col("new_terms"))
+    Packing.withGlobalCumsum(base, col("_id"), col("_pk"), "_before")
+      // integer unpack: `div`/pmod, NOT `/` (long / long is DOUBLE
+      // division in Spark — the q_winsorize-family lesson)
+      .select(col("_id").as("doc_id"), col("toks"), col("new_terms"),
+        expr("(_before + _pk) div 4294967296").as("cum_toks"),
+        pmod(col("_before") + col("_pk"), lit(4294967296L))
+          .as("vocab_size"))
+  }
+
   /** Top-`k` label-discriminative terms by Pearson chi-square — the
     * classic feature-selection / corpus-diagnosis pass (Yang &
     * Pedersen, "A Comparative Study on Feature Selection in Text

@@ -20,7 +20,7 @@ case class CusumRow(symbol: String, ts: Long, close: Double,
 /** Per-symbol CUSUM accumulators — the entire keyed state (two
   * doubles), O(1) per symbol forever.
   */
-case class CusumChartState(cp: Double, cn: Double)
+case class CusumChartState(cp: Double, cn: Double, lastTs: Long)
 
 /** CONTINUOUS two-sided CUSUM drift detection (Page 1954) over a
   * stream: the same clamped recursion as the batch
@@ -68,11 +68,20 @@ object StreamingCusum {
   private def processGroup(h: Double)(symbol: String,
       rows: Iterator[CusumBar],
       state: GroupState[CusumChartState]): Iterator[CusumRow] = {
-    var st = state.getOption.getOrElse(CusumChartState(0.0, 0.0))
+    var st = state.getOption
+      .getOrElse(CusumChartState(0.0, 0.0, Long.MinValue))
     val out = rows.toSeq.sortBy(_.ts).map { b =>
+      // fail fast on a cross-batch ordering violation — a reordered
+      // bar would silently corrupt both recursions (same detectable
+      // contract as StreamingSessionize)
+      if (b.ts < st.lastTs)
+        throw new IllegalStateException(
+          s"out-of-order bar for symbol $symbol: ts=${b.ts} < " +
+            s"last=${st.lastTs} — StreamingCusum requires per-symbol " +
+            "ts-ordered arrival across micro-batches")
       val cp = math.max(0.0, st.cp + (b.close - b.target))
       val cn = math.max(0.0, st.cn + (b.target - b.close))
-      st = CusumChartState(cp, cn)
+      st = CusumChartState(cp, cn, b.ts)
       CusumRow(b.symbol, b.ts, b.close, b.target, cp, cn,
         cp > h || cn > h)
     }
@@ -84,7 +93,8 @@ object StreamingCusum {
     * Dataset[CusumBar]. Append mode: each row is final once emitted.
     * Bars must arrive in ts order per symbol ACROSS batches (within a
     * batch they are sorted here) — same contract as
-    * [[StatefulIndicators.enrich]].
+    * [[StatefulIndicators.enrich]]. A violation fails the task with a
+    * contract error (detectable, never silently-wrong recursions).
     */
   def chart(bars: Dataset[CusumBar], h: Double): Dataset[CusumRow] =
     bars.groupByKey(_.symbol)

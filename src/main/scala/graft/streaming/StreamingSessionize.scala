@@ -31,6 +31,12 @@ case class SessState(lastTs: Long, seq: Long)
   * [[StreamingCusum]]. Session MERGING on out-of-order arrival is
   * deliberately out of scope: an event bridging two already-emitted
   * sessions would have to retract rows, which Append mode cannot do.
+  * A violation is DETECTABLE, not silent: an event older than the
+  * user's last emitted timestamp fails the task with a contract
+  * error (StreamingSessionizeSpec pins it) — wrong ordinals would
+  * otherwise propagate downstream unnoticed. Producers with genuine
+  * reordering should bound it upstream (watermark + sort within the
+  * bound) before this operator.
   *
   * Scale: one shuffle on user for the keyed state; emission is
   * append-pure (each row final when emitted).
@@ -52,6 +58,14 @@ object StreamingSessionize {
       state: GroupState[SessState]): Iterator[SessRow] = {
     var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
     val out = rows.toSeq.sortBy(_.ts).map { e =>
+      // fail fast on a cross-batch ordering violation: an event older
+      // than the last emitted one would silently assign wrong
+      // ordinals (and could never merge sessions in Append mode)
+      if (st.seq > 0L && e.ts < st.lastTs)
+        throw new IllegalStateException(
+          s"out-of-order event for user $user: ts=${e.ts} < " +
+            s"last=${st.lastTs} — StreamingSessionize requires " +
+            "per-user ts-ordered arrival across micro-batches")
       val seq = if (st.seq == 0L || e.ts - st.lastTs > gapUs) st.seq + 1L
         else st.seq
       st = SessState(e.ts, seq)

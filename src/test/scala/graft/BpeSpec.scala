@@ -14,6 +14,16 @@ class BpeSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Split a word into CODE POINTS, not UTF-16 code units — the
+    * engine's `substr(i, 1)` and the DuckDB oracle both index code
+    * points, so a sequential model that maps over Java chars would
+    * silently split astral-plane characters (surrogate pairs) in two
+    * and diverge on any emoji/math-alphanumeric corpus.
+    */
+  private def cps(w: String): Vector[String] =
+    w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector
+
   /** Sequential reference: count adjacent pairs (overlaps counted),
     * argmax by (freq desc, left, right), greedy left-to-right apply.
     */
@@ -21,7 +31,7 @@ class BpeSpec extends AnyFunSuite {
       rounds: Int): Seq[(Long, String, String, String, Long)] = {
     var words: Seq[Vector[String]] = texts
       .flatMap(_.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty))
-      .map(_.map(_.toString).toVector)
+      .map(cps)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var r = 1
@@ -100,7 +110,7 @@ class BpeSpec extends AnyFunSuite {
       merges: Seq[(String, String)]): Map[String, Long] = {
     var words: Seq[Vector[String]] = texts
       .flatMap(_.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty))
-      .map(_.map(_.toString).toVector)
+      .map(cps)
     merges.foreach { case (l, r) =>
       words = words.map { w =>
         val b = Vector.newBuilder[String]
@@ -154,6 +164,34 @@ class BpeSpec extends AnyFunSuite {
     val flat = packed.flatMap(_._2).groupBy(identity)
       .map { case (t, xs) => t -> xs.size.toLong }
     assert(flat === refEncode(texts, merges))
+  }
+
+  test("round-12: multi-byte code points — astral chains obey " +
+      "run-parity and never split into surrogates") {
+    // 𝕒 (U+1D552) is an astral-plane char: one code point, TWO Java
+    // chars. The engine's substr/length are code-point based; a chain
+    // of identical astral chars exercises run-parity on top of that.
+    // 日本語 adds 3-byte BMP points; ñ a 2-byte one. None have case
+    // mappings that differ between JVM and engine lowercasing.
+    val a4 = "𝕒𝕒𝕒𝕒" // 𝕒𝕒𝕒𝕒
+    val a3 = a4.substring(0, 6) // 𝕒𝕒𝕒
+    val texts = Seq(s"$a4 $a3 日本語 日本語", s"$a4 ñaña ñaña 日本")
+    val r = got(texts, 3)
+    assert(r === refTrain(texts, 3))
+    // the astral pair is the most frequent: freqs 3+2 (overlap) +3+2
+    assert(r.head._2 === "𝕒" && r.head._3 === "𝕒",
+      s"first merge must be the astral pair, got $r")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainedMerges(df, col("doc_id"), col("text"), 3)
+    val enc = Bpe.encode(df, col("doc_id"), col("text"), merges)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(enc === refEncode(texts, merges))
+    // no token ever contains an unpaired surrogate half (a code point
+    // in U+D800–U+DFFF means a split astral char)
+    assert(enc.keys.forall(t => t.codePoints().toArray
+      .forall(cp => cp < 0xD800 || cp > 0xDFFF)))
   }
 
   test("train is invariant under partitioning") {

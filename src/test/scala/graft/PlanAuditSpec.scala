@@ -570,6 +570,51 @@ class PlanAuditSpec extends AnyFunSuite {
       "register rollup must partial-aggregate map-side")
   }
 
+  test("round-12: BPE encode chains ALL merge rounds behind ONE " +
+      "exchange (no per-round shuffle)") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.documents(spark, dir)
+    val merges = graft.operators.Bpe.trainedMerges(corpus,
+      col("doc_id"), col("text"), rounds = 3)
+    assert(merges.length === 3, "training must learn 3 merges at sf0.001")
+    def exchanges(n: Int): Int = {
+      val p = graft.operators.Bpe
+        .encode(corpus, col("doc_id"), col("text"), merges.take(n))
+        .queryExecution.executedPlan.toString
+      "Exchange hashpartitioning".r.findAllIn(p).size
+    }
+    // every merge round's window partitions by the same (doc, word)
+    // key, so Catalyst must plan ONE exchange for the whole chain —
+    // and the count must NOT scale with the number of rounds (a
+    // Catalyst bump that re-shuffles per round fails both)
+    assert(exchanges(3) === 1,
+      "the 3-round merge chain must share one exchange")
+    assert(exchanges(1) === exchanges(3),
+      "exchange count scaled with merge rounds")
+  }
+
+  test("round-12: BFS frontier round is equi-join only; the result " +
+      "union reads persisted levels") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the final q_bfs_dist frame is the union of materialized levels
+    val fin = plan("q_bfs_dist")
+    assert(!fin.contains("NestedLoop") && !fin.contains("CartesianProduct"))
+    assert(fin.contains("Scan ExistingRDD") || fin.contains("InMemoryTableScan"),
+      "levels must enter the union as persisted scans:\n" + fin.take(800))
+    // one frontier round exactly as Bfs.distances plans it: expand
+    // along edges, dedup, anti-join the settled set — every join must
+    // stay hash-joinable (a NestedLoop here is the 100 TB killer)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val frontier = Seq((1L, 0L)).toDF("node", "dist")
+    val round = frontier.join(e, col("node") === col("src"))
+      .select(col("dst").as("node")).distinct()
+      .join(frontier.select(col("node")), Seq("node"), "left_anti")
+    val rp = round.queryExecution.executedPlan.toString
+    assert(!rp.contains("NestedLoop") && !rp.contains("CartesianProduct"),
+      rp.take(800))
+  }
+
   test("PLANS.md covers every registered query (staleness gate)") {
     // adding a query without regenerating PLANS.md (sbt "runMain
     // graft.tools.DumpPlans") broke two rounds in a row — fail fast

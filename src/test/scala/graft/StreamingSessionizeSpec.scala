@@ -67,4 +67,27 @@ class StreamingSessionizeSpec extends AnyFunSuite {
       .collect().sortBy(r => (r.user_id, r.ts)).toSeq
     assert(out === batchReference)
   }
+
+  test("round-12: cross-batch ordering violation is DETECTABLE — the " +
+      "query fails with the contract error, never silent ordinals") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val query = StreamingSessionize.sessions(
+        StreamingSessionize.events(stream.toDF.toDF("user_id", "ts")),
+        gap)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((9L, 5000L), (9L, 6000L)))
+      query.processAllAvailable()
+      // an event OLDER than user 9's last emitted ts arrives later
+      stream.addData(Seq((9L, 4000L)))
+      val e = intercept[Exception] { query.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("out-of-order event")),
+        s"expected the contract error, got: ${messages(e)}")
+    } finally query.stop()
+  }
 }
