@@ -81,4 +81,34 @@ object TermStatsProperties extends Properties("TermStats") {
         .as[(Long, Long, Long, Long)].collect().toSet
       got == refSpans(corpus, 2)
     }
+
+  /** Sequential Heaps-curve reference: walk docs in id order, count
+    * each doc's tokens and first-introduced terms, accumulate.
+    */
+  private def refGrowth(corpus: Seq[(Long, String)])
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    var seen = Set.empty[String]
+    var cumT = 0L
+    var vocab = 0L
+    corpus.sortBy(_._1).map { case (id, t) =>
+      val ws = t.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty).toSeq
+      val nw = ws.distinct.count(w => !seen.contains(w)).toLong
+      seen ++= ws
+      cumT += ws.size
+      vocab += nw
+      (id, ws.size.toLong, nw, cumT, vocab)
+    }
+  }
+
+  property("vocabGrowth equals the sequential Heaps walk under " +
+      "random repartitioning (the packed prefix scan is the risk)") =
+    forAll(corpusGen, Gen.choose(1, 7)) { (corpus, parts) =>
+      import spark.implicits._
+      val got = TermStats.vocabGrowth(
+          corpus.toDF("doc_id", "text").repartition(parts),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      got == refGrowth(corpus)
+    }
 }
