@@ -389,6 +389,23 @@ object LlmQueries {
         .vocabGrowth(docs(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // Positive-PMI collocations (Church & Hanks 1990) with the PMI
+    // test as exact cross-multiplied BIGINTs — the float log ships as
+    // its exact num/den pair instead of an ulp-fragile double (see
+    // TermStats.pmiPairs).
+    "q_pmi_pairs" -> ((s, d) =>
+      graft.operators.TermStats.pmiPairs(docs(s, d), col("text"), 5)
+        .orderBy(col("c_xy").desc, col("x"), col("y"))),
+
+    // Per-source language-mix entropy under the unigram-LM bits
+    // quantization — which corpus slices collapsed to one language
+    // (ent_bits ~ 0) vs stayed diverse. Exact integer numerator, one
+    // trailing division.
+    "q_source_entropy" -> ((s, d) =>
+      graft.operators.TermStats
+        .mixEntropy(docs(s, d), col("source"), col("lang"))
+        .orderBy("grp")),
+
     // BM25 top terms — the retrieval scorer TF-IDF approximates
     // (saturating tf, doc-length normalization). Gate surface is the
     // integer columns + rank, same contract as q_tfidf: the raw
@@ -1753,6 +1770,42 @@ object LlmQueries {
         |LEFT JOIN tok ON d.doc_id = tok.doc_id
         |LEFT JOIN nt ON d.doc_id = nt.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_pmi_pairs" ->
+      """WITH toks AS (SELECT
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+        |                w -> w <> '') AS ws
+        |  FROM documents),
+        |grams AS (SELECT unnest([ws[i] || ' ' || ws[i+1]
+        |    for i in range(1, len(ws))]) AS g
+        |  FROM toks WHERE len(ws) >= 2),
+        |bi AS (SELECT split_part(g, ' ', 1) AS x,
+        |    split_part(g, ' ', 2) AS y,
+        |    CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM grams GROUP BY 1, 2),
+        |lxt AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS lx
+        |        FROM bi GROUP BY x),
+        |ryt AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS ry
+        |        FROM bi GROUP BY y),
+        |tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS b_total FROM bi)
+        |SELECT bi.x, bi.y, c_xy, lx, ry, b_total,
+        |  CAST(c_xy * b_total AS BIGINT) AS pmi_num,
+        |  CAST(lx * ry AS BIGINT) AS pmi_den
+        |FROM bi JOIN lxt USING (x) JOIN ryt USING (y), tot
+        |WHERE c_xy >= 5 AND c_xy * b_total > lx * ry
+        |ORDER BY c_xy DESC, x, y""".stripMargin,
+    "q_source_entropy" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_cats,
+        |    CAST(sum(n * length(bin(n))) AS BIGINT) AS sum_cbits
+        |  FROM c GROUP BY source)
+        |SELECT source AS grp, n_rows, n_cats,
+        |  CAST(n_rows * length(bin(n_rows)) - sum_cbits AS BIGINT)
+        |    AS ent_num,
+        |  CAST(CAST(n_rows * length(bin(n_rows)) - sum_cbits AS BIGINT)
+        |      AS DOUBLE) / CAST(n_rows AS DOUBLE) AS ent_bits
+        |FROM g ORDER BY grp""".stripMargin,
     "q_bm25" -> {
       // Interpolated k1+1 keeps the exact Scala double (round-trip
       // printed); bare fractional literals are DECIMAL in DuckDB, so

@@ -177,6 +177,81 @@ object TermStats {
           .as("vocab_size"))
   }
 
+  /** Positive-PMI collocations (Church & Hanks, CL 1990: word
+    * association by pointwise mutual information) with the PMI test
+    * kept EXACT: a bigram (x, y) is a collocation when
+    * p(x,y) > p(x)·p(y), i.e. c_xy·B > lx·ry in cross-multiplied
+    * BIGINTs (c_xy the bigram count, lx/ry the left/right marginals,
+    * B the bigram total) — no log, no double, no rounding division
+    * anywhere in the FILTER. The float PMI itself is
+    * log2(pmi_num/pmi_den); it is deliberately NOT a column because
+    * JVM and libm log2 disagree in the last ulp (the tfidf lesson) —
+    * the exact numerator/denominator pair ships instead and any
+    * consumer can take the log at display time.
+    *
+    * `minCount` prunes hapax pairs (PMI's classic pathology: a pair
+    * seen once between two rare words maxes the score).
+    *
+    * Scale shape: ONE combinable bigram count (the corpus-sized
+    * aggregate, shuffling |distinct bigrams| rows), two combinable
+    * marginal rollups OVER the bigram relation (not the corpus), a
+    * 1-row broadcast total, and two equi-joins on the word keys —
+    * marginals stay distributed relations (billions of terms never
+    * broadcast, the tfidf df-table rule).
+    */
+  def pmiPairs(df: DataFrame, text: Column, minCount: Int): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val bi = df.select(cleanWords(text).as("_ws"))
+      .select(explode(ngrams(col("_ws"), 2)).as("gram"))
+      .select(split_part(col("gram"), lit(" "), lit(1)).as("x"),
+        split_part(col("gram"), lit(" "), lit(2)).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val lx = bi.groupBy("x").agg(sum(col("c_xy")).as("lx"))
+    val ry = bi.groupBy("y").agg(sum(col("c_xy")).as("ry"))
+    val tot = bi.agg(sum(col("c_xy")).as("b_total"))
+    bi.filter(col("c_xy") >= minCount.toLong)
+      .join(lx, "x").join(ry, "y")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_num", col("c_xy") * col("b_total"))
+      .withColumn("pmi_den", col("lx") * col("ry"))
+      .filter(col("pmi_num") > col("pmi_den"))
+      .select(col("x"), col("y"), col("c_xy"), col("lx"), col("ry"),
+        col("b_total"), col("pmi_num"), col("pmi_den"))
+  }
+
+  /** Per-group quantized mixing entropy — "how diverse is each corpus
+    * slice?" over a categorical column, with the same integer-bits
+    * quantization contract as the unigram LM ([[unigramSurprisal]]):
+    * category surprisal is bits(N) − bits(c) where
+    * bits(v) = length(bin(v)) = ⌊log2 v⌋ + 1, so the entropy
+    * numerator Σ_cat c·(bits(N) − bits(c)) is an exact BIGINT and the
+    * only double is the single trailing division by N. Coarse (±1
+    * bit per term) but order-free, partition-free, and hash-gateable
+    * — the audit wants "which slices collapsed to one category"
+    * (entropy ≈ 0), not the third decimal.
+    *
+    * Output: (grp, n_rows, n_cats, ent_num, ent_bits), one row per
+    * group (`grp`, not `group` — the gate surface must be a
+    * keyword-safe identifier in both dialects). Shape: one combinable
+    * (group, cat) count, one group rollup — two map-side-combined
+    * exchanges, nothing else.
+    */
+  def mixEntropy(df: DataFrame, group: Column, cat: Column): DataFrame = {
+    val counts = df.select(group.as("_g"), cat.as("_c"))
+      .filter(col("_c").isNotNull)
+      .groupBy("_g", "_c").agg(count(lit(1)).as("_n"))
+    def bits(c: Column): Column = length(bin(c)).cast("long")
+    val byG = counts.groupBy(col("_g"))
+      .agg(sum(col("_n")).as("n_rows"),
+        count(lit(1)).as("n_cats"),
+        sum(col("_n") * bits(col("_n"))).as("_sum_cbits"))
+    byG.select(col("_g").as("grp"), col("n_rows"), col("n_cats"),
+        (col("n_rows") * bits(col("n_rows")) - col("_sum_cbits"))
+          .as("ent_num"))
+      .withColumn("ent_bits",
+        col("ent_num").cast("double") / col("n_rows").cast("double"))
+  }
+
   /** Top-`k` label-discriminative terms by Pearson chi-square — the
     * classic feature-selection / corpus-diagnosis pass (Yang &
     * Pedersen, "A Comparative Study on Feature Selection in Text

@@ -154,6 +154,46 @@ class TermStatsSpec extends AnyFunSuite {
     assert(out === Seq((0.0, 0.0)))
   }
 
+  test("pmiPairs: exact cross-multiplied positive-PMI filter and " +
+      "marginals match hand computation") {
+    import spark.implicits._
+    // bigrams: (a b)x3, (b a)x2, (c d)x1 -> B = 6
+    // lx: a=3, b=2, c=1 ; ry: b=3, a=2, d=1
+    val df = Seq("a b a b a b", "c d").toDF("text")
+    val got = graft.operators.TermStats.pmiPairs(df, col("text"), 1)
+      .select("x", "y", "c_xy", "lx", "ry", "b_total", "pmi_num", "pmi_den")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t).toMap
+    // (a,b): 3*6=18 > 3*3=9 -> positive, kept
+    assert(got(("a", "b")) === ("a", "b", 3L, 3L, 3L, 6L, 18L, 9L))
+    // (b,a): 2*6=12 > 2*2=4 -> kept
+    assert(got(("b", "a")) === ("b", "a", 2L, 2L, 2L, 6L, 12L, 4L))
+    // (c,d): 1*6=6 > 1*1=1 -> kept (hapax positive; minCount prunes
+    // these in the gated query)
+    assert(got(("c", "d")) === ("c", "d", 1L, 1L, 1L, 6L, 6L, 1L))
+    assert(got.size === 3)
+    // minCount prunes the hapax pair
+    assert(graft.operators.TermStats.pmiPairs(df, col("text"), 2)
+      .count() === 2L)
+  }
+
+  test("mixEntropy: bits-quantized entropy numerator matches hand " +
+      "computation; single-category group scores zero") {
+    import spark.implicits._
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "en"), ("s1", "vi"),
+      ("s2", "en"), ("s2", "en")).toDF("src", "lang")
+    val got = graft.operators.TermStats
+      .mixEntropy(df, col("src"), col("lang"))
+      .select("grp", "n_rows", "n_cats", "ent_num", "ent_bits")
+      .as[(String, Long, Long, Long, Double)]
+      .collect().map(t => t._1 -> t).toMap
+    // s1: N=4 bits(4)=3; counts en=3 (bits 2), vi=1 (bits 1)
+    // ent_num = 4*3 - (3*2 + 1*1) = 12 - 7 = 5
+    assert(got("s1") === ("s1", 4L, 2L, 5L, 1.25))
+    // s2: N=2 bits(2)=2; en=2 -> 2*2 - 2*2 = 0 (collapsed slice)
+    assert(got("s2") === ("s2", 2L, 1L, 0L, 0.0))
+  }
+
   test("ngrams: positional n-grams, short arrays yield none") {
     val out = corpus.select(col("doc_id"),
         TermStats.ngrams(TermStats.words(col("text")), 3).as("g"))
