@@ -141,10 +141,11 @@ object TermStats {
     * doc_id; vocab_size/cum_toks are INCLUSIVE prefix sums. All exact
     * integers.
     *
-    * Scale shape: a term's first document is one map-side-combinable
-    * min aggregate over the (doc, term) relation (|vocab| rows out —
-    * never collected, never broadcast); per-doc token and new-term
-    * counts are two more combinable aggregates; the two running
+    * Scale shape: ONE corpus explode combines to the persisted
+    * (doc, term, tf) relation; a term's first document is a
+    * map-side-combinable min over it (|vocab| rows out — never
+    * collected, never broadcast), per-doc token and new-term counts
+    * are two more combinable rollups over the same cache; the two running
     * totals ride ONE packed two-phase prefix scan
     * ([[Packing.withGlobalCumsum]]: range-partition by doc_id, local
     * window, |partitions|-row offsets relation — no global
@@ -154,10 +155,15 @@ object TermStats {
     * the reference's; past that, run two scans.
     */
   def vocabGrowth(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val t = df.select(id.as("_id"), explode(words(text)).as("term"))
-      .filter(col("term") =!= "")
-    val toks = t.groupBy("_id").agg(count(lit(1)).as("toks"))
-    val firstDoc = t.groupBy("term").agg(min(col("_id")).as("_fd"))
+    // ONE corpus explode, combined to the (doc, term, tf) relation,
+    // persisted — the token-count and first-doc rollups are then
+    // cheap aggregates over tf instead of two full corpus explodes
+    val tf = org.apache.spark.sql.graft.Bridge.persistRows(
+      df.select(id.as("_id"), explode(words(text)).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("_id", "term").agg(count(lit(1)).as("_tf")))
+    val toks = tf.groupBy("_id").agg(sum(col("_tf")).as("toks"))
+    val firstDoc = tf.groupBy("term").agg(min(col("_id")).as("_fd"))
       .groupBy(col("_fd").as("_id"))
       .agg(count(lit(1)).as("new_terms"))
     val base = df.select(id.as("_id"))
@@ -201,11 +207,15 @@ object TermStats {
     */
   def pmiPairs(df: DataFrame, text: Column, minCount: Int): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
-    val bi = df.select(cleanWords(text).as("_ws"))
-      .select(explode(ngrams(col("_ws"), 2)).as("gram"))
-      .select(split_part(col("gram"), lit(" "), lit(1)).as("x"),
-        split_part(col("gram"), lit(" "), lit(2)).as("y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    // the bigram relation feeds FOUR consumers (both marginals, the
+    // total, the probe side) — persist it once or each consumer
+    // re-explodes and re-aggregates the whole corpus
+    val bi = org.apache.spark.sql.graft.Bridge.persistRows(
+      df.select(cleanWords(text).as("_ws"))
+        .select(explode(ngrams(col("_ws"), 2)).as("gram"))
+        .select(split_part(col("gram"), lit(" "), lit(1)).as("x"),
+          split_part(col("gram"), lit(" "), lit(2)).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c_xy")))
     val lx = bi.groupBy("x").agg(sum(col("c_xy")).as("lx"))
     val ry = bi.groupBy("y").agg(sum(col("c_xy")).as("ry"))
     val tot = bi.agg(sum(col("c_xy")).as("b_total"))

@@ -71,20 +71,28 @@ object StreamingBloomDedup {
       .as[(Int, String, Long)]
   }
 
+  // one digest instance per executor thread — getInstance per row
+  // would dominate the probe cost at corpus scale (digest() resets
+  // the instance, so reuse within a thread is safe)
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** The k probe bit positions for a key within its shard's segment:
     * double hashing pos_i = (h1 + i·h2) mod m over the two 64-bit
     * halves of MD5(key) — independent of the xxhash64 route hash, so
     * routing collisions don't correlate with probe collisions.
     */
   private[streaming] def probes(key: String, numHashes: Int,
-      mBits: Long): Array[Long] = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+      segBits: Long): Array[Long] = {
+    val d = md5.get()
       .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val bb = java.nio.ByteBuffer.wrap(d)
     val h1 = bb.getLong(0)
     val h2 = bb.getLong(8) | 1L // odd stride
     Array.tabulate(numHashes)(i =>
-      java.lang.Math.floorMod(h1 + i.toLong * h2, mBits))
+      java.lang.Math.floorMod(h1 + i.toLong * h2, segBits))
   }
 
   private def updateGroup(segLongs: Int, numHashes: Int)(shard: Int,
@@ -92,13 +100,13 @@ object StreamingBloomDedup {
       state: GroupState[BloomState]): Iterator[FirstSeen] = {
     val bits = state.getOption.map(_.bits)
       .getOrElse(new Array[Long](segLongs))
-    val mBits = 64L * segLongs
+    val segBits = 64L * segLongs
     val out = scala.collection.mutable.ArrayBuffer.empty[FirstSeen]
     // ord-sorted so the within-batch survivor of a repeated key is
     // deterministic (min ord) — the group's rows are one micro-batch
     // slice, so the sort buffer is batch-bounded, not stream-bounded
     rows.toArray.sortBy(t => (t._3, t._2)).foreach { case (_, k, o) =>
-      val ps = probes(k, numHashes, mBits)
+      val ps = probes(k, numHashes, segBits)
       var seen = true
       var i = 0
       while (i < ps.length) {

@@ -615,6 +615,32 @@ class PlanAuditSpec extends AnyFunSuite {
       rp.take(800))
   }
 
+  test("round-12 batch 2: Q17/Q18 shapes broadcast and TakeOrdered; " +
+      "PMI marginals read the persisted bigram relation") {
+    val sl = plan("q_small_lots")
+    assert(!sl.contains("SortMergeJoin") && !sl.contains("NestedLoop"),
+      "small-lots must broadcast the dim and the per-part stats")
+    assert(sl.contains("BroadcastHashJoin"), sl.take(400))
+    val bo = plan("q_big_orders")
+    assert(bo.contains("TakeOrderedAndProject"),
+      "top-100 must prune distributed, not global-sort")
+    assert(!bo.contains("NestedLoop") && !bo.contains("CartesianProduct"))
+    val pm = plan("q_pmi_pairs")
+    // the bigram relation feeds marginals/total/probe as persisted
+    // scans — without the persist each consumer re-aggregates the
+    // corpus (four explode+count passes instead of one)
+    assert(pm.contains("Scan ExistingRDD") || pm.contains("InMemoryTableScan"),
+      pm.take(400))
+    // the only nested-loop allowed is the 1-row totals broadcast (the
+    // eval-metrics pattern); the marginal joins must stay equi
+    assert(!pm.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pm).size <= 2,
+      "more nested-loop joins than the broadcast totals")
+    // entropy is aggregation-only: no joins, no windows
+    val se = plan("q_source_entropy")
+    assert(!se.contains("Join") && !se.contains("Window"), se.take(400))
+  }
+
   test("PLANS.md covers every registered query (staleness gate)") {
     // adding a query without regenerating PLANS.md (sbt "runMain
     // graft.tools.DumpPlans") broke two rounds in a row — fail fast

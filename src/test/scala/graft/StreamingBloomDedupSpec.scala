@@ -72,6 +72,43 @@ class StreamingBloomDedupSpec extends AnyFunSuite {
     a.foreach { case (k, o) => assert(occ(k).contains(o)) }
   }
 
+  test("round-12: streaming vocabulary growth — per-chunk first-seen " +
+      "TERM counts replay the sequential Heaps walk with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    // the composition the operator exists for: new-term detection on
+    // an unbounded stream without O(|vocab|) keyed state
+    val docs = Seq("the cat sat", "the dog sat still",
+      "a cat and a dog", "entirely novel words here")
+    val chunks = Seq(docs.take(2), docs.slice(2, 3), docs.drop(3))
+    val stream = MemoryStream[String]
+    val query = StreamingBloomDedup.firstSeen(
+        StreamingBloomDedup.observations(
+          stream.toDF.toDF("text")
+            .select(explode(split(col("text"), " ")).as("term")),
+          col("term"), lit(0L), shards))
+      .writeStream.format("memory").queryName("vocab_stream")
+      .outputMode("update").start()
+    val perChunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      var last = 0L
+      chunks.foreach { c =>
+        stream.addData(c); query.processAllAvailable()
+        val now = spark.table("vocab_stream").count()
+        perChunk += now - last; last = now
+      }
+    } finally query.stop()
+    // sequential Heaps walk over the same chunking
+    var seen = Set.empty[String]
+    val want = chunks.map { c =>
+      val terms = c.flatMap(_.split(" ")).toSet
+      val nw = (terms -- seen).size.toLong
+      seen ++= terms; nw
+    }
+    assert(perChunk.toSeq === want,
+      s"per-chunk new-term counts $perChunk != $want")
+    assert(seen.size.toLong === perChunk.sum)
+  }
+
   test("state stays at the constructed bound: shard groups only") {
     // 3000 observations through 8 shards of 1024 longs = 64 KiB total
     // regardless of corpus size; the group count IS the shard count
