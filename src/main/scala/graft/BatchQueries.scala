@@ -1084,6 +1084,56 @@ object BatchQueries {
         .orderBy(col("sum_qty").desc, col("o_orderkey")).limit(100)
     }),
 
+    // TPC-H Q14 shape — promotion revenue share: conditional-ratio
+    // aggregate over the lineitem⋈part join inside one ship-month.
+    // Revenue follows the q_revenue_topk exactness rule (DECIMAL 38,10
+    // accumulation — order-independent — with double casts only at
+    // the surface); the share is two trailing IEEE ops mirrored
+    // verbatim in the oracle. One combinable aggregate after the
+    // join; the month filter pushes to the lineitem scan.
+    "q_promo_share" -> ((s0, d) => {
+      val s = utc(s0)
+      val lo = lit("1998-03-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1998-04-01 00:00:00").cast("timestamp_ntz")
+      def rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(38,10)")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(38,10)"))).as("_pr"),
+          sum(rev).as("_tr"))
+        .select(col("_pr").cast("double").as("promo_revenue"),
+          col("_tr").cast("double").as("total_revenue"),
+          (lit(100.0) * col("_pr").cast("double") /
+            col("_tr").cast("double")).as("promo_share_pct"))
+    }),
+
+    // TPC-H Q15 shape — top supplier(s) by quarterly revenue: per-
+    // supplier DECIMAL rollup, the max as a 1-row broadcast, and the
+    // tie-exact equality filter (DECIMAL == DECIMAL — no double
+    // compare, so ties surface ALL top suppliers, Q15's defining
+    // wrinkle). Rollup is one combinable aggregate; nothing sorts
+    // globally except the supplier-count-bounded output.
+    "q_top_supplier" -> ((s0, d) => {
+      val s = utc(s0)
+      val lo = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1998-04-01 00:00:00").cast("timestamp_ntz")
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,10)")).as("_rev"))
+      val mx = rev.agg(max(col("_rev")).as("_mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("_rev") === col("_mx"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("_rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     // Bloom-filter semi-join reduction: build m=16384-bit / k=3 bits
     // over a selective dim subset (parts with p_size >= 40), broadcast
     // them, probe the fact side's distinct keys — the pre-shuffle
@@ -2201,6 +2251,36 @@ object BatchQueries {
         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
         |  CAST(sum(cents) AS BIGINT) AS totacctbal_cents
         |FROM idle GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "q_promo_share" ->
+      """WITH j AS (
+        |  SELECT CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(38,10)) AS rev, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+        |    AND l_shipdate < TIMESTAMP '1998-04-01'),
+        |a AS (SELECT
+        |  SUM(CASE WHEN p_type = 'PROMO' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(38,10)) END) AS pr,
+        |  SUM(rev) AS tr FROM j)
+        |SELECT CAST(pr AS DOUBLE) AS promo_revenue,
+        |  CAST(tr AS DOUBLE) AS total_revenue,
+        |  CAST(100.0 AS DOUBLE) * CAST(pr AS DOUBLE) / CAST(tr AS DOUBLE)
+        |    AS promo_share_pct
+        |FROM a""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(38,10))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-04-01'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT max(r) AS m FROM rev)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM rev CROSS JOIN mx
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r = m ORDER BY s_suppkey""".stripMargin,
     "q_small_lots" ->
       """WITH dim AS (SELECT p_partkey FROM part WHERE p_size <= 5),
         |li AS (SELECT l_partkey,
