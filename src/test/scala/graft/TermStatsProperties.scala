@@ -100,6 +100,30 @@ object TermStatsProperties extends Properties("TermStats") {
     }
   }
 
+  property("pmiPairs equals brute force: counts, marginals, and the " +
+      "exact positive-PMI filter") =
+    forAll(corpusGen, Gen.choose(1, 3)) { (corpus, minC) =>
+      import spark.implicits._
+      val got = TermStats.pmiPairs(
+          corpus.toDF("doc_id", "text"), col("text"), minC)
+        .select("x", "y", "c_xy", "lx", "ry", "b_total", "pmi_num",
+          "pmi_den")
+        .as[(String, String, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      val bigrams = corpus.flatMap { case (_, t) => grams(t, 2) }
+        .map { g => val p = g.split(" "); (p(0), p(1)) }
+      val cXY = bigrams.groupBy(identity).map { case (k, v) =>
+        k -> v.size.toLong }
+      val lx = bigrams.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val ry = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val b = bigrams.size.toLong
+      val want = cXY.collect {
+        case ((x, y), c) if c >= minC && c * b > lx(x) * ry(y) =>
+          (x, y, c, lx(x), ry(y), b, c * b, lx(x) * ry(y))
+      }.toSet
+      got == want
+    }
+
   property("vocabGrowth equals the sequential Heaps walk under " +
       "random repartitioning (the packed prefix scan is the risk)") =
     forAll(corpusGen, Gen.choose(1, 7)) { (corpus, parts) =>
