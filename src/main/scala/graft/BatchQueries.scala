@@ -1084,6 +1084,37 @@ object BatchQueries {
         .orderBy(col("sum_qty").desc, col("o_orderkey")).limit(100)
     }),
 
+    // TPC-H Q19 shape — disjunctive-predicate revenue: an OR of three
+    // (brand, size-range, quantity-range) conjuncts over the
+    // lineitem⋈part join. The disjunction can't become a join key,
+    // but its PART-ONLY half pushes below the join: the dim is
+    // pre-filtered to rows satisfying ANY (brand, size) clause before
+    // broadcasting, so the join probes a dim a fraction of the size
+    // and only the mixed (quantity) conjuncts evaluate post-join —
+    // the manual form of the pushdown Q19 exists to test. DECIMAL
+    // revenue, exact count.
+    "q_discount_revenue" -> ((s, d) => {
+      def clause(brand: String, szLo: Int, szHi: Int) =
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi)
+      val dim = Tables.part(s, d)
+        .filter(clause("Brand#13", 1, 10) || clause("Brand#19", 11, 25) ||
+          clause("Brand#5", 26, 50))
+        .select("p_partkey", "p_brand", "p_size")
+      def full(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+        clause(brand, szLo, szHi) &&
+          col("l_quantity").between(qLo.toDouble, qHi.toDouble)
+      Tables.lineitem(s, d)
+        .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        .filter(full("Brand#13", 1, 10, 1, 15) ||
+          full("Brand#19", 11, 25, 10, 30) ||
+          full("Brand#5", 26, 50, 20, 50))
+        .agg(count(lit(1)).as("n_lots"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,10)")).as("_rev"))
+        .select(col("n_lots"), col("_rev").cast("double").as("revenue"))
+    }),
+
     // TPC-H Q14 shape — promotion revenue share: conditional-ratio
     // aggregate over the lineitem⋈part join inside one ship-month.
     // Revenue follows the q_revenue_topk exactness rule (DECIMAL 38,10
@@ -2251,6 +2282,17 @@ object BatchQueries {
         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
         |  CAST(sum(cents) AS BIGINT) AS totacctbal_cents
         |FROM idle GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "q_discount_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lots,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 11 AND 25
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 26 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     "q_promo_share" ->
       """WITH j AS (
         |  SELECT CAST(l_extendedprice * (1.0 - l_discount)
