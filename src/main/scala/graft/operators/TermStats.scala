@@ -195,6 +195,16 @@ object TermStats {
     * the exact numerator/denominator pair ships instead and any
     * consumer can take the log at display time.
     *
+    * Exactness bound (the [[vocabGrowth]] convention): the BIGINT
+    * cross-multiplication is exact only while c_xy·b_total < 2^63 and
+    * lx·ry < 2^63 — past ~10^12 total bigrams a frequent pair's
+    * product wraps and silently inverts the filter. At that scale
+    * widen both products to DECIMAL(38,0)
+    * (`col("c_xy").cast("decimal(38,0)") * ...`), which stays exact
+    * to 2^126 at a modest aggregate cost; the LONG form is kept here
+    * because every declared SF is ~6 orders of magnitude inside the
+    * bound and the gate requires DuckDB-replayable BIGINT semantics.
+    *
     * `minCount` prunes hapax pairs (PMI's classic pathology: a pair
     * seen once between two rare words maxes the score).
     *

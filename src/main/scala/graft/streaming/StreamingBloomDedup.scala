@@ -34,8 +34,14 @@ case class FirstSeen(key: String, ord: Long)
   *    SUBSET of batch [[graft.operators.Dedup.exactDedup]]'s survivor
   *    keys, equal whp when the filter is sized for the corpus
   *    (size for n ≲ m/10 at k = 4 → p < 0.2%).
-  *  - The emitted KEY SET is chunking-invariant (membership tests are
-  *    order-free); the surviving ROW for a key is the min-`ord` row of
+  *  - The emitted KEY SET is chunking-invariant WHEN the deterministic
+  *    false-positive count is zero (equivalently, whp for a filter
+  *    sized per the previous bullet): with zero FPs every key's test
+  *    outcome depends only on whether the key itself was inserted,
+  *    which is order-free. With nonzero FPs, WHICH new key gets
+  *    FP-dropped depends on insertion order — chunking then picks the
+  *    victims, though the emitted count and the no-false-negative
+  *    guarantee still hold. The surviving ROW for a key is the min-`ord` row of
   *    the first micro-batch containing the key — arrival-order
   *    semantics, same contract as dropDuplicates. Replaying the whole
   *    corpus emits NOTHING (the Q8 hazard, closed with bounded state).

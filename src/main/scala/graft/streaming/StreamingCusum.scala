@@ -18,7 +18,16 @@ case class CusumRow(symbol: String, ts: Long, close: Double,
     target: Double, cusum_pos: Double, cusum_neg: Double, alarm: Boolean)
 
 /** Per-symbol CUSUM accumulators — the entire keyed state (two
-  * doubles), O(1) per symbol forever.
+  * doubles + the last-seen timestamp), O(1) per symbol forever.
+  *
+  * STATE-SCHEMA COMPATIBILITY: `lastTs` was added after the initial
+  * release (round 12). flatMapGroupsWithState serializes this case
+  * class into the checkpoint, so a query restarted from a checkpoint
+  * written by the two-field (cp, cn) schema will fail to decode its
+  * state — upgrading across this change requires a FRESH checkpoint
+  * directory (or an offline state rewrite). Any future field change
+  * here carries the same cost; prefer appending a versioned wrapper
+  * if in-place upgrades ever matter.
   */
 case class CusumChartState(cp: Double, cn: Double, lastTs: Long)
 

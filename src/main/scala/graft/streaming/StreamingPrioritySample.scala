@@ -39,6 +39,15 @@ case class PrioRow(seq: Long, id: Long, w: Long, priority: Double,
   * never the stream. Exact streaming "uniform-ish sample of
   * everything seen so far" state is otherwise unbounded — the sketch
   * trade the twin family exists for.
+  *
+  * INPUT CONTRACT (same as the batch sampler's): `id` is a unique row
+  * key — each id carries ONE immutable weight. A re-offered id (a
+  * replay) must repeat the same (w, priority); the state merge then
+  * keeps one occurrence (`distinctBy(_.id)`) so a replayed row cannot
+  * occupy two sample slots. If the SAME id ever arrives with a
+  * DIFFERENT weight, this sampler keeps only the higher-priority
+  * occurrence while the batch sampler would rank both rows — the
+  * advertised bit-parity holds only under the unique-id contract.
   */
 object StreamingPrioritySample {
 
