@@ -170,6 +170,63 @@ object BatchQueries {
         .orderBy("symbol", "ts")
     }),
 
+    // Price-snapshot topic shape (fetch_to_kafka_dag.py:34-40,50 — the
+    // reference's one remaining declared-optional row): the producer
+    // sends ONE flat JSON map {"time": t, "<SYMBOL>": price|null, ...}
+    // to stock-topic. Here the payload is built byte-faithfully (null
+    // for the reference's failed-fetch symbols — symbol%7==0 stands in
+    // for the vnstock exception path), parsed back as
+    // MAP<STRING,STRING> (the heterogeneous flat map's only lossless
+    // schema), the time key extracted, the rest PIVOTED to
+    // (symbol, current_price) rows, and BROADCAST-joined onto the
+    // latest bar per symbol — the normalized alternative SURVEY §2.3
+    // names. The snapshot "live feed" is the even-event_id tick subset
+    // so snapshot and history genuinely differ. Oracle replays the
+    // relational semantics directly (the serialize→parse leg is
+    // identity: double→string→double via Java shortest round-trip,
+    // same contract as q_parse_roundtrip). The one collect_list is
+    // symbol-directory-sized (a dim, never the corpus) — exactly the
+    // payload the reference's producer materializes in memory too.
+    "q_snapshot_enrich" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val b = events(s, d)
+        .select(col("user_id").as("symbol"),
+          expr("ts DIV 1000").as("tsu"), col("value").as("close"),
+          col("event_id"))
+      val live = b.filter(col("event_id") % 2 === 0)
+        .groupBy("symbol")
+        .agg(max_by(col("close"), col("tsu")).as("price"),
+          max(col("tsu")).as("ts_seen"))
+        .select(col("symbol"),
+          when(col("symbol") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("price")).as("price"),
+          col("ts_seen"))
+      val payload = live
+        .agg(concat(lit("{\"time\":\""),
+            max(col("ts_seen")).cast("string"), lit("\","),
+            concat_ws(",", sort_array(collect_list(concat(
+              lit("\""), col("symbol").cast("string"), lit("\":"),
+              coalesce(col("price").cast("string"), lit("null")))))),
+            lit("}")).as("value"))
+      val snap = payload
+        .select(from_json(col("value").cast("string"),
+          MapType(StringType, StringType)).as("m"))
+        .select(element_at(col("m"), "time").cast("long").as("snap_ts"),
+          explode(map_filter(col("m"), (k, _) => k =!= "time")))
+        .select(col("snap_ts"), col("key").cast("long").as("symbol"),
+          col("value").cast("double").as("current_price"))
+      val latest = b.groupBy("symbol")
+        .agg(max(col("tsu")).as("ts_last"),
+          max_by(col("close"), col("tsu")).as("last_close"))
+      latest.join(broadcast(snap), Seq("symbol"), "left")
+        .select(col("symbol"), col("ts_last"), col("last_close"),
+          col("snap_ts"), col("current_price"),
+          (col("current_price") - col("last_close")).as("gap"),
+          ((col("current_price") - col("last_close")) /
+            col("last_close")).as("gap_pct"))
+        .orderBy("symbol")
+    }),
+
     // E5 skew handling: two-phase salted aggregation — result must be
     // EXACTLY the plain group-by (the oracle is the unsalted SQL), so
     // this checks algebraic-decomposition correctness, not plausibility.
@@ -1721,6 +1778,41 @@ object BatchQueries {
     "q_parse_roundtrip" ->
       """SELECT user_id AS symbol, epoch_us(ts) AS ts, value AS close
         |FROM events ORDER BY symbol, ts""".stripMargin,
+    // q_snapshot_enrich: the serialize→parse leg is identity (shortest
+    // round-trip doubles), so the oracle replays the relational
+    // semantics: live-subset snapshot price with the %7 null path,
+    // latest bar per symbol, left join + the global snapshot time.
+    "q_snapshot_enrich" ->
+      """WITH b AS (
+        |  SELECT user_id AS symbol, epoch_us(ts) AS ts, value AS close,
+        |    event_id
+        |  FROM events
+        |),
+        |live AS (
+        |  SELECT symbol, arg_max(close, ts) AS price,
+        |    max(ts) AS ts_seen
+        |  FROM b WHERE event_id % 2 = 0 GROUP BY symbol
+        |),
+        |snap AS (
+        |  SELECT symbol,
+        |    CASE WHEN symbol % 7 = 0 THEN NULL ELSE price END
+        |      AS current_price
+        |  FROM live
+        |),
+        |st AS (SELECT max(ts_seen) AS snap_ts FROM live),
+        |latest AS (
+        |  SELECT symbol, max(ts) AS ts_last,
+        |    arg_max(close, ts) AS last_close
+        |  FROM b GROUP BY symbol
+        |)
+        |SELECT l.symbol, l.ts_last, l.last_close, st.snap_ts,
+        |  s.current_price,
+        |  s.current_price - l.last_close AS gap,
+        |  (s.current_price - l.last_close) / l.last_close AS gap_pct
+        |FROM latest l
+        |LEFT JOIN snap s USING (symbol)
+        |CROSS JOIN st
+        |ORDER BY l.symbol""".stripMargin,
     // CAST(SUM(...) AS BIGINT): DuckDB's SUM(BIGINT) returns HUGEINT
     // (int128), which lands as float64 in the driver's compare frame and
     // fails the dtype-sensitive hash despite cell-identical values.

@@ -18,12 +18,67 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
+  /** Deterministic per-doc crawl URLs synthesized from the fixture
+    * columns — every canonicalization rule gets hit by construction:
+    * mixed-case scheme+host, default port (https:443 at doc_id%12==0,
+    * http:80 at %3!=0 ∧ %4==1), NON-default port (:8080 kept, https:80
+    * kept — only the scheme's OWN default strips), unsorted query
+    * params (?z=…&a=… flips), absent query (%5==0), fragment (%4==0).
+    * The oracle builds the identical string with the identical CASE
+    * arms, so the gate pins the full build→canonicalize pipeline.
+    */
+  private def docUrls(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("source"), col("lang"),
+      col("n_chars"),
+      concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("HTTP")),
+        lit("://WWW."), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 4 === 0, lit(":443"))
+          .when(col("doc_id") % 4 === 1, lit(":80"))
+          .when(col("doc_id") % 4 === 2, lit(":8080"))
+          .otherwise(lit("")),
+        lit("/"), col("lang"), lit("/Doc"),
+        (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 5 === 0, lit(""))
+          .otherwise(concat(lit("?z="), col("doc_id").cast("string"),
+            lit("&a="), (col("doc_id") % 7).cast("string"))),
+        when(col("doc_id") % 4 === 0, concat(lit("#sec-"), col("lang")))
+          .otherwise(lit(""))).as("url"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> ((s, d) =>
       TextStats.addStats(docs(s, d), col("text"))
         .select("doc_id", "n_chars", "n_tokens", "avg_token_len",
           "punct_ratio", "stopword_cnt", "n_subtokens")
         .orderBy("doc_id")),
+
+    // URL canonicalization (functions/UrlOps) — the web-corpus key
+    // stage: whole-row string pipeline, zero UDFs, one codegen span.
+    "q_url_canon" -> ((s, d) =>
+      docUrls(s, d)
+        .select(col("doc_id"), col("url"),
+          graft.functions.UrlOps.schemeOf(col("url")).as("scheme"),
+          graft.functions.UrlOps.hostOf(col("url")).as("host"),
+          graft.functions.UrlOps.canonicalizeUrl(col("url"))
+            .as("url_canon"))
+        .orderBy("doc_id")),
+
+    // Host-level aggregation + robots-style deny gate over canonical
+    // hosts: per-host doc counts / char mass / language spread, and
+    // the blocked flag from an exact + suffix deny list (the
+    // pre-text-gate filter every crawl pipeline runs). One map-side-
+    // combined exchange on host (the only shuffle).
+    "q_host_stats" -> ((s, d) =>
+      docUrls(s, d)
+        .withColumn("host", graft.functions.UrlOps.hostOf(col("url")))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("blocked", graft.functions.UrlOps.isBlockedHost(
+          col("host"), exact = Seq("www.src3.example.com"),
+          suffixes = Seq("src7.example.com")))
+        .orderBy("host")),
 
     "q_lang_id" -> ((s, d) =>
       TextStats.addLangId(docs(s, d), col("text"))
@@ -1141,6 +1196,68 @@ object LlmQueries {
         |  len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|that)\b')) AS stopword_cnt,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_subtokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_url_canon: the oracle rebuilds the identical synthetic URL and
+    // replays every canonicalization step (split_part / list_sort /
+    // array_to_string are semantics-identical to substring_index /
+    // sort_array / array_join on this grammar).
+    "q_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
+        |      || '://WWW.' || source || '.Example.COM'
+        |      || (CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+        |          WHEN 2 THEN ':8080' ELSE '' END)
+        |      || '/' || lang || '/Doc' || CAST(doc_id % 100 AS VARCHAR)
+        |      || (CASE WHEN doc_id % 5 = 0 THEN ''
+        |          ELSE '?z=' || CAST(doc_id AS VARCHAR)
+        |            || '&a=' || CAST(doc_id % 7 AS VARCHAR) END)
+        |      || (CASE WHEN doc_id % 4 = 0 THEN '#sec-' || lang
+        |          ELSE '' END) AS url
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nofrag
+        |  FROM u),
+        |p2 AS (SELECT doc_id, url,
+        |    lower(split_part(nofrag, '://', 1)) AS scheme,
+        |    substr(nofrag, length(split_part(nofrag, '://', 1)) + 4)
+        |      AS rest
+        |  FROM p1),
+        |p3 AS (SELECT *,
+        |    split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
+        |    substr(rest, length(split_part(split_part(rest, '/', 1),
+        |      '?', 1)) + 1) AS pathq
+        |  FROM p2),
+        |p4 AS (SELECT *,
+        |    lower(split_part(hostport, ':', 1)) AS host,
+        |    CASE WHEN contains(hostport, ':')
+        |      THEN split_part(hostport, ':', 2) ELSE '' END AS port,
+        |    split_part(pathq, '?', 1) AS path,
+        |    CASE WHEN contains(pathq, '?')
+        |      THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
+        |      ELSE '' END AS q
+        |  FROM p3)
+        |SELECT doc_id, url, scheme, host,
+        |  scheme || '://' || host
+        |  || (CASE WHEN port <> ''
+        |        AND NOT ((scheme = 'http' AND port = '80')
+        |          OR (scheme = 'https' AND port = '443'))
+        |      THEN ':' || port ELSE '' END)
+        |  || path
+        |  || (CASE WHEN q <> '' THEN '?' ||
+        |        array_to_string(list_sort(string_split(q, '&')), '&')
+        |      ELSE '' END) AS url_canon
+        |FROM p4 ORDER BY doc_id""".stripMargin,
+    // q_host_stats: the URL build→parse leg is identity on host
+    // (lower('WWW.'||source||'.Example.COM') — same contract as
+    // q_parse_roundtrip), so the oracle derives host directly.
+    "q_host_stats" ->
+      """SELECT host, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  (host = 'www.src3.example.com' OR host = 'src7.example.com'
+        |    OR host LIKE '%.src7.example.com') AS blocked
+        |FROM (SELECT 'www.' || source || '.example.com' AS host,
+        |    lang, n_chars FROM documents)
+        |GROUP BY host ORDER BY host""".stripMargin,
     "q_lang_id" ->
       s"""SELECT doc_id, ${TextStats.stopwordProfiles.map(p => s"score_${p._1}").mkString(", ")},
          |  $langPredSql AS lang_pred

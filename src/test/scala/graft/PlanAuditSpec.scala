@@ -641,6 +641,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!se.contains("Join") && !se.contains("Window"), se.take(400))
   }
 
+  test("round-12 TPC-H shapes: Q14/Q15/Q19 dims broadcast, filters " +
+    "push to the scans (round-12 verdict #8)") {
+    // Q19: the part dim pre-filtered by the OR's part-only half, then
+    // broadcast — never a shuffle or nested-loop join; the brand/size
+    // disjunction reaches the part scan as a pushed Or filter
+    val dr = plan("q_discount_revenue")
+    assert(dr.contains("BroadcastHashJoin"), dr.take(400))
+    assert(!dr.contains("SortMergeJoin") && !dr.contains("NestedLoop"))
+    assert(dr.contains("Or(And(EqualTo(p_brand,Brand#13)"),
+      "part-only OR half must push to the part scan:\n" +
+        dr.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
+    // Q14: one aggregate over the joined month slice; the ship-month
+    // range reaches the lineitem scan, part broadcasts
+    val ps = plan("q_promo_share")
+    assert(ps.contains("BroadcastHashJoin"), ps.take(400))
+    assert(!ps.contains("SortMergeJoin") && !ps.contains("NestedLoop"))
+    assert(ps.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship-month range must push to the lineitem scan:\n" +
+        ps.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
+    // Q15: Catalyst rewrites crossJoin(broadcast(max)) + the equality
+    // filter into an equi-join, so BOTH the 1-row max probe and the
+    // supplier name join plan as broadcast hash joins — assert that
+    // rewrite held (a cartesian or shuffle join here would mean the
+    // tie-exact DECIMAL filter stopped being a join key)
+    val ts = plan("q_top_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(ts).size >= 2, ts.take(800))
+    assert(!ts.contains("SortMergeJoin") && !ts.contains("CartesianProduct")
+      && !ts.contains("NestedLoop"))
+  }
+
+  test("snapshot enrichment broadcasts the pivoted snapshot map") {
+    val p = plan("q_snapshot_enrich")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("PLANS.md covers every registered query (staleness gate)") {
     // adding a query without regenerating PLANS.md (sbt "runMain
     // graft.tools.DumpPlans") broke two rounds in a row — fail fast

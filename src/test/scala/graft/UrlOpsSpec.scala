@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.UrlOps
+
+/** Edge cases of the URL canonicalizer the q_url_canon gate's synthetic
+  * grammar doesn't construct: portless hosts, missing paths, trailing
+  * empty queries, wrong-scheme default ports, valueless/repeated query
+  * params, percent-encoding passthrough, and the deny-gate's
+  * no-substring-match property.
+  */
+class UrlOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canon(u: String): String =
+    Seq(u).toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .as[String].head()
+
+  test("case-fold + default port + fragment + param sort") {
+    assert(canon("HTTP://Example.COM:80/A/b?z=2&a=1#frag") ===
+      "http://example.com/A/b?a=1&z=2")
+    assert(canon("https://WWW.Site.org:443/Path") ===
+      "https://www.site.org/Path")
+  }
+
+  test("only the scheme's OWN default port strips") {
+    assert(canon("http://site.org:443/x") === "http://site.org:443/x")
+    assert(canon("https://h.io:80/x") === "https://h.io:80/x")
+    assert(canon("http://h.io:8080/x") === "http://h.io:8080/x")
+  }
+
+  test("portless host and missing path survive") {
+    assert(canon("http://Host.com") === "http://host.com")
+    assert(canon("HTTPS://Host.com:443") === "https://host.com")
+    assert(canon("http://host.com?a=1#f") === "http://host.com?a=1")
+  }
+
+  test("trailing empty query drops; bare '/' path stays") {
+    assert(canon("http://host.com/p?") === "http://host.com/p")
+    assert(canon("http://host.com/?") === "http://host.com/")
+    assert(canon("http://host.com/?#f") === "http://host.com/")
+  }
+
+  test("percent-encoding and path case pass through untouched") {
+    assert(canon("http://A.b/P%7Ex?K=%7E#f") === "http://a.b/P%7Ex?K=%7E")
+  }
+
+  test("valueless and repeated params sort bytewise") {
+    assert(canon("http://h/p?b&a=2&a=1") === "http://h/p?a=1&a=2&b")
+  }
+
+  test("hostOf strips scheme, port, path; lowercases") {
+    val got = Seq("HTTPS://X.Y:443/z?a=1", "http://Plain.Host")
+      .toDF("url").select(UrlOps.hostOf(col("url")).as("h"))
+      .as[String].collect().toSeq
+    assert(got === Seq("x.y", "plain.host"))
+  }
+
+  test("deny gate: exact + suffix semantics, no substring matches") {
+    val hosts = Seq("www.src3.example.com", "src7.example.com",
+      "cdn.src7.example.com", "notsrc7.example.com", "src70.example.com",
+      "clean.example.org")
+    val got = hosts.toDF("h")
+      .select(col("h"), UrlOps.isBlockedHost(col("h"),
+        exact = Seq("www.src3.example.com"),
+        suffixes = Seq("src7.example.com")).as("b"))
+      .as[(String, Boolean)].collect().toMap
+    assert(got("www.src3.example.com"))
+    assert(got("src7.example.com"))
+    assert(got("cdn.src7.example.com"))
+    assert(!got("notsrc7.example.com"), "suffix must anchor at a label dot")
+    assert(!got("src70.example.com"))
+    assert(!got("clean.example.org"))
+  }
+}
