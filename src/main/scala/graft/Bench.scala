@@ -42,6 +42,30 @@ package graft
   * sample is still the FIRST entry of each `rep_secs_loadavg` list
   * (so the compile cost stays observable); `queries` medians cover
   * only the timed reps after it.
+  *
+  * Self-adjudication (round-13; round-12 verdict "What's wrong" #1 +
+  * next-round #2): three rounds running, the driver's committed
+  * headline numbers needed MANUAL standalone reruns to separate
+  * in-suite contamination (single-JVM JIT/code-cache/GC pressure,
+  * ambient load spikes) from real regressions — r12 committed
+  * q_json_fns at 13.78 s where the truth was 0.91 s. The bench now
+  * defends itself:
+  *  - a query is FLAGGED as contaminated when its timed reps disagree
+  *    with each other (max/min > 3× — identical code on identical
+  *    data should not vary 3× within one median window) or when the
+  *    1-min loadavg JUMPS between its own reps (>2.0 delta — an
+  *    external process landed mid-measurement; the suite's own load
+  *    is ~constant across one query's reps);
+  *  - after the sweep (and after this JVM's session stops), the ≤4
+  *    worst-flagged queries are re-measured in FRESH CHILD JVMs —
+  *    `java -cp <same classpath> graft.Bench <query>` — which is
+  *    exactly the manual standalone-scoped-rerun recipe SCALE.md
+  *    prescribes, automated; the child's median is appended as
+  *    `remeasured` in both BENCH.json and the stdout line, so the
+  *    committed record carries its own adjudication data;
+  *  - `SPARK_GRAFT_BENCH_CHILD=1` marks the child: it never recurses
+  *    into its own re-measure and never touches BENCH.json (the
+  *    parent's record would be clobbered).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -142,6 +166,55 @@ object Bench {
     // quiesced BENCH_LOCAL_r{N} snapshots are committed from.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // ---- contamination flags + fresh-JVM re-measure (round-13) ----
+    val childMode = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    // overridable thresholds so the re-measure machinery is testable
+    // end-to-end (set SPREAD to 1.0 and everything flags)
+    val spreadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "3.0").toDouble
+    val laJumpMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LAJUMP", "2.0").toDouble
+    val contaminated: Seq[String] = repDetail.flatMap { case (name, rl) =>
+      val timed = rl.takeRight(math.min(reps, rl.size)).map(_._1)
+      val las = rl.map(_._2).filter(_ >= 0.0)
+      val spread = timed.nonEmpty &&
+        timed.max / math.max(timed.min, 1e-9) > spreadMax
+      val laJump = las.nonEmpty && las.max - las.min > laJumpMax
+      if (spread || laJump) Some(name) else None
+    }.toSeq
+    val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (!childMode && contaminated.nonEmpty) {
+      // session down FIRST: the child JVM allocates its own executor
+      // threads/heap, and the whole point is a quiet fresh process
+      spark.stop()
+      val worst = contaminated.sortBy(n => -timings.getOrElse(n, 0.0)).take(4)
+      worst.foreach { name =>
+        try {
+          val javaBin = System.getProperty("java.home") + "/bin/java"
+          val cp = System.getProperty("java.class.path")
+          val pb = new ProcessBuilder(javaBin, "-cp", cp, "graft.Bench", name)
+          pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+          pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+          // Spark floods stderr; stdout is the one JSON line we want
+          pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+          val p = pb.start()
+          // waitFor BEFORE reading: the child's stdout is one ~1.4 KB
+          // line (fits the pipe buffer, so the child can't block on
+          // it), and reading first would hang forever on a hung child
+          val exited = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+          if (!exited) p.destroyForcibly()
+          val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          // the child's headline carries `"<name>":<sec>` exactly once
+          // (inside its queries map); -1 records a failed re-measure
+          val m = ("\"" + java.util.regex.Pattern.quote(name) +
+            "\":([0-9]+\\.[0-9]+)").r.findAllMatchIn(out).toSeq.lastOption
+          remeasured(name) = m.map(_.group(1).toDouble).getOrElse(-1.0)
+        } catch { case _: Throwable => remeasured(name) = -1.0 }
+      }
+    }
+    val cs = contaminated.map(jstr).mkString("[", ",", "]")
+    val rms = remeasured.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }
+      .mkString("{", ",", "}")
+
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }
       .mkString("{", ",", "}")
     val rs = rowCounts.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
@@ -152,7 +225,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = timings.values.sum
     val head = s""""metric":"total","unit":"sec","reps":$reps,""" +
-      s""""loadavg_start":$loadavgStart,"sf":${jstr(sfDir)},"errors":$es"""
+      s""""loadavg_start":$loadavgStart,"sf":${jstr(sfDir)},"errors":$es,""" +
+      s""""contaminated":$cs,"remeasured":$rms"""
     val full = s"""{$head,"rows":$rs,"rep_secs_loadavg":$reph,""" +
       s""""queries":$qs,"value":${r3(total)}}"""
     // Headline subset for the stdout line: slowest-first (the queries a
@@ -173,11 +247,13 @@ object Bench {
       s""""queries":${headlineEntries.mkString("{", ",", "}")},""" +
       s""""queries_full":"BENCH.json","value":${r3(total)}}"""
     println(line)
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
-        (full + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // stdout line is authoritative
-    spark.stop()
+    if (!childMode) { // a child writing BENCH.json would clobber the
+      try {           // parent's full record
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+          (full + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () } // stdout line is authoritative
+    }
+    spark.stop() // idempotent when the re-measure path stopped it already
     if (errors.nonEmpty) sys.exit(1)
   }
 }
