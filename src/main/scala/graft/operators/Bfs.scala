@@ -51,11 +51,21 @@ object Bfs {
     var live = true
     while (d <= maxDepth && live) {
       val settled = levels.reduce(_ union _)
-      val next = Bridge.persistRows(levels.last
+      val step = levels.last
         .join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(settled, Seq("node"), "left_anti")
-        .select(col("node"), lit(d.toLong).as("dist")))
+        .select(col("node"), lit(d.toLong).as("dist"))
+      // RDD-chain truncation at a fixed cadence: each level references
+      // the previous level's RDD, so a large-diameter traversal would
+      // otherwise drag an O(diameter) dependency graph through every
+      // job (Bridge.checkpointRows doc; round-12 verdict #3). The
+      // count() below materializes the level, which is when the local
+      // checkpoint actually severs the chain. (A checkpointed level
+      // rejected as empty is simply left to the ContextCleaner —
+      // unpersistRows skips locally-checkpointed frames by design.)
+      val next = if (d % 6 == 0) Bridge.checkpointRows(step)
+        else Bridge.persistRows(step)
       live = next.count() > 0L
       if (live) levels += next
       else Bridge.unpersistRows(next) // rejected empty frontier

@@ -215,7 +215,16 @@ object Bpe {
         val (l, r, f) = (top.head.getString(0), top.head.getString(1),
           top.head.getAs[Long]("freq"))
         out += ((round.toLong, l, r, l + r, f))
-        val next = Bridge.persistRows(applyMerge(syms, l, r))
+        // RDD-chain truncation at a fixed cadence: production BPE
+        // runs THOUSANDS of merge rounds, and each round's relation
+        // references the previous one — without severing, the chain
+        // depth equals the merge count (Bridge.checkpointRows doc;
+        // round-12 verdict #3). The next round's top-1 job
+        // materializes the relation, which is when the checkpoint
+        // cuts; unpersistRows skips checkpointed prevs by design.
+        val merged = applyMerge(syms, l, r)
+        val next = if (round % 6 == 0) Bridge.checkpointRows(merged)
+          else Bridge.persistRows(merged)
         prev = syms
         syms = next
         round += 1

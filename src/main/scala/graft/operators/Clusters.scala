@@ -145,12 +145,22 @@ object Clusters {
       val t0 = if (debug) System.nanoTime() else 0L
       val next = smallStar(largeStar(cur, part), part)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // RDD-chain truncation at a fixed cadence: each round references
+      // the previous round's RDD, so a slow-converging forest would
+      // otherwise drag an O(rounds) dependency graph through every
+      // signature job (same policy as the DataFrame loops —
+      // Bridge.checkpointRows doc; round-12 verdict #3). The signature
+      // action below materializes the round, severing the chain here.
+      if (it % 6 == 5) next.localCheckpoint()
       val nextSig = signature(next)
       converged = nextSig == curSig
       if (debug) System.err.println(
         f"[cc] round $it took ${(System.nanoTime() - t0) / 1e9}%.3f s" +
           s" sig=$nextSig")
-      if (!(cur eq init)) cur.unpersist(blocking = false)
+      // a locally-checkpointed round's blocks ARE its data — skip the
+      // eager free (the ContextCleaner reclaims it once unreferenced)
+      if (!(cur eq init) && !cur.isCheckpointed)
+        cur.unpersist(blocking = false)
       cur = next
       curSig = nextSig
       it += 1

@@ -42,7 +42,7 @@ object LabelProp {
     */
   def propagate(edges0: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
-    import org.apache.spark.sql.graft.Bridge.persistRows
+    import org.apache.spark.sql.graft.Bridge.{checkpointRows, persistRows}
 
     val edges = persistRows(
       edges0.select(col("a"), col("b"))
@@ -52,15 +52,19 @@ object LabelProp {
       .withColumn("label", col("node"))
     val w = Window.partitionBy(col("node"))
       .orderBy(col("cnt").desc, col("label").asc)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val votes = edges
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      labels = persistRows(votes
+      val next = votes
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
-        .select(col("node"), col("label")))
+        .select(col("node"), col("label"))
+      // plan depth is already bounded (per-round persistRows), but
+      // the RDD chain grows one hop per round — sever it at a fixed
+      // cadence (Bridge.checkpointRows doc; round-12 verdict #3)
+      labels = if (r % 6 == 0) checkpointRows(next) else persistRows(next)
     }
     labels
   }

@@ -71,17 +71,23 @@ object Neighborhood {
           .as("r")))
     val mergedArray = array((1 to m).map(j =>
       max(element_at(col("r"), j))): _*)
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       // PULL form: v's next sketch merges the sketches of its
       // OUT-neighbors (v → w reads regs(w)), so the ball grows along
       // edge direction — the push form (grouping by dst) would grow
       // the ball of REVERSED reachability instead
       val prev = regs
-      regs = Bridge.persistRows(regs
+      val step = regs
         .join(hops, regs("node") === hops("dst"))
         .groupBy(col("src").as("_n"))
         .agg(mergedArray.as("r"))
-        .select(col("_n").as("node"), col("r")))
+        .select(col("_n").as("node"), col("r"))
+      // RDD-chain truncation at a fixed cadence (the count() below
+      // materializes the round, which is when the local checkpoint
+      // severs the chain — Bridge.checkpointRows doc; round-12
+      // verdict #3); unpersistRows skips checkpointed prevs by design
+      regs = if (round % 6 == 0) Bridge.checkpointRows(step)
+        else Bridge.persistRows(step)
       // superstep discipline: materialize round r, THEN free round
       // r−1's registers — at HyperBall round counts the dead rounds
       // would otherwise pile onto the storage budget until a full GC

@@ -44,6 +44,37 @@ object Bridge {
     ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
   }
 
+  /** [[persistRows]] + RDD-lineage truncation — the iterative-loop
+    * primitive (round-12 verdict #3). persistRows already truncates
+    * the LOGICAL plan (the returned frame is a bare `LogicalRDD`), so
+    * Catalyst planning stays O(one round) however long a loop runs;
+    * what still grows linearly in round count is the RDD DEPENDENCY
+    * chain — round r's RDD references round r−1's, so a deep loop
+    * (BFS to a large diameter, a k-core peel) accumulates an
+    * ever-longer graph the DAGScheduler re-walks per job and the
+    * ContextCleaner can never free mid-loop (each round pins its
+    * ancestors). `localCheckpoint` severs the parent references once
+    * the RDD first materializes, capping the chain at the checkpoint
+    * cadence.
+    *
+    * Trade-off (why this is not the persistRows default): a locally
+    * checkpointed RDD's blocks are UNRECOVERABLE — lineage is gone, so
+    * an executor loss fails the job instead of recomputing (the
+    * documented `RDD.localCheckpoint` contract). That is the right
+    * trade INSIDE an iterative loop at a coarse cadence (the loop can
+    * simply be re-run; the alternative at a 100-round diameter is a
+    * quadratic DAG walk and a driver-memory leak), and on a
+    * 1000-executor run with real churn the same call sites are where
+    * a RELIABLE `sparkContext.setCheckpointDir` + `rdd.checkpoint()`
+    * would go — same cadence, HDFS-backed blocks, loss-tolerant.
+    */
+  def checkpointRows(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint() // persists MEMORY_AND_DISK internally
+    ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
+  }
+
   /** Eagerly free the blocks behind a [[persistRows]] frame.
     *
     * `Dataset.unpersist` consults only the CacheManager, so on a
@@ -57,7 +88,11 @@ object Bridge {
   def unpersistRows(df: org.apache.spark.sql.DataFrame): Unit =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          // a locally-checkpointed RDD's blocks ARE its data (lineage
+          // severed) — unpersisting one would make it unreadable, so
+          // checkpointRows frames are left to the ContextCleaner
+          if !lr.rdd.isCheckpointed =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
