@@ -46,10 +46,29 @@ case class FirstSeen(key: String, ord: Long)
   *    semantics, same contract as dropDuplicates. Replaying the whole
   *    corpus emits NOTHING (the Q8 hazard, closed with bounded state).
   *
+  * FP-formula validity (round-12 sweep): the (1 − e^(−k·n/m))^k rate
+  * is the Kirsch-Mitzenmacher double-hashing asymptotic, valid when
+  * the segment is large relative to the probe count (m_s ≫ k²) — true
+  * for the deployed default (65,536 bits, k=4) and anything near it.
+  * A DEGENERATE segment (segLongs of 1-2, i.e. 64-128 bits) breaks
+  * the independence approximation and the real FP rate lands above
+  * the formula; don't size by the formula below ~16 segLongs.
+  *
+  * Key-frequency skew (round-12 sweep): the route hash is uniform
+  * over DISTINCT keys, so shard-group COUNTS balance — but every
+  * occurrence of one hot key lands in that key's one shard group, so
+  * a key that floods a micro-batch concentrates its duplicates in a
+  * single task. The per-duplicate cost is one MD5 + k bit tests
+  * (~100ns — a task absorbs millions of duplicates per second), and
+  * the min-ord contract is unaffected; if one key can exceed that
+  * rate, pre-aggregate upstream (duplicates of a known-seen key carry
+  * zero information). Raising `shards` spreads distinct keys, never
+  * one key's flood.
+  *
   * Scale shape: the one shuffle keys on shard — exactly `shards` live
   * groups forever, each holding one long array. Shard count spreads
-  * the per-batch work across executors (route hash is uniform, so no
-  * skew); raising shards at constant total bits leaves the FP rate
+  * distinct keys across executors;
+  * raising shards at constant total bits leaves the FP rate
   * unchanged. 2^30 distinct keys at 1% FP is ~1.25 GiB total bit
   * state — spread over 1024 shards that is ~1.2 MiB per group, far
   * under state-store pressure, where exact dedup state would be

@@ -73,4 +73,48 @@ class BucketJoinSpec extends AnyFunSuite {
       cleanup()
     }
   }
+
+  test("one-side-bucketed join: the unbucketed side aligns to the " +
+      "BUCKET count (not spark.sql.shuffle.partitions), bucket side " +
+      "stays exchange-free through AQE (round-12 sweep target)") {
+    // The hazard: shuffle.partitions is 32 and AQE coalesces
+    // exchanges at runtime, while the bucketed layout is pinned at 8.
+    // If the engine ever shuffled the unbucketed side to 32 (or let
+    // AQE coalesce it away from 8), the join would need a SECOND
+    // exchange on the bucketed side — exactly the shuffle the layout
+    // exists to amortize away. Spark must plan ONE exchange, on the
+    // probe side, hash-partitioned to the bucket count, and AQE must
+    // leave it at 8 in the final plan.
+    cleanup()
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"),
+          round(col("l_quantity")).cast("long").as("q"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+      val j = spark.table("b_lineitem")
+        .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("q"))
+      j.collect() // let AQE finalize
+      // the adaptive plan string carries BOTH "== Final Plan ==" and
+      // "== Initial Plan ==" sections — count exchanges in the final
+      // one only
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("isFinalPlan=true"), plan.take(300))
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      val joinSection = plan.split("SortMergeJoin").drop(1).mkString
+      val exchanges = "Exchange hashpartitioning\\([^)]*, (\\d+)\\)".r
+        .findAllMatchIn(joinSection).map(_.group(1).toInt).toSeq
+      assert(exchanges === Seq(8),
+        s"want exactly one probe-side exchange at the bucket count, " +
+          s"got $exchanges:\n" + plan.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      cleanup()
+    }
+  }
 }

@@ -74,4 +74,36 @@ class StreamingPrioritySampleSpec extends AnyFunSuite {
     val want = obs.sortBy(e => (-e.priority, e.id)).take(9)
     assert(got.sortBy(e => (-e.priority, e.id)) === want)
   }
+
+  test("EQUAL priorities across distinct ids: streaming and batch " +
+      "pick the same survivors and the same tau (round-12 sweep " +
+      "target — the tie comparator must match the batch ORDER BY)") {
+    // six ids share priority 5.0, two share 3.0, k=4 cuts INSIDE the
+    // 5.0 tie group — survivors must be the lowest ids, tau the
+    // (k+1)-th element under (priority desc, id asc) on BOTH sides
+    val tied = Seq(
+      graft.streaming.PrioObs(11L, 5L, 5.0),
+      graft.streaming.PrioObs(3L, 5L, 5.0),
+      graft.streaming.PrioObs(7L, 5L, 5.0),
+      graft.streaming.PrioObs(20L, 5L, 5.0),
+      graft.streaming.PrioObs(15L, 5L, 5.0),
+      graft.streaming.PrioObs(9L, 5L, 5.0),
+      graft.streaming.PrioObs(2L, 3L, 3.0),
+      graft.streaming.PrioObs(30L, 3L, 3.0))
+    val k = 4
+    // the streaming merge path: localTop prune + the same comparator
+    // the keyed state uses
+    val pruned = StreamingPrioritySample.localTop(
+      scala.util.Random.shuffle(tied).iterator, k + 1).toSeq
+    val streamOrder = pruned.sortBy(e => (-e.priority, e.id))
+    assert(streamOrder.take(k).map(_.id) === Seq(3L, 7L, 9L, 11L))
+    val tauStream = streamOrder(k).priority
+    assert(tauStream === 5.0) // the (k+1)-th is still inside the tie
+    // the batch side: identical ORDER BY on a DataFrame
+    val batchOrder = tied.toDF("id", "w", "priority")
+      .orderBy(col("priority").desc, col("id")).limit(k + 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(batchOrder.take(k).map(_._1) === Seq(3L, 7L, 9L, 11L))
+    assert(batchOrder.last._3 === tauStream)
+  }
 }
