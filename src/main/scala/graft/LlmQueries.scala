@@ -63,6 +63,45 @@ object LlmQueries {
             .as("url_canon"))
         .orderBy("doc_id")),
 
+    // URL-level dedup — the C4/CCNet first dedup stage: multiple
+    // crawls of the same LOCATION (host + path, query params ignored
+    // as volatile) collapse to one deterministic survivor (min
+    // doc_id). One map-side-combined exchange on the location key;
+    // at 100 TB this runs before any text gate because it's the
+    // cheapest duplicate class to kill (no content comparison).
+    "q_url_dedup" -> ((s, d) =>
+      docUrls(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          graft.functions.UrlOps.hostOf(col("url")).as("host"),
+          graft.functions.UrlOps.pathOf(col("url")).as("path"))
+        .groupBy("host", "path")
+        .agg(min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("n_crawls"),
+          min_by(col("n_chars"), col("doc_id")).as("survivor_chars"))
+        .orderBy("host", "path")),
+
+    // Per-source percentile quality gate — the FineWeb-style adaptive
+    // threshold: an absolute quality cutoff (q_quality) misjudges
+    // sources with different score distributions, so each source
+    // keeps its own top fraction. Exact rank gate (percent_rank over
+    // (quality, doc_id) — fully tie-deterministic, identical formula
+    // (rank−1)/(n−1) in both engines); one exchange + sort per
+    // source, the same cost class as any window pipeline. At 100 TB
+    // with sources too big to sort, the two-pass variant computes
+    // per-source exact rank thresholds via the q_quantiles machinery
+    // and broadcast-joins them — same gate, no full sort.
+    "q_quality_gate_rel" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality"), col("doc_id"))
+      TextStats.addStats(docs(s, d), col("text"))
+        .withColumn("quality", TextStats.qualityScore)
+        .select(col("doc_id"), col("source"), col("quality"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("kept", col("pr") >= 0.25)
+        .orderBy("doc_id")
+    }),
+
     // Host-level aggregation + robots-style deny gate over canonical
     // hosts: per-host doc counts / char mass / language spread, and
     // the blocked flag from an exact + suffix deny list (the
@@ -1246,6 +1285,44 @@ object LlmQueries {
         |        array_to_string(list_sort(string_split(q, '&')), '&')
         |      ELSE '' END) AS url_canon
         |FROM p4 ORDER BY doc_id""".stripMargin,
+    // q_url_dedup: host/path derive directly from the synthetic
+    // grammar (build→parse identity, q_host_stats convention).
+    "q_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'www.' || source || '.example.com' AS host,
+        |    '/' || lang || '/Doc' || CAST(doc_id % 100 AS VARCHAR)
+        |      AS path
+        |  FROM documents)
+        |SELECT host, path, min(doc_id) AS survivor_id,
+        |  count(*) AS n_crawls,
+        |  arg_min(n_chars, doc_id) AS survivor_chars
+        |FROM u GROUP BY host, path ORDER BY host, path""".stripMargin,
+    // q_quality_gate_rel: same quality expression as q_quality;
+    // percent_rank is (rank-1)/(n-1) in both engines and the ORDER BY
+    // includes doc_id, so ranks (hence the gate) are tie-deterministic.
+    "q_quality_gate_rel" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(text, '[ \t\n\r\f]+')) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |      / length(text) AS punct_ratio,
+        |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|that)\b')) AS stopword_cnt
+        |  FROM documents
+        |),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4)
+        |    + ((1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3)
+        |    + (least(CAST(stopword_cnt AS DOUBLE) * 10.0 / n_tokens, 1.0) * 0.3) AS quality
+        |  FROM s
+        |)
+        |SELECT doc_id, source, quality,
+        |  percent_rank() OVER (PARTITION BY source
+        |    ORDER BY quality, doc_id) AS pr,
+        |  (percent_rank() OVER (PARTITION BY source
+        |    ORDER BY quality, doc_id)) >= 0.25 AS kept
+        |FROM q ORDER BY doc_id""".stripMargin,
     // q_host_stats: the URL build→parse leg is identity on host
     // (lower('WWW.'||source||'.Example.COM') — same contract as
     // q_parse_roundtrip), so the oracle derives host directly.

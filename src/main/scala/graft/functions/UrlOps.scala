@@ -61,6 +61,16 @@ object UrlOps {
   def hostOf(u: Column): Column =
     lower(substring_index(authorityOf(afterScheme(u)), ":", 1))
 
+  /** Path of `u` (leading '/', no query/fragment; '' when absent) —
+    * case-preserved per the canonicalization rule set.
+    */
+  def pathOf(u: Column): Column = {
+    val rest = afterScheme(u)
+    val hostport = authorityOf(rest)
+    val pathq = rest.substr(length(hostport) + lit(1), length(rest))
+    substring_index(pathq, "?", 1)
+  }
+
   /** The canonical URL key — see the object doc for the rule set. */
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = substring_index(u, "#", 1)
