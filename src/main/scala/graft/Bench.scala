@@ -191,7 +191,29 @@ object Bench {
         try {
           val javaBin = System.getProperty("java.home") + "/bin/java"
           val cp = System.getProperty("java.class.path")
-          val pb = new ProcessBuilder(javaBin, "-cp", cp, "graft.Bench", name)
+          // inherit the parent's module-opens and -D flags (Spark on
+          // JDK 17 needs the --add-opens set; a child without them
+          // would fail on any query touching the restricted APIs)
+          val raw = java.lang.management.ManagementFactory
+            .getRuntimeMXBean.getInputArguments
+            .toArray(Array.empty[String])
+          // sbt passes "--add-opens" and its value as TWO args; other
+          // launchers use the joined "--add-opens=..." form — keep both
+          val inherited = scala.collection.mutable.ArrayBuffer.empty[String]
+          var ai = 0
+          while (ai < raw.length) {
+            val a = raw(ai)
+            if ((a == "--add-opens" || a == "--add-exports") &&
+                ai + 1 < raw.length) {
+              inherited += a += raw(ai + 1); ai += 2
+            } else if (a.startsWith("--add-opens") ||
+                a.startsWith("--add-exports") || a.startsWith("-D")) {
+              inherited += a; ai += 1
+            } else ai += 1
+          }
+          val cmd = (Seq(javaBin) ++ inherited ++
+            Seq("-cp", cp, "graft.Bench", name))
+          val pb = new ProcessBuilder(cmd: _*)
           pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
           pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
           // Spark floods stderr; stdout is the one JSON line we want
