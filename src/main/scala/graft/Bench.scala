@@ -178,7 +178,13 @@ object Bench {
       val las = rl.map(_._2).filter(_ >= 0.0)
       val spread = timed.nonEmpty &&
         timed.max / math.max(timed.min, 1e-9) > spreadMax
-      val laJump = las.nonEmpty && las.max - las.min > laJumpMax
+      // loadavg movement alone is NOT contamination — the suite's own
+      // 1-min la ramps for minutes at run start and decays after heavy
+      // queries, so a la delta only counts when the timed reps ALSO
+      // disagree (external interference inflates some reps, ramp
+      // inflates none) — first full-sweep learning, round 13
+      val laJump = las.nonEmpty && las.max - las.min > laJumpMax &&
+        timed.nonEmpty && timed.max / math.max(timed.min, 1e-9) > 1.5
       if (spread || laJump) Some(name) else None
     }.toSeq
     val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -189,6 +195,15 @@ object Bench {
       val worst = contaminated.sortBy(n => -timings.getOrElse(n, 0.0)).take(4)
       worst.foreach { name =>
         try {
+          // quiesce first: the whole point is a QUIET re-measure, and
+          // right after the sweep the box is still draining the
+          // suite's own load (first full-sweep run re-measured
+          // q_bpe_encode at 2.8× its true cost for exactly this
+          // reason) — wait for the 1-min la to settle, capped
+          var waited = 0
+          while (loadavg() > 3.0 && waited < 120) {
+            Thread.sleep(5000); waited += 5
+          }
           val javaBin = System.getProperty("java.home") + "/bin/java"
           val cp = System.getProperty("java.class.path")
           // inherit the parent's module-opens and -D flags (Spark on

@@ -95,6 +95,29 @@ class LineageSpec extends AnyFunSuite {
     assert(m8.length >= m3.length)
   }
 
+  test("label propagation: labels at rounds=8 (through the cadence " +
+    "boundary) equal the same-parity rounds=2 labels on a star graph") {
+    // synchronous LPA on a star OSCILLATES with period 2 (hub and
+    // leaves swap labels every round — the classic bipartite
+    // oscillation), so the truncation invariant is same-parity
+    // equality: state at round 8 (past the checkpoint at round 6)
+    // must equal state at round 2
+    val star = (1L to 6L).map(l => (0L, l)).toDF("a", "b")
+    def labels(r: Int) = graft.operators.LabelProp.propagate(star, r)
+      .orderBy("node").collect().toSeq
+    assert(labels(8) === labels(2))
+    assert(labels(7) === labels(3))
+  }
+
+  test("hyperball neighborhood: ball sizes at rounds=8 equal the " +
+    "converged rounds=5 sizes on a short path (cadence branch runs)") {
+    val e = (0 until 5).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    def balls(r: Int) = graft.operators.Neighborhood
+      .ballDenominators(e, col("src"), col("dst"), rounds = r, mBits = 4)
+      .orderBy("node").collect().toSeq
+    assert(balls(8) === balls(5)) // diameter 5 — converged by then
+  }
+
   test("connected components: a long path (many peel rounds) still " +
     "resolves to one component through the checkpoint branch") {
     val n = 200
