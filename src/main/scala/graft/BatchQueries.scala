@@ -1197,6 +1197,83 @@ object BatchQueries {
             col("_tr").cast("double")).as("promo_share_pct"))
     }),
 
+    // TPC-H Q5 shape — local supplier volume: revenue where the
+    // customer and supplier share a nation, one region, one order
+    // year. The defining wrinkle is c_nationkey = s_nationkey as a
+    // JOIN predicate (not a post-filter): it rides the customer join
+    // condition so mismatched pairs never reach the aggregate. Shape:
+    // ONE fact-fact shuffle (orders⋈lineitem on orderkey), supplier +
+    // nation⋈region broadcast; customer is deliberately UNHINTED —
+    // it is the largest dimension, at 100 TB it shuffle-joins on
+    // custkey while stats/AQE may still broadcast it at small SF
+    // (either is correct; what must not happen is a cartesian).
+    "q_local_volume" -> ((s0, d) => {
+      val s = utc(s0)
+      val lo = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+      val nat = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,10)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q7 shape — volume shipping between two nations, split by
+    // ship year: both nation dims are PRE-FILTERED to the two-nation
+    // set before broadcasting (the Q19 part-side rule applied to Q7),
+    // so the only post-join predicate is the pair disjunction the
+    // join keys can't express. One fact-fact shuffle + the customer
+    // equi-join; year(l_shipdate) is cast to BIGINT on both sides
+    // (Spark year() is INT, DuckDB's BIGINT — the dtype-sensitive
+    // hash rule).
+    "q_nation_volume" -> ((s0, d) => {
+      val s = utc(s0)
+      val lo = lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, d)
+        .filter(col("n_name").isInCollection(pair))
+        .select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .filter(col("n_name").isInCollection(pair))
+        .select(col("n_nationkey").as("c_nk"),
+          col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,10)")).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // TPC-H Q15 shape — top supplier(s) by quarterly revenue: per-
     // supplier DECIMAL rollup, the max as a 1-row broadcast, and the
     // tie-exact equality filter (DECIMAL == DECIMAL — no double
@@ -2385,6 +2462,40 @@ object BatchQueries {
         |       AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 26 AND 50
         |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "q_local_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |)
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q_promo_share" ->
       """WITH j AS (
         |  SELECT CAST(l_extendedprice * (1.0 - l_discount)

@@ -673,6 +673,36 @@ class PlanAuditSpec extends AnyFunSuite {
       && !ts.contains("NestedLoop"))
   }
 
+  test("round-13 TPC-H shapes: Q5/Q7 dims broadcast, date ranges push " +
+      "to the scans, nation pair pre-filters before broadcast") {
+    // Q5: the order-year range must reach the orders scan; supplier /
+    // nation⋈region broadcast; no cartesian or nested-loop anywhere
+    // (customer is unhinted — broadcast at small SF, shuffle at 100 TB,
+    // both fine; a NestedLoop from the c_nationkey = s_nationkey
+    // conjunct falling out of the join condition is NOT)
+    val lv = plan("q_local_volume")
+    assert(lv.contains("BroadcastHashJoin"), lv.take(400))
+    assert(!lv.contains("NestedLoop") && !lv.contains("CartesianProduct"))
+    assert(lv.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-year range must push to the orders scan:\n" +
+        lv.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
+    // Q7: both nation dims pre-filtered to the pair BEFORE broadcast
+    // (In filter pushed to the nation scans), ship range pushed to
+    // lineitem; the pair disjunction is the only post-join filter
+    val nv = plan("q_nation_volume")
+    assert(!nv.contains("NestedLoop") && !nv.contains("CartesianProduct"))
+    assert("In\\(n_name, \\[NATION_1,NATION_2\\]\\)".r
+        .findAllIn(nv).size >= 2,
+      "nation pair must push to BOTH nation scans:\n" +
+        nv.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
+    assert(nv.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship range must push to the lineitem scan:\n" +
+        nv.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
+  }
+
   test("snapshot enrichment broadcasts the pivoted snapshot map") {
     val p = plan("q_snapshot_enrich")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
