@@ -1274,6 +1274,169 @@ object BatchQueries {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // TPC-H Q4 shape — order priority checking: orders in one quarter
+    // with at least one LATE line (shipped ≥90 days after the order —
+    // the fixture has no commit/receipt dates, so lateness is the
+    // ship-vs-order gap), counted by priority. The EXISTS is a LEFT
+    // SEMI join whose condition carries both the orderkey equi-key
+    // AND the cross-table lateness comparison — the non-equi conjunct
+    // rides the hash join (never a nested loop) because the equi half
+    // anchors it; the quarter filter pushes to the orders scan so the
+    // semi probe only ever sees one quarter of orders.
+    "q_priority_orders" -> ((s0, d) => {
+      val s = utc(s0)
+      val lo = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1997-04-01 00:00:00").cast("timestamp_ntz")
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") +
+              expr("INTERVAL '90' DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6 shape — forecast revenue change: the pure-pushdown
+    // showcase. All three predicates (ship-year range, discount band,
+    // quantity cap) reach the parquet scan as PushedFilters; the plan
+    // is scan → partial agg → 1-row final agg, zero joins, one
+    // single-row exchange. At 100 TB this reads only row groups whose
+    // min/max straddle the band — the I/O-bound lower bound for any
+    // scan-agg engine. Sum in DECIMAL(38,10), one trailing double.
+    "q_forecast_revenue" -> ((s0, d) => {
+      val s = utc(s0)
+      val lo = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(38,10)")).cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q9 shape — product type profit: profit per supplier
+    // nation per order year over a name-token part slice. The fixture
+    // has no partsupp, so supply cost is the deterministic proxy
+    // 0.1 × p_retailprice × l_quantity (the oracle replays the same
+    // expression). Join order is the scale decision: the selective
+    // part dim (~10% of parts) joins lineitem FIRST, shrinking the
+    // fact ~10× before the only fact-fact shuffle (orders on
+    // orderkey); supplier and nation broadcast. Profit rows sum in
+    // DECIMAL(38,10); year cast to BIGINT for oracle dtype parity.
+    "q_product_profit" -> ((s0, d) => {
+      val s = utc(s0)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_name").contains("gear"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity") * lit(0.1))
+          .cast("decimal(38,10)")).cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q10 shape — returned-item reporting: top 20 customers by
+    // revenue lost to returns in one quarter. The returnflag filter
+    // pushes to the lineitem scan and the quarter filter to the
+    // orders scan BEFORE their orderkey shuffle; customer joins on
+    // custkey, nation broadcasts. Ranking happens on the EXACT
+    // DECIMAL revenue (ties broken by custkey, so the limit-20
+    // boundary is deterministic on both engines) and plans as
+    // TakeOrderedAndProject — no global sort.
+    "q_returned_customers" -> ((s0, d) => {
+      val s = utc(s0)
+      val lo = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1997-04-01 00:00:00").cast("timestamp_ntz")
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,10)")).as("_rev"))
+        .orderBy(col("_rev").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          col("_rev").cast("double").as("revenue"),
+          col("c_acctbal"), col("n_name"))
+    }),
+
+    // TPC-H Q12 shape — shipping priority split: for each line status
+    // (the fixture's stand-in for ship mode), how many lines shipped
+    // in-year-and-after-order belong to high- vs low-priority orders.
+    // The defining feature is the two complementary conditional SUMs
+    // over one pass — no second join, no pivot; the cross-table
+    // l_shipdate ≥ o_orderdate ordering predicate rides the orderkey
+    // join condition. Counts stay BIGINT end to end.
+    "q_ship_priority" -> ((s0, d) => {
+      val s = utc(s0)
+      val lo = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q16 shape — parts/supplier relationship: distinct supplier
+    // counts per (brand, type, size) slice, excluding flagged
+    // suppliers. The fixture has no partsupp, so the part↔supplier
+    // relation is the DISTINCT (l_partkey, l_suppkey) pairs observed
+    // in the fact table (the heavy op, and the right one: map-side
+    // combine collapses repeats before the pair shuffle); "customer
+    // complaints" is the negative-balance supplier set, a 6-row
+    // broadcast ANTI join (NOT IN with provably non-null keys). Part
+    // slice filters push to the part scan before its broadcast.
+    "q_part_supp_counts" -> ((s0, d) => {
+      val s = utc(s0)
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val flagged = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      pairs
+        .join(broadcast(flagged),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") =!= "Brand#5" &&
+              col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 7, 10, 15, 23, 38, 45))
+            .select(col("p_partkey"), col("p_brand"), col("p_type"),
+              col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"),
+          col("p_type"), col("p_size"))
+    }),
+
     // TPC-H Q15 shape — top supplier(s) by quarterly revenue: per-
     // supplier DECIMAL rollup, the max as a 1-row broadcast, and the
     // tie-exact equality filter (DECIMAL == DECIMAL — no double
@@ -2496,6 +2659,84 @@ object BatchQueries {
         |)
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_priority_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate >= o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - p_retailprice * l_quantity * 0.1
+        |    AS DECIMAL(38,10))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |  AND p_name LIKE '%gear%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q_returned_customers" ->
+      """WITH r AS (
+        |  SELECT c_custkey, c_name, c_acctbal, n_name,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(38,10))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |  ORDER BY rev DESC, c_custkey
+        |  LIMIT 20)
+        |SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM r""".stripMargin,
+    "q_ship_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate >= o_orderdate
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q_part_supp_counts" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 15, 23, 38, 45)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q_promo_share" ->
       """WITH j AS (
         |  SELECT CAST(l_extendedprice * (1.0 - l_discount)

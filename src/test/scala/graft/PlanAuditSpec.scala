@@ -703,6 +703,61 @@ class PlanAuditSpec extends AnyFunSuite {
           .mkString("\n"))
   }
 
+  test("round-13 TPC-H batch 2: Q4/Q6/Q9/Q10/Q12/Q16 shapes keep " +
+      "pushdown, semi/anti hash joins, and TakeOrdered") {
+    // The default 100-char metadata truncation hides PushedFilters
+    // tails, so widen it for this test's stringifications only.
+    val mKey = "spark.sql.maxMetadataStringLength"
+    val mOld = spark.conf.get(mKey)
+    spark.conf.set(mKey, "2000")
+    try {
+    // Q6: the pure-pushdown showcase — all three predicates reach
+    // the lineitem scan; the plan has no joins at all
+    val fr = plan("q_forecast_revenue")
+    assert(!fr.contains("Join"), fr.take(400))
+    val frPushed = fr.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(frPushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      frPushed.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      frPushed.contains("LessThan(l_quantity,24.0)"),
+      "Q6 predicates must all push to the scan:\n" + frPushed)
+    // Q4: the EXISTS plans as a LEFT SEMI hash join (the non-equi
+    // lateness conjunct rides the equi join, never a nested loop)
+    val po = plan("q_priority_orders")
+    assert(po.contains("LeftSemi"), po.take(600))
+    assert(!po.contains("NestedLoop") && !po.contains("CartesianProduct"))
+    // Q9: the part name-token filter prunes BEFORE the broadcast —
+    // the contains pushes to the part scan
+    val pp = plan("q_product_profit")
+    assert(pp.contains("StringContains(p_name,gear)"),
+      "part token filter must push to the part scan:\n" +
+        pp.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
+    assert(!pp.contains("NestedLoop") && !pp.contains("CartesianProduct"))
+    // Q10: returnflag pushes to the fact scan; top-20 prunes
+    // distributed via TakeOrderedAndProject, not a global sort
+    val rc = plan("q_returned_customers")
+    assert(rc.contains("TakeOrderedAndProject"), rc.take(400))
+    assert(rc.contains("EqualTo(l_returnflag,R)"),
+      rc.linesIterator.filter(_.contains("PushedFilters"))
+        .mkString("\n"))
+    // Q12: ONE join, two conditional sums in one aggregate pass
+    val sp = plan("q_ship_priority")
+    assert("Join".r.findAllIn(sp).size <= 2, // one join ≤ 2 mentions
+      sp.take(600))
+    assert(!sp.contains("NestedLoop") && !sp.contains("CartesianProduct"))
+    // Q16: flagged suppliers exclude via broadcast ANTI join; the
+    // part slice filters push to the part scan
+    val pc = plan("q_part_supp_counts")
+    assert(pc.contains("LeftAnti"), pc.take(600))
+    // Spark renders In values string-sorted
+    assert(pc.contains("In(p_size, [1,10,15,23,38,4,45,7])"),
+      pc.linesIterator.filter(_.contains("PushedFilters"))
+        .mkString("\n"))
+    assert(!pc.contains("NestedLoop") && !pc.contains("CartesianProduct"))
+    } finally spark.conf.set(mKey, mOld)
+  }
+
   test("snapshot enrichment broadcasts the pivoted snapshot map") {
     val p = plan("q_snapshot_enrich")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
