@@ -1244,7 +1244,7 @@ object BatchQueries {
       val s = utc(s0)
       val lo = lit("1996-01-01 00:00:00").cast("timestamp_ntz")
       val hi = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
-      val pair = Seq("NATION_1", "NATION_2")
+      val pair = Seq("NATION_10", "NATION_12")
       val n1 = Tables.nation(s, d)
         .filter(col("n_name").isInCollection(pair))
         .select(col("n_nationkey").as("s_nk"),
@@ -1263,10 +1263,10 @@ object BatchQueries {
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-        .filter((col("supp_nation") === "NATION_1" &&
-            col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" &&
-            col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_10" &&
+            col("cust_nation") === "NATION_12") ||
+          (col("supp_nation") === "NATION_12" &&
+            col("cust_nation") === "NATION_10"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -2654,8 +2654,8 @@ object BatchQueries {
         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1998-01-01'
-        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND ((n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12')
+        |      OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10'))
         |)
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,

@@ -692,7 +692,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // lineitem; the pair disjunction is the only post-join filter
     val nv = plan("q_nation_volume")
     assert(!nv.contains("NestedLoop") && !nv.contains("CartesianProduct"))
-    assert("In\\(n_name, \\[NATION_1,NATION_2\\]\\)".r
+    assert("In\\(n_name, \\[NATION_10,NATION_12\\]\\)".r
         .findAllIn(nv).size >= 2,
       "nation pair must push to BOTH nation scans:\n" +
         nv.linesIterator.filter(_.contains("PushedFilters"))
