@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
@@ -458,6 +458,98 @@ object LlmQueries {
             .as("estimate"),
           col("n_exact"))
         .orderBy("source")
+    }),
+
+    // HLL set algebra — the pairwise source-vocabulary overlap
+    // matrix. Per-source registers are built ONCE (a single corpus
+    // pass; ≤ m rows per source survive), every pair's |A∪B| comes
+    // from the register-wise MAX (the defining HLL merge property —
+    // union is EXACT on the sketch, not an approximation of it), and
+    // |A∩B| by inclusion-exclusion over the three estimates
+    // (Flajolet et al. 2007 §5). 20 sources → 190 pairs of ≤64-row
+    // relations, so the overlap matrix costs one corpus scan
+    // REGARDLESS of corpus size; the exact pairwise intersection
+    // (a vocabulary-sized distinct-pair self-join that grows with
+    // corpus) rides along only as the test-SF audit columns — at
+    // 100 TB you keep the sketch side and drop the audit. Estimates
+    // reuse the HLL family's fixed-shape double expression over
+    // exact BIGINT denominators; inclusion-exclusion adds/subtracts
+    // those doubles in one pinned order, so DuckDB replays every
+    // column bit-for-bit. est_inter can go slightly negative for
+    // near-disjoint sources (σ ≈ 13% at m = 64) — emitted raw, not
+    // clamped: the sign itself is the calibration signal.
+    "q_hll_overlap" -> ((s, d) => {
+      val mBits = 6
+      val m = 1L << mBits                   // 64
+      val wB = 60 - mBits                   // 54
+      val top = 1L << (wB + 1)              // 2^55
+      val est = (sc: Column) => lit(graft.operators.CardSketch.alpha(mBits)) *
+        lit((m * m).toDouble) * (lit(top.toDouble) / sc.cast("double"))
+      val words = docs(s, d).select(col("source"), explode(
+        graft.operators.TermStats.cleanWords(col("text"))).as("w"))
+      val regs = org.apache.spark.sql.graft.Bridge.persistRows(
+        graft.operators.CardSketch
+          .hllRegistersBy(words, col("source"), col("w"), mBits)
+          .select(col("_grp").as("src"), col("bucket"), col("max_rho")))
+      val den = graft.operators.CardSketch
+        .hllDenominatorBy(regs, col("src"), mBits)
+        .select(col("_grp").as("src"), col("s_scaled"))
+      val srcs = regs.select(col("src")).distinct()
+      // pair spine: tiny non-equi self-join (20 rows → 190 pairs);
+      // broadcast keeps it a BNLJ, never a CartesianProduct
+      val pairs = srcs.select(col("src").as("src_a"))
+        .join(broadcast(srcs.select(col("src").as("src_b"))),
+          col("src_a") < col("src_b"))
+      // union registers: two equi-joins + union (hash-joinable —
+      // no OR-condition nested loop), then register-wise max
+      val uRegs = regs.join(broadcast(pairs), col("src") === col("src_a"))
+        .select(col("src_a"), col("src_b"), col("bucket"), col("max_rho"))
+        .unionByName(
+          regs.join(broadcast(pairs), col("src") === col("src_b"))
+            .select(col("src_a"), col("src_b"), col("bucket"),
+              col("max_rho")))
+        .groupBy(col("src_a"), col("src_b"), col("bucket"))
+        .agg(max(col("max_rho")).as("max_rho"))
+      val uDen = uRegs.groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_used"),
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+            s"CAST(${wB + 1} - max_rho AS INT))")).as("_s_used"))
+        .select(col("src_a"), col("src_b"),
+          (col("_s_used") + (lit(m) - col("n_used")) * lit(top))
+            .as("s_union"))
+      // exact audit columns (test-SF only luxuries at 100 TB)
+      val sw = org.apache.spark.sql.graft.Bridge.persistRows(
+        words.distinct())
+      val nSrc = sw.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_exact"))
+      val inter = sw.select(col("source").as("ia"), col("w"))
+        .join(sw.select(col("source").as("ib"), col("w")), Seq("w"))
+        .filter(col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(lit(1)).as("n_inter"))
+      uDen
+        .join(broadcast(den.select(col("src").as("src_a"),
+          col("s_scaled").as("s_a"))), Seq("src_a"))
+        .join(broadcast(den.select(col("src").as("src_b"),
+          col("s_scaled").as("s_b"))), Seq("src_b"))
+        .join(broadcast(nSrc.select(col("source").as("src_a"),
+          col("n_exact").as("n_a_exact"))), Seq("src_a"))
+        .join(broadcast(nSrc.select(col("source").as("src_b"),
+          col("n_exact").as("n_b_exact"))), Seq("src_b"))
+        .join(broadcast(inter.select(col("ia").as("src_a"),
+          col("ib").as("src_b"), col("n_inter"))),
+          Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          est(col("s_a")).as("est_a"),
+          est(col("s_b")).as("est_b"),
+          est(col("s_union")).as("est_union"),
+          (est(col("s_a")) + est(col("s_b")) - est(col("s_union")))
+            .as("est_inter"),
+          col("n_a_exact"), col("n_b_exact"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter_exact"),
+          (col("n_a_exact") + col("n_b_exact") -
+            coalesce(col("n_inter"), lit(0L))).as("n_union_exact"))
+        .orderBy("src_a", "src_b")
     }),
 
     // Materialized posting lists — the retrieval-index build next to
@@ -1878,6 +1970,77 @@ object LlmQueries {
         |  n_exact
         |FROM den JOIN x ON den.source = x.source
         |ORDER BY den.source""".stripMargin,
+    "q_hll_overlap" ->
+      """WITH toks AS (SELECT source,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+        |                w -> w <> '') AS ws
+        |  FROM documents),
+        |words AS (SELECT source, unnest(ws) AS w FROM toks),
+        |h AS (SELECT source, CAST(('0x' || substr(md5(w), 1, 15))
+        |        AS BIGINT) AS h FROM words),
+        |parts AS (SELECT source, h // 18014398509481984 AS bucket,
+        |                 h % 18014398509481984 AS v FROM h),
+        |regs AS (SELECT source AS src, bucket,
+        |    max(CASE WHEN v = 0 THEN 55
+        |             ELSE 55 - length(bin(v)) END) AS max_rho
+        |  FROM parts GROUP BY source, bucket),
+        |dens AS (SELECT src,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INT))
+        |      AS BIGINT)
+        |    + (64 - CAST(count(*) AS BIGINT))
+        |      * CAST(36028797018963968 AS BIGINT) AS s_scaled
+        |  FROM regs GROUP BY src),
+        |srcs AS (SELECT DISTINCT src FROM regs),
+        |pairs AS (SELECT a.src AS src_a, b.src AS src_b
+        |  FROM srcs a JOIN srcs b ON a.src < b.src),
+        |uregs AS (SELECT p.src_a, p.src_b, r.bucket,
+        |    max(r.max_rho) AS max_rho
+        |  FROM pairs p JOIN regs r ON r.src = p.src_a OR r.src = p.src_b
+        |  GROUP BY p.src_a, p.src_b, r.bucket),
+        |uden AS (SELECT src_a, src_b,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INT))
+        |      AS BIGINT)
+        |    + (64 - CAST(count(*) AS BIGINT))
+        |      * CAST(36028797018963968 AS BIGINT) AS s_union
+        |  FROM uregs GROUP BY src_a, src_b),
+        |sw AS (SELECT DISTINCT source, w FROM words),
+        |nsrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM sw GROUP BY source),
+        |inter AS (SELECT x.source AS ia, y.source AS ib,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM sw x JOIN sw y ON x.w = y.w AND x.source < y.source
+        |  GROUP BY x.source, y.source)
+        |SELECT u.src_a, u.src_b,
+        |  CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+        |    * (CAST(36028797018963968.0 AS DOUBLE)
+        |       / CAST(da.s_scaled AS DOUBLE)) AS est_a,
+        |  CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+        |    * (CAST(36028797018963968.0 AS DOUBLE)
+        |       / CAST(db.s_scaled AS DOUBLE)) AS est_b,
+        |  CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+        |    * (CAST(36028797018963968.0 AS DOUBLE)
+        |       / CAST(u.s_union AS DOUBLE)) AS est_union,
+        |  (CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+        |    * (CAST(36028797018963968.0 AS DOUBLE)
+        |       / CAST(da.s_scaled AS DOUBLE))
+        |   + CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+        |    * (CAST(36028797018963968.0 AS DOUBLE)
+        |       / CAST(db.s_scaled AS DOUBLE))
+        |   - CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+        |    * (CAST(36028797018963968.0 AS DOUBLE)
+        |       / CAST(u.s_union AS DOUBLE))) AS est_inter,
+        |  na.n_exact AS n_a_exact,
+        |  nb.n_exact AS n_b_exact,
+        |  COALESCE(i.n_inter, 0) AS n_inter_exact,
+        |  na.n_exact + nb.n_exact - COALESCE(i.n_inter, 0)
+        |    AS n_union_exact
+        |FROM uden u
+        |JOIN dens da ON da.src = u.src_a
+        |JOIN dens db ON db.src = u.src_b
+        |JOIN nsrc na ON na.source = u.src_a
+        |JOIN nsrc nb ON nb.source = u.src_b
+        |LEFT JOIN inter i ON i.ia = u.src_a AND i.ib = u.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "q_hll_ngrams" ->
       """WITH toks AS (SELECT
         |    list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),

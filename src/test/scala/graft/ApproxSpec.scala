@@ -42,4 +42,41 @@ class ApproxSpec extends AnyFunSuite {
     assert(window.contains(approx),
       s"approx median $approx not in exact-rank window ${window.mkString(",")}")
   }
+
+  test("HLL union by register-wise max IS the sketch of the combined " +
+      "slice (merge exactness), and the overlap matrix audits hold") {
+    import spark.implicits._
+    import graft.operators.CardSketch
+    // two overlapping synthetic slices
+    val a = (1 to 300).map(i => ("a", s"tok$i"))
+    val b = (200 to 500).map(i => ("b", s"tok$i"))
+    val df = (a ++ b).toDF("src", "w")
+    val mBits = 6
+    val regs = CardSketch.hllRegistersBy(df, col("src"), col("w"), mBits)
+    // register-wise max across the two groups
+    val merged = regs.groupBy(col("bucket"))
+      .agg(max(col("max_rho")).as("max_rho"))
+      .select("bucket", "max_rho")
+      .as[(Long, Long)].collect().toMap
+    // sketch of the concatenated slice, built directly
+    val direct = CardSketch.hllRegisters(
+        df.select(col("w")), col("w"), mBits)
+      .as[(Long, Long)].collect().toMap
+    assert(merged === direct,
+      "union-by-max must equal the directly-built union sketch")
+    // the q_hll_overlap exact-audit invariants on the real fixture:
+    // intersection bounded by the smaller side, inclusion-exclusion
+    // union arithmetic internally consistent, est_union dominated by
+    // the estimate sum (inclusion-exclusion sanity)
+    val rows = SparkEntry.queries("q_hll_overlap")(spark, dir)
+      .select("n_a_exact", "n_b_exact", "n_inter_exact",
+        "n_union_exact", "est_a", "est_b", "est_union")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect()
+    assert(rows.length === 190)
+    rows.foreach { case (na, nb, ni, nu, ea, eb, eu) =>
+      assert(ni <= math.min(na, nb) && nu === na + nb - ni)
+      assert(eu <= ea + eb + 1e-9, s"union est $eu above sum $ea+$eb")
+    }
+  }
 }
