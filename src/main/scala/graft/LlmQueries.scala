@@ -686,6 +686,30 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Temperature-scaled corpus mixing (α = 1/2): target share per
+    // source ∝ src_chars^α — the standard low-resource up-sampling
+    // rule for multilingual/multi-source corpora (between α=0 equal
+    // budgets, q_mixture_sample, and α=1 natural proportions). α = 1/2
+    // is the one fractional exponent with an exact cross-engine form:
+    // sqrt is IEEE correctly-rounded in BOTH engines (pow is not), so
+    // w_i = FLOOR(SQRT(CAST(src_chars AS DOUBLE))) is bit-identical
+    // (and the cast exact while src_chars < 2^53 ≈ 9 PB/source).
+    // Target chars tgt_i = all·w_i/Σw evaluate in the overflow-safe
+    // split order (all div Σw)·w_i + (all mod Σw)·w_i div Σw — exact
+    // BIGINTs while tgt·10⁴ < 2^63 (≈ 900 PB of text); then the same
+    // 10⁻⁴-granularity integer threshold and content-addressed
+    // sampler as q_mixture_sample. Planning stays a |sources|-row
+    // broadcast; enforcement is the narrow scan filter.
+    "q_mixture_temperature" -> ((s, d) => {
+      val docs0 = docs(s, d).select("doc_id", "source", "n_chars")
+      val plan = graft.operators.Sampling.temperatureMixPlan(
+        docs0.groupBy("source").agg(sum("n_chars").as("src_chars")))
+      graft.operators.Sampling.importanceSample(
+          docs0.join(broadcast(plan), "source"), col("doc_id"), col("thr"))
+        .select("doc_id", "source", "keep_bucket", "thr")
+        .orderBy("doc_id")
+    }),
+
     // CAPSTONE — the whole training-corpus pipeline as ONE declarative
     // query: quality gate → blocklist gate → near-dup clustering over
     // the survivors → best-quality survivor per duplicate cluster →
@@ -2333,6 +2357,28 @@ object LlmQueries {
         |    ((a.all_chars // a.n_src) * 10000 // t.src_chars) * 100)
         |    AS BIGINT) AS thr
         |  FROM t, a),
+        |h AS (SELECT doc_id, source,
+        |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
+        |     * 2654435761) % 1000000007 % 1000000 AS keep_bucket
+        |  FROM documents)
+        |SELECT h.doc_id, h.source, h.keep_bucket, p.thr
+        |FROM h JOIN p USING (source)
+        |WHERE h.keep_bucket < p.thr
+        |ORDER BY doc_id""".stripMargin,
+    "q_mixture_temperature" ->
+      """WITH t AS (SELECT source,
+        |    CAST(sum(n_chars) AS BIGINT) AS src_chars
+        |  FROM documents GROUP BY 1),
+        |tw AS (SELECT source, src_chars,
+        |    CAST(floor(sqrt(CAST(src_chars AS DOUBLE))) AS BIGINT) AS w
+        |  FROM t),
+        |a AS (SELECT CAST(sum(src_chars) AS BIGINT) AS all_chars,
+        |    CAST(sum(w) AS BIGINT) AS sw FROM tw),
+        |p AS (SELECT source, CAST(least(1000000,
+        |    (((a.all_chars // a.sw) * tw.w
+        |       + (a.all_chars % a.sw) * tw.w // a.sw)
+        |      * 10000 // tw.src_chars) * 100) AS BIGINT) AS thr
+        |  FROM tw, a),
         |h AS (SELECT doc_id, source,
         |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
         |     * 2654435761) % 1000000007 % 1000000 AS keep_bucket

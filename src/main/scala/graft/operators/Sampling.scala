@@ -313,4 +313,37 @@ object Sampling {
     Packing.withGlobalCumsum(ranked,
       struct(col("epoch_rn"), source, key), lit(1L), "epoch_pos")
   }
+
+  /** Temperature-scaled mixture plan (α = 1/2): per-source integer
+    * keep thresholds for [[importanceSample]] with target share ∝
+    * src_chars^½ — the standard low-resource up-sampling rule for
+    * multi-source corpora (between α=0 equal budgets and α=1 natural
+    * proportions). α = 1/2 is the one fractional exponent with an
+    * exact cross-engine form: sqrt is IEEE correctly-rounded in both
+    * Spark (Math.sqrt) and DuckDB (libm), so w = FLOOR(SQRT(CAST(n
+    * AS DOUBLE))) is bit-identical (cast exact while n < 2^53).
+    * Target chars tgt = all·w/Σw evaluate in the overflow-safe split
+    * order (all div Σw)·w + (all mod Σw)·w div Σw — exact BIGINTs
+    * while tgt·10⁴ < 2^63 (≈ 900 PB of text). Thresholds land on the
+    * 10⁻⁴ grid scaled to the 10⁶ bucket domain, capped at keep-all;
+    * a source whose √-share exceeds its natural share caps (tiny
+    * sources are kept whole — the intended semantics). The floor
+    * quantization of w means keep probability is only monotone in
+    * 1/√n up to one w step: near-equal sources can swap order.
+    *
+    * Input: one row per source with `source` and `src_chars` (BIGINT
+    * total). Output: (source, thr). Planning is a |sources|-row
+    * relation — broadcast it onto the corpus for enforcement.
+    */
+  def temperatureMixPlan(totals: DataFrame): DataFrame = {
+    val t = totals.withColumn("w",
+      floor(sqrt(col("src_chars").cast("double"))).cast("long"))
+    t.crossJoin(broadcast(t.agg(sum(col("src_chars")).as("all_chars"),
+        sum(col("w")).as("sw"))))
+      .select(col("source"),
+        least(lit(1000000L),
+          expr("(((all_chars div sw) * w + (all_chars % sw) * w div sw)" +
+            " * 10000 div src_chars) * 100"))
+          .as("thr"))
+  }
 }

@@ -204,4 +204,42 @@ class SamplingSpec extends AnyFunSuite {
       assert(got(id) === exp, s"id=$id")
     }
   }
+
+  test("temperature mixing (alpha = 1/2): exact thresholds on a known " +
+      "spread, tiny sources cap at keep-all, fixture plan well-formed") {
+    // hand-computed: sizes 10^6 / 10^8 / 10^10 → w = 1000/10000/100000,
+    // Σw = 111000, all = 10,101,000,000, all div Σw = 91000 (exact).
+    // tgt = 91e6 / 910e6 / 9100e6 → raw thr 91e6 / 9.1e6 / 910000:
+    // both smaller sources exceed natural share and CAP at keep-all
+    // (√-up-sampling keeps tiny sources whole — the intended
+    // semantics); the largest lands at exactly 910000.
+    val totals = Seq(("a", 1000000L), ("b", 100000000L),
+      ("c", 10000000000L)).toDF("source", "src_chars")
+    val got = Sampling.temperatureMixPlan(totals)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 910000L))
+    // keep probability falls as 1/√n, capped: any source whose
+    // √-share exceeds its natural share saturates at keep-all (that
+    // is every source below the size pivot), so thresholds are
+    // non-increasing in size with the largest strictly down-sampled
+    val spread = Seq(("s1", 100000000L), ("s2", 10000000000L),
+      ("s3", 1000000000000L)).toDF("source", "src_chars")
+    val sp = Sampling.temperatureMixPlan(spread)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sp("s1") >= sp("s2") && sp("s2") > sp("s3") &&
+      sp("s3") < 1000000L, s"1/sqrt(n) ordering violated: $sp")
+    // fixture plan: one threshold per source, positive, on the 10⁻⁴
+    // grid, never above keep-all (near-equal sources may swap order
+    // by one w step — the documented floor-quantization bound)
+    val plan = SparkEntry.queries("q_mixture_temperature")(
+        spark, "/root/testdata/sf0.01")
+      .select("source", "thr").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(plan.keySet === srcs)
+    plan.values.foreach { thr =>
+      assert(thr > 0 && thr % 100 === 0 && thr <= 1000000L)
+    }
+  }
 }
