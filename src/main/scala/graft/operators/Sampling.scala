@@ -332,8 +332,11 @@ object Sampling {
     * 1/√n up to one w step: near-equal sources can swap order.
     *
     * Input: one row per source with `source` and `src_chars` (BIGINT
-    * total). Output: (source, thr). Planning is a |sources|-row
-    * relation — broadcast it onto the corpus for enforcement.
+    * total, ≥ 1 — an all-empty corpus makes Σw = 0, where Spark's
+    * `div` yields NULL while DuckDB's `//` raises: the zero-corpus
+    * edge is outside the contract, not silently consistent). Output:
+    * (source, thr). Planning is a |sources|-row relation — broadcast
+    * it onto the corpus for enforcement.
     */
   def temperatureMixPlan(totals: DataFrame): DataFrame = {
     val t = totals.withColumn("w",
