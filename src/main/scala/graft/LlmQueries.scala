@@ -187,6 +187,34 @@ object LlmQueries {
         .orderBy("doc_new", "doc_corpus")
     }),
 
+    // N-gram novelty gate — the continual-pretraining admission
+    // metric: for each NEW-batch document, the fraction of its
+    // distinct 5-grams never seen in the existing corpus (novelty 0 =
+    // pure rehash, 1 = entirely new text). Same increment split as
+    // q_dedup_incremental (doc_id % 10). The production shape: the
+    // history compresses ONCE to its distinct-gram relation (reusable
+    // across increments, vocabulary-sized not corpus-sized), each
+    // increment LEFT-joins on the gram key — a hash join on a string
+    // key, never a history self-join; per-doc rollup is one
+    // combinable aggregate.
+    "q_ngram_novelty" -> ((s, d) => {
+      val all = docs(s, d)
+      def gramsOf(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), explode(graft.operators.TermStats.ngrams(
+          graft.operators.TermStats.cleanWords(col("text")), 5)).as("gram"))
+      val fresh = gramsOf(all.filter(col("doc_id") % 10 === 0)).distinct()
+      val base = gramsOf(all.filter(col("doc_id") % 10 =!= 0))
+        .select(col("gram")).distinct().withColumn("_seen", lit(1L))
+      fresh.join(base, Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("_seen"), lit(0L))).as("n_seen"))
+        .select(col("doc_id"), col("n_grams"), col("n_seen"),
+          ((col("n_grams") - col("n_seen")).cast("double") /
+            col("n_grams").cast("double")).as("novelty_frac"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_near" -> ((s, d) =>
       Dedup.nearDedup(docs(s, d), col("doc_id"), col("text"))
         .select("doc_id")
@@ -1509,6 +1537,28 @@ object LlmQueries {
       s"""WITH $shingleCte
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+        |                w -> w <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            || ' ' || ws[i+3] || ' ' || ws[i+4]
+        |           for i in range(1, len(ws) - 3)]) AS gram
+        |  FROM t WHERE len(ws) >= 5),
+        |fresh AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 = 0),
+        |base AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 <> 0)
+        |SELECT f.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_seen,
+        |  CAST(count(*) - sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END)
+        |    AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty_frac
+        |FROM fresh f LEFT JOIN base b ON f.gram = b.gram
+        |GROUP BY f.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '[ \t\n\r\f]+') AS w FROM documents),
         |s AS (
