@@ -366,6 +366,52 @@ object BatchQueries {
         .orderBy("user_id")
     }),
 
+    // INTERSECT ALL / EXCEPT ALL — the multiset variants (bag
+    // semantics: a user clicking twice and erroring once intersects
+    // once, excepts once). Spark plans both as the generate-and-
+    // aggregate rewrite (count per value on each side, replicate
+    // min/m−n times) — one shuffle per side, no row-id tricks.
+    "q_intersect_all" -> ((s, d) => {
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersectAll(ev.filter(col("event_type") === "error")
+          .select("user_id"))
+        .orderBy("user_id")
+    }),
+    "q_except_all" -> ((s, d) => {
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "click").select("user_id")
+        .exceptAll(ev.filter(col("event_type") === "error")
+          .select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // Rolling 7-day distinct users (WAU) next to per-day DAU — the
+    // standard engagement rollup, and a hard op at scale because
+    // "distinct over a sliding window" does not decompose. The
+    // scale-right shape used here: collapse events to DISTINCT
+    // (user, day) first (map-side combine kills the event-count
+    // factor), then REPLICATE each user-day to the ≤7 window days it
+    // serves (explode(sequence) — a bounded 7× expansion, every join
+    // an equi-join, no range join, no per-day re-scan of 7 days of
+    // raw events), semi-filter to observed days, distinct, count.
+    // Day index is exact integer epoch-division on both engines.
+    "q_rolling_wau" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+        .distinct()
+      val spine = ud.select(col("day")).distinct()
+      val contrib = ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + lit(6L))).as("t_day"))
+        .join(spine.withColumnRenamed("day", "t_day"),
+          Seq("t_day"), "left_semi")
+        .distinct()
+      ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        .join(contrib.groupBy(col("t_day").as("day"))
+          .agg(count(lit(1)).as("wau")), Seq("day"))
+        .orderBy("day")
+    }),
+
     // Distinct aggregate: exact per-group count(DISTINCT) — Spark
     // plans the two-phase expand+aggregate, still one logical pass.
     "q_count_distinct" -> ((s, d) =>
@@ -2136,6 +2182,29 @@ object BatchQueries {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'error' AND value > 95
         |ORDER BY user_id""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT ALL
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+    "q_except_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT ALL
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+    "q_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |    user_id FROM events),
+        |spine AS (SELECT DISTINCT day FROM ud),
+        |contrib AS (SELECT DISTINCT ud.user_id, s.day AS day
+        |  FROM ud JOIN spine s ON s.day BETWEEN ud.day AND ud.day + 6),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY day),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+        |  FROM contrib GROUP BY day)
+        |SELECT d.day, d.dau, w.wau
+        |FROM dau d JOIN wau w USING (day)
+        |ORDER BY day""".stripMargin,
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS uniq_users,
         |  count(*) AS cnt
