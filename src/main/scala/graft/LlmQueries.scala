@@ -198,12 +198,20 @@ object LlmQueries {
     // key, never a history self-join; per-doc rollup is one
     // combinable aggregate.
     "q_ngram_novelty" -> ((s, d) => {
-      val all = docs(s, d)
-      def gramsOf(df: DataFrame): DataFrame = df
-        .select(col("doc_id"), explode(graft.operators.TermStats.ngrams(
-          graft.operators.TermStats.cleanWords(col("text")), 5)).as("gram"))
-      val fresh = gramsOf(all.filter(col("doc_id") % 10 === 0)).distinct()
-      val base = gramsOf(all.filter(col("doc_id") % 10 =!= 0))
+      // ONE gram pass over the whole corpus (persisted), split by
+      // flag afterwards — the naive two-sided build scans and
+      // tokenizes the corpus twice. Measured at sf0.001 the variants
+      // tie (~2.2–2.5 s warm either way — fixed overheads dominate);
+      // the one-pass shape is kept for the scan count: at 100 TB the
+      // second tokenize-and-explode pass IS the cost.
+      val g = org.apache.spark.sql.graft.Bridge.persistRows(docs(s, d)
+        .select(col("doc_id"), (col("doc_id") % 10 === 0).as("is_new"),
+          explode(graft.operators.TermStats.ngrams(
+            graft.operators.TermStats.cleanWords(col("text")), 5))
+            .as("gram")))
+      val fresh = g.filter(col("is_new"))
+        .select(col("doc_id"), col("gram")).distinct()
+      val base = g.filter(!col("is_new"))
         .select(col("gram")).distinct().withColumn("_seen", lit(1L))
       fresh.join(base, Seq("gram"), "left")
         .groupBy(col("doc_id"))
