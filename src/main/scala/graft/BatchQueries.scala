@@ -412,6 +412,47 @@ object BatchQueries {
         .orderBy("day")
     }),
 
+    // Sketch-based rolling WAU — the shape q_rolling_wau actually
+    // takes at 100 TB: per-day 7-day-window HLL registers instead of
+    // exact per-window distinct (whose replicated user-day relation
+    // grows with users×windows). Registers absorb the ×7 replication
+    // for free (max is duplicate-absorbing, so no distinct pass on
+    // the replicated relation at all), state per day is ≤ m rows of
+    // exact integers, and yesterday's windows never recompute. The
+    // user key hashes via its DECIMAL STRING form (md5 of a BIGINT's
+    // bytes is not portable; md5 of its string is). Exact WAU rides
+    // along as the audit column; the estimate is the HLL family's
+    // fixed-shape double over exact BIGINTs. The streaming twin
+    // (grouped registers in flatMapGroupsWithState) is spec-pinned
+    // bit-equal in StreamingHllSpec.
+    "q_hll_wau" -> ((s, d) => {
+      val mBits = 6
+      val m = 1L << mBits
+      val top = 1L << (60 - mBits + 1)
+      val ud = events(s, d)
+        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+        .distinct()
+      val spine = ud.select(col("day")).distinct()
+      val contrib = ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + lit(6L))).as("t_day"))
+        .join(spine.withColumnRenamed("day", "t_day"),
+          Seq("t_day"), "left_semi")
+      val regs = graft.operators.CardSketch.hllRegistersBy(
+        contrib, col("t_day"), col("user_id").cast("string"), mBits)
+      val den = graft.operators.CardSketch
+        .hllDenominatorBy(regs, col("_grp"), mBits)
+      den.join(contrib.groupBy(col("t_day"))
+            .agg(countDistinct(col("user_id")).as("wau_exact")),
+          den("_grp") === col("t_day"))
+        .select(col("t_day").as("day"), col("n_used"), col("s_scaled"),
+          (lit(graft.operators.CardSketch.alpha(mBits)) *
+            lit((m * m).toDouble) *
+            (lit(top.toDouble) / col("s_scaled").cast("double")))
+            .as("estimate"),
+          col("wau_exact"))
+        .orderBy("day")
+    }),
+
     // Distinct aggregate: exact per-group count(DISTINCT) — Spark
     // plans the two-phase expand+aggregate, still one logical pass.
     "q_count_distinct" -> ((s, d) =>
@@ -2204,6 +2245,37 @@ object BatchQueries {
         |  FROM contrib GROUP BY day)
         |SELECT d.day, d.dau, w.wau
         |FROM dau d JOIN wau w USING (day)
+        |ORDER BY day""".stripMargin,
+    "q_hll_wau" ->
+      """WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |    user_id FROM events),
+        |spine AS (SELECT DISTINCT day FROM ud),
+        |contrib AS (SELECT ud.user_id, s.day AS t_day
+        |  FROM ud JOIN spine s ON s.day BETWEEN ud.day AND ud.day + 6),
+        |h AS (SELECT t_day,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM contrib),
+        |parts AS (SELECT t_day, h // 18014398509481984 AS bucket,
+        |                 h % 18014398509481984 AS v FROM h),
+        |regs AS (SELECT t_day, bucket,
+        |    max(CASE WHEN v = 0 THEN 55
+        |             ELSE 55 - length(bin(v)) END) AS max_rho
+        |  FROM parts GROUP BY t_day, bucket),
+        |den AS (SELECT t_day, CAST(count(*) AS BIGINT) AS n_used,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INT))
+        |      AS BIGINT)
+        |    + (64 - CAST(count(*) AS BIGINT))
+        |      * CAST(36028797018963968 AS BIGINT) AS s_scaled
+        |  FROM regs GROUP BY t_day),
+        |x AS (SELECT t_day, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS wau_exact FROM contrib GROUP BY t_day)
+        |SELECT den.t_day AS day, n_used, s_scaled,
+        |  CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+        |    * (CAST(36028797018963968.0 AS DOUBLE)
+        |       / CAST(s_scaled AS DOUBLE)) AS estimate,
+        |  wau_exact
+        |FROM den JOIN x ON den.t_day = x.t_day
         |ORDER BY day""".stripMargin,
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS uniq_users,

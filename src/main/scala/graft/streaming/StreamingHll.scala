@@ -28,6 +28,9 @@ object StreamingHll {
   implicit val regEnc: Encoder[HllRegister] = Encoders.product[HllRegister]
   implicit val obsEnc: Encoder[(Long, Long)] =
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  implicit val obs3Enc: Encoder[(Long, Long, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong)
   implicit val longEnc: Encoder[Long] = Encoders.scalaLong
 
   /** (bucket, rho) observation rows for a (streaming or batch) item
@@ -61,4 +64,49 @@ object StreamingHll {
     obs.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(updateGroup _)
+
+  /** GROUPED continuous HLL — one sketch per group key (the rolling-
+    * WAU deployment: group = window day, item = user). State is
+    * (group, bucket) → one long, so live state is ≤ groups × 2^mBits
+    * exact integers REGARDLESS of user cardinality — the principled
+    * bounded-state answer to "distinct users per sliding window" on
+    * an unbounded stream, where the exact operator's state grows with
+    * users × windows. Same register semantics as [[registers]]
+    * (grow-only max, update-mode emission only on growth), so drained
+    * registers are bit-identical to the batch
+    * [[graft.operators.CardSketch.hllRegistersBy]] on any chunking;
+    * the batch analogue with the same hash split is oracle-gated as
+    * q_hll_wau. Groups that stop arriving keep ≤ m longs each —
+    * retire closed windows with a timeout policy if group count is
+    * itself unbounded.
+    */
+  def groupedObservations(df: DataFrame, group: Column, item: Column,
+      mBits: Int): Dataset[(Long, Long, Long)] =
+    graft.operators.CardSketch
+      .withHllParts(df.select(group.as("_grp"), item.as("_item")),
+        col("_item"), mBits)
+      .select(col("_grp"), col("bucket"), col("rho"))
+      .as[(Long, Long, Long)]
+
+  private def updateGrouped(key: (Long, Long),
+      rows: Iterator[(Long, Long, Long)],
+      state: GroupState[Long]): Iterator[(Long, Long, Long)] = {
+    val prev = state.getOption.getOrElse(0L)
+    var m = prev
+    rows.foreach(r => if (r._3 > m) m = r._3)
+    if (m > prev) {
+      state.update(m)
+      Iterator((key._1, key._2, m))
+    } else Iterator.empty
+  }
+
+  /** Live (group, bucket, max_rho) register relation for
+    * [[groupedObservations]]; latest row per (group, bucket) is the
+    * group's sketch.
+    */
+  def groupedRegisters(
+      obs: Dataset[(Long, Long, Long)]): Dataset[(Long, Long, Long)] =
+    obs.groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateGrouped _)
 }

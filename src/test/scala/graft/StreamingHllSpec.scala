@@ -54,4 +54,38 @@ class StreamingHllSpec extends AnyFunSuite {
       .map { case (b, vs) => (b, vs.map(_._2).max) }
     assert(fin === batchRegisters)
   }
+
+  test("grouped registers (rolling-WAU twin): streamed user-day " +
+      "observations == batch per-day sketch on any chunking") {
+    // the q_hll_wau shape: each (user, day) serves days day..day+6
+    val userDays = for {
+      u <- 0 until 120
+      d <- Seq(u % 5, u % 3 + 4)               // two active days/user
+      t <- d to d + 6                          // the ×7 replication
+    } yield (t.toLong, s"$u")                  // (window day, user key)
+    val batch = CardSketch.hllRegistersBy(
+        userDays.toDF("t_day", "u"), col("t_day"), col("u"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamingHll.groupedRegisters(
+        StreamingHll.groupedObservations(
+          stream.toDF.toDF("t_day", "u"), col("t_day"), col("u"), 6))
+      .toDF("grp", "bucket", "max_rho")
+      .writeStream.format("memory").queryName("hll_wau_out")
+      .outputMode("update").start()
+    try {
+      // uneven chunks, duplicates straddling the boundaries
+      val chunks = Seq(userDays.take(300), userDays.slice(250, 301),
+        userDays.slice(301, 700), userDays.drop(650))
+      chunks.foreach { c => stream.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+    val fin = spark.table("hll_wau_out")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, vs) => k -> vs.map(_._3).max }
+    assert(fin === batch,
+      "drained grouped registers must equal the batch per-day sketch")
+  }
 }
