@@ -79,4 +79,95 @@ class RocksDbStateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("session windows under RocksDB: same merges, same closes, " +
+    "bit-identical rows vs the default store") {
+    // the SESSION store is the stateful-merging window (unbounded key
+    // cardinality × one open session each) — the exact regime the
+    // provider swap exists for; scenario mirrors StreamingSpec's
+    // default-store case row for row
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try {
+      val stream = MemoryStream[(String, Long)]
+      val checkpoint = Files.createTempDirectory("graft-ckpt-rocks-sess")
+        .toString
+      val min = 60L * 1000000L
+      val bars = stream.toDF().toDF("symbol", "us")
+        .withColumn("event_time", timestamp_micros(col("us")))
+      val query = StreamingPipeline.sessionCounts(bars)
+        .writeStream.format("memory").queryName("graft_rocks_sess")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+      try {
+        stream.addData(("AAA", 0L), ("AAA", min / 2), ("AAA", 5 * min))
+        query.processAllAvailable()
+        stream.addData(("AAA", 30 * min))
+        query.processAllAvailable()
+        assert(query.lastProgress.json.contains("rocksdb"),
+          query.lastProgress.json)
+      } finally query.stop()
+      val out = spark.table("graft_rocks_sess")
+        .select("session_start", "session_end", "symbol", "cnt")
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(out === Set(
+        (0L, min / 2 + min, "AAA", 2L),
+        (5 * min, 6 * min, "AAA", 1L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+
+  test("stream-stream join under RocksDB: same pairs, same eviction, " +
+    "bit-identical rows vs the default store") {
+    // two-sided join state (rate × (watermark + window) buffered rows
+    // per side) is the largest state any operator here keeps —
+    // scenario mirrors StreamingSpec's default-store case row for row
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try {
+      val lStream = MemoryStream[(String, Long, Double)]
+      val rStream = MemoryStream[(String, Long, Double)]
+      val checkpoint = Files.createTempDirectory("graft-ckpt-rocks-ssj")
+        .toString
+      val min = 60L * 1000000L
+      val left = lStream.toDF().toDF("symbol", "us", "l_val")
+        .withColumn("l_time", timestamp_micros(col("us"))).drop("us")
+      val right = rStream.toDF().toDF("symbol_r", "us", "r_val")
+        .withColumn("r_time", timestamp_micros(col("us"))).drop("us")
+      val query = StreamingPipeline.streamStreamJoin(left, right)
+        .select("symbol", "l_val", "r_val")
+        .writeStream.format("memory").queryName("graft_rocks_ssj")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+      try {
+        lStream.addData(("AAA", 10 * min, 1.0))
+        rStream.addData(("AAA", 10 * min - min / 2, 2.0),
+          ("AAA", 8 * min, 3.0),
+          ("AAA", 11 * min, 4.0),
+          ("BBB", 10 * min, 5.0))
+        query.processAllAvailable()
+        lStream.addData(("ZZZ", 30 * min, 0.0))
+        rStream.addData(("ZZZ", 30 * min, 0.0))
+        query.processAllAvailable()
+        assert(query.lastProgress.json.contains("rocksdb"),
+          query.lastProgress.json)
+      } finally query.stop()
+      val out = spark.table("graft_rocks_ssj")
+        .as[(String, Double, Double)].collect().toSet
+      assert(out === Set(("AAA", 1.0, 2.0), ("ZZZ", 0.0, 0.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
 }
