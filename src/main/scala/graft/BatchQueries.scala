@@ -45,6 +45,28 @@ object BatchQueries {
     s
   }
 
+  /** q_rolling_wau's spine dataflow over a distinct (day, user_id)
+    * frame. Day-GAP semantics (round-13 adversarial-sweep target,
+    * pinned by WauSpineSpec because the continuous fixtures can't
+    * exercise it): the spine is the OBSERVED-day set and the final
+    * join is inner, so a day with zero events vanishes from BOTH dau
+    * and wau — exactly the oracle's `spine JOIN ... JOIN` shape. The
+    * ×7 replication is semi-filtered to observed days BEFORE the
+    * distinct, so gap days cost nothing.
+    */
+  private[graft] def rollingWauFrom(ud: DataFrame): DataFrame = {
+    val spine = ud.select(col("day")).distinct()
+    val contrib = ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(6L))).as("t_day"))
+      .join(spine.withColumnRenamed("day", "t_day"),
+        Seq("t_day"), "left_semi")
+      .distinct()
+    ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .join(contrib.groupBy(col("t_day").as("day"))
+        .agg(count(lit(1)).as("wau")), Seq("day"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 count — whole-table count, one row out.
     "q_count" -> ((s, d) =>
@@ -208,17 +230,24 @@ object BatchQueries {
               lit("\""), col("symbol").cast("string"), lit("\":"),
               coalesce(col("price").cast("string"), lit("null")))))),
             lit("}")).as("value"))
-      val snap = payload
+      val parsed = payload
         .select(from_json(col("value").cast("string"),
           MapType(StringType, StringType)).as("m"))
-        .select(element_at(col("m"), "time").cast("long").as("snap_ts"),
-          explode(map_filter(col("m"), (k, _) => k =!= "time")))
-        .select(col("snap_ts"), col("key").cast("long").as("symbol"),
+      // snap_ts is a property of the snapshot MESSAGE, not of a symbol:
+      // cross-join the 1-row time onto every output row so a symbol
+      // with no live ticks still carries the global snapshot time —
+      // the same shape as the oracle's CROSS JOIN st.
+      val snapTs = parsed
+        .select(element_at(col("m"), "time").cast("long").as("snap_ts"))
+      val snap = parsed
+        .select(explode(map_filter(col("m"), (k, _) => k =!= "time")))
+        .select(col("key").cast("long").as("symbol"),
           col("value").cast("double").as("current_price"))
       val latest = b.groupBy("symbol")
         .agg(max(col("tsu")).as("ts_last"),
           max_by(col("close"), col("tsu")).as("last_close"))
       latest.join(broadcast(snap), Seq("symbol"), "left")
+        .crossJoin(broadcast(snapTs))
         .select(col("symbol"), col("ts_last"), col("last_close"),
           col("snap_ts"), col("current_price"),
           (col("current_price") - col("last_close")).as("gap"),
@@ -396,21 +425,15 @@ object BatchQueries {
     // an equi-join, no range join, no per-day re-scan of 7 days of
     // raw events), semi-filter to observed days, distinct, count.
     // Day index is exact integer epoch-division on both engines.
-    "q_rolling_wau" -> ((s, d) => {
-      val ud = events(s, d)
+    "q_rolling_wau" -> ((s, d) =>
+      rollingWauFrom(events(s, d)
         .select(expr("ts div 86400000000000").as("day"), col("user_id"))
-        .distinct()
-      val spine = ud.select(col("day")).distinct()
-      val contrib = ud.select(col("user_id"),
-          explode(sequence(col("day"), col("day") + lit(6L))).as("t_day"))
-        .join(spine.withColumnRenamed("day", "t_day"),
-          Seq("t_day"), "left_semi")
-        .distinct()
-      ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-        .join(contrib.groupBy(col("t_day").as("day"))
-          .agg(count(lit(1)).as("wau")), Seq("day"))
-        .orderBy("day")
-    }),
+        .distinct())),
+
+    // (rollingWauFrom lives below the queries map — WauSpineSpec pins
+    // the day-GAP semantics the sf fixtures can't exercise: a day with
+    // zero events vanishes from BOTH dau and wau, identically to the
+    // oracle's observed-day spine + inner join.)
 
     // Sketch-based rolling WAU — the shape q_rolling_wau actually
     // takes at 100 TB: per-day 7-day-window HLL registers instead of

@@ -171,28 +171,48 @@ object Bench {
     val childMode = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     // overridable thresholds so the re-measure machinery is testable
     // end-to-end (set SPREAD to 1.0 and everything flags)
-    val spreadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "3.0").toDouble
+    // round-14 tightening (round-13 verdict "What's wrong" #2): the 3×
+    // spread threshold let q_fuzzy_join sail through with reps
+    // [4.08..8.46] (2.08× spread, committed 6.97 s vs true ~4 s).
+    // Identical code on identical data does not vary 1.5× warm — flag
+    // at >1.5× spread, and additionally when ambient load was high
+    // (any rep's la > 1.0) while the reps still mildly disagree
+    // (>1.25×). Pure la level with TIGHT reps stays unflagged: the
+    // suite's own la ramp inflates nothing when reps agree.
+    val spreadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "1.5").toDouble
     val laJumpMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LAJUMP", "2.0").toDouble
+    val laBusy = sys.env.getOrElse("SPARK_GRAFT_BENCH_LABUSY", "1.0").toDouble
+    // sub-half-second medians are JIT/GC-noise-dominated (an sf0.001
+    // smoke flags 24 queries without this floor, 18 of them sub-0.5 s
+    // — none of which can distort the record they appear in)
+    val minSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINSEC", "0.5").toDouble
     val contaminated: Seq[String] = repDetail.flatMap { case (name, rl) =>
+      if (timings.getOrElse(name, 0.0) < minSec) None else {
       val timed = rl.takeRight(math.min(reps, rl.size)).map(_._1)
       val las = rl.map(_._2).filter(_ >= 0.0)
-      val spread = timed.nonEmpty &&
-        timed.max / math.max(timed.min, 1e-9) > spreadMax
+      val spreadRatio =
+        if (timed.isEmpty) 1.0 else timed.max / math.max(timed.min, 1e-9)
+      val spread = spreadRatio > spreadMax
       // loadavg movement alone is NOT contamination — the suite's own
       // 1-min la ramps for minutes at run start and decays after heavy
-      // queries, so a la delta only counts when the timed reps ALSO
+      // queries, so a la signal only counts when the timed reps ALSO
       // disagree (external interference inflates some reps, ramp
       // inflates none) — first full-sweep learning, round 13
       val laJump = las.nonEmpty && las.max - las.min > laJumpMax &&
-        timed.nonEmpty && timed.max / math.max(timed.min, 1e-9) > 1.5
-      if (spread || laJump) Some(name) else None
+        spreadRatio > 1.25
+      val busy = las.nonEmpty && las.max > laBusy && spreadRatio > 1.25
+      if (spread || laJump || busy) Some(name) else None
+      }
     }.toSeq
     val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     if (!childMode && contaminated.nonEmpty) {
       // session down FIRST: the child JVM allocates its own executor
       // threads/heap, and the whole point is a quiet fresh process
       spark.stop()
-      val worst = contaminated.sortBy(n => -timings.getOrElse(n, 0.0)).take(4)
+      val remeasureCap =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_REMEASURE_CAP", "6").toInt
+      val worst = contaminated.sortBy(n => -timings.getOrElse(n, 0.0))
+        .take(remeasureCap)
       worst.foreach { name =>
         try {
           // quiesce first: the whole point is a QUIET re-measure, and
@@ -231,6 +251,14 @@ object Bench {
           val pb = new ProcessBuilder(cmd: _*)
           pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
           pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+          // re-adjudicate under the PARENT'S settings: a parent run
+          // with non-default reps/thresholds must not re-measure its
+          // flagged queries under different ones (round-13 ADVICE)
+          Seq("SPARK_GRAFT_BENCH_REPS", "SPARK_GRAFT_BENCH_SPREAD",
+            "SPARK_GRAFT_BENCH_LAJUMP", "SPARK_GRAFT_BENCH_LABUSY")
+            .foreach { k =>
+              sys.env.get(k).foreach(v => pb.environment().put(k, v))
+            }
           // Spark floods stderr; stdout is the one JSON line we want
           pb.redirectError(ProcessBuilder.Redirect.DISCARD)
           val p = pb.start()

@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   *  - host:port with a single ':' (bracketed IPv6 hosts are out of
   *    scope — they're absent from crawl URL corpora at any rate that
   *    matters, and would need bracket-aware splitting);
+  *  - userinfo ("user:pass@host") is STRIPPED before the host/port
+  *    split (text up to the last '@' in the authority): credentials
+  *    never identify a distinct resource, and leaving them in would
+  *    corrupt both the host and the port parse ('user' as host, the
+  *    password as a bogus port);
+  *  - scheme-relative URLs ("//host/path") are out of scope: they
+  *    only occur UNRESOLVED inside href attributes; crawl URL
+  *    corpora store absolute post-resolution URLs;
   *  - percent-encoding is NOT normalized (%7E vs ~): decode-normalize
   *    is a different, lossy operation; canonical keys just need
   *    determinism.
@@ -33,6 +41,7 @@ import org.apache.spark.sql.functions._
   * Rules (the standard safe-normalization set, RFC 3986 §6.2.2-6.2.3):
   *  - scheme and host lowercased (case-insensitive per RFC);
   *  - fragment stripped (never sent to the server);
+  *  - userinfo stripped (credentials never name a distinct resource);
   *  - default port stripped (http:80, https:443);
   *  - query params sorted bytewise (param ORDER is almost always
   *    insignificant; sorting makes ?a=1&b=2 ≡ ?b=2&a=1 — the dedup
@@ -53,8 +62,16 @@ object UrlOps {
   }
 
   // authority = text before the first '/' OR '?' (an empty-path URL
-  // like http://h.com?a=1 puts the query right after the host)
+  // like http://h.com?a=1 puts the query right after the host), with
+  // any userinfo ("user:pass@") stripped: substring_index(-1) takes
+  // text after the LAST '@' and is identity when no '@' is present.
   private def authorityOf(rest: Column): Column =
+    substring_index(
+      substring_index(substring_index(rest, "/", 1), "?", 1), "@", -1)
+
+  // authority INCLUDING userinfo — canonicalizeUrl needs the full
+  // span length to find where path+query start in `rest`.
+  private def rawAuthorityOf(rest: Column): Column =
     substring_index(substring_index(rest, "/", 1), "?", 1)
 
   /** Lowercased host of `u` (no port, no path). */
@@ -66,8 +83,7 @@ object UrlOps {
     */
   def pathOf(u: Column): Column = {
     val rest = afterScheme(u)
-    val hostport = authorityOf(rest)
-    val pathq = rest.substr(length(hostport) + lit(1), length(rest))
+    val pathq = rest.substr(length(rawAuthorityOf(rest)) + lit(1), length(rest))
     substring_index(pathq, "?", 1)
   }
 
@@ -77,7 +93,8 @@ object UrlOps {
     val scheme = lower(substring_index(noFrag, "://", 1))
     val rest = afterScheme(u)
     val hostport = authorityOf(rest)
-    val pathq = rest.substr(length(hostport) + lit(1), length(rest))
+    val pathq =
+      rest.substr(length(rawAuthorityOf(rest)) + lit(1), length(rest))
     val host = lower(substring_index(hostport, ":", 1))
     val port = when(instr(hostport, ":") > 0,
       substring_index(hostport, ":", -1)).otherwise(lit(""))

@@ -55,6 +55,57 @@ class CorpusIngestSpec extends AnyFunSuite {
     }
   }
 
+  private val good2 =
+    "a different tale of the sea and the stars that is told in the " +
+      "night when the wind comes down from the mountains to the shore"
+
+  test("web front: canonicalize → deny gate → URL dedup → quality " +
+      "gate → content dedup; streaming == batch on any chunking") {
+    // one row per kill-stage, in crawl order
+    val rows = Seq(
+      (0L, "HTTP://Good.com/a?z=1&b=2", good, ts(0)),   // survives
+      (1L, "http://good.com/a?b=2&z=1", good2, ts(1)),  // same CANONICAL url as 0 (param order) → URL dedup
+      (2L, "http://spam.com/x", good, ts(2)),           // denied host
+      (3L, "http://cdn.spam.com/y", good, ts(3)),       // denied subdomain
+      (4L, "https://other.org/b", "x!", ts(4)),         // fails quality
+      (5L, "https://other.org/c", good, ts(5)),         // same CONTENT as 0 → fp dedup
+      (6L, "https://other.org/d?q=7", good2, ts(6)))    // survives
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusIngest.ingestWeb(df, denyExact = Nil,
+        denySuffixes = Seq("spam.com"), minQuality = 0.5)
+
+    val batch = run(rows.toDF("doc_id", "url", "text", "event_time"))
+      .select("doc_id", "url_canon", "host")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(batch === Seq(
+      (0L, "http://good.com/a?b=2&z=1", "good.com"),
+      (6L, "https://other.org/d?q=7", "other.org")))
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String, Timestamp)]
+    val checkpoint = Files.createTempDirectory("graft-web-ckpt").toString
+    val query = run(stream.toDF().toDF("doc_id", "url", "text", "event_time"))
+      .writeStream.format("memory").queryName("web_ingested")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    try {
+      // uneven chunks: the URL-dup pair and the content-dup pair both
+      // STRADDLE batch boundaries — the stateful stages must carry
+      Seq(rows.take(1), rows.slice(1, 5), rows.drop(5)).foreach { c =>
+        stream.addData(c); query.processAllAvailable()
+      }
+      val got = spark.table("web_ingested")
+        .select("doc_id", "url_canon", "host")
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      assert(got === batch, "streamed web front diverged from batch")
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS web_ingested")
+    }
+  }
+
   test("batch mode: the same transform runs un-streamed") {
     val df = Seq((0L, good, ts(0)), (1L, good, ts(1)))
       .toDF("doc_id", "text", "event_time")

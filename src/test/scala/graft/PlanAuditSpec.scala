@@ -673,6 +673,49 @@ class PlanAuditSpec extends AnyFunSuite {
       && !ts.contains("NestedLoop"))
   }
 
+  test("Q5 unhinted-customer regimes (round-13 sweep): stats broadcast " +
+      "it at small SF; with broadcasts off it shuffle-joins, never a " +
+      "nested loop; rows identical either way") {
+    // the SCALE.md claim, verified instead of asserted: customer is
+    // the ONE unhinted join in q_local_volume. Small-SF regime —
+    // every join (incl. customer) is broadcast, zero shuffle joins.
+    val df = SparkEntry.queries("q_local_volume")(spark, dir)
+    val expected = df.collect().toSeq
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(400))
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("ShuffledHashJoin"),
+      "at sf0.001 stats should broadcast the unhinted customer:\n" +
+        finalPlan.take(800))
+    // 100-TB regime, emulated by disabling stats-driven broadcasts
+    // (explicit broadcast() hints survive threshold = -1): customer
+    // must FALL BACK to a shuffled equi-join with the c_nationkey =
+    // s_nationkey conjunct still riding the join condition — a
+    // NestedLoop here would mean the conjunct fell out
+    val prevT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevA =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df2 = SparkEntry.queries("q_local_volume")(spark, dir)
+      val got = df2.collect().toSeq
+      val p2 = df2.queryExecution.executedPlan.toString
+      assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"),
+        p2.take(800))
+      assert(!p2.contains("NestedLoop") && !p2.contains("CartesianProduct"))
+      // exact-DECIMAL revenue ⇒ the strategy change cannot move a bit
+      assert(got === expected, "join strategy changed the rows")
+    } finally {
+      Seq("spark.sql.autoBroadcastJoinThreshold" -> prevT,
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> prevA)
+        .foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+    }
+  }
+
   test("round-13 TPC-H shapes: Q5/Q7 dims broadcast, date ranges push " +
       "to the scans, nation pair pre-filters before broadcast") {
     // Q5: the order-year range must reach the orders scan; supplier /

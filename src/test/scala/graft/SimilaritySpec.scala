@@ -95,6 +95,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(1) === run(6))
   }
 
+  test("persisted IVF index: probe == inline build, plan reads ONLY " +
+      "the saved tables, bucketed corpus side joins exchange-free") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivf-idx").toString
+    try {
+      Similarity.ivfBuildIndex(planted, col("vec_id"), col("embedding"),
+        assignTable = "graft_ivf_assign", centroidTable = "graft_ivf_cent",
+        path = base, c = 8, iterations = 2, buckets = 4)
+      val inline = Similarity.ivfTopK(planted, col("vec_id"),
+          col("embedding"), Seq(0L, 1L, 2L, 3L, 4L), 3, c = 8, nprobe = 2)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Long)].collect().toSeq
+      val probeDf = Similarity.ivfProbeIndex(spark, "graft_ivf_assign",
+        "graft_ivf_cent", Seq(0L, 1L, 2L, 3L, 4L), 3, nprobe = 2)
+      val probed = probeDf.orderBy("query_id", "rank")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(probed === inline, "probe must equal the inline build")
+      // build-skip: the probe plan scans the saved index path only —
+      // no raw-corpus scan, no k-means/assignment recompute
+      val p = probeDf.queryExecution.executedPlan.toString
+      assert(p.contains("assign"), p.take(600))
+      assert(!p.contains("embeddings"), "probe must not rescan the corpus")
+      // the bucketed layout: a non-broadcast cluster-keyed join
+      // against the assignments exchanges ONLY the probe side — the
+      // corpus side reads its buckets in place (one Exchange total;
+      // an unbucketed corpus would need two)
+      val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probes = Seq((0, 0L), (1, 1L)).toDF("_cluster", "qid")
+        val j = spark.table("graft_ivf_assign").join(probes, "_cluster")
+        val jp = j.queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(jp).size === 1,
+          jp.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+        assert(j.count() > 0)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_assign")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_cent")
+    }
+  }
+
   test("lshTopK EQUALS bruteForceTopK on a strong-neighbor corpus") {
     // Every true top-5 neighbor is a near-copy at cos >= 0.99: per the
     // sign-LSH recall formula (Similarity.lshTopK scaladoc), a

@@ -88,4 +88,86 @@ class StreamingHllSpec extends AnyFunSuite {
     assert(fin === batch,
       "drained grouped registers must equal the batch per-day sketch")
   }
+
+  test("retiring grouped registers: closed-day state drops, open-day " +
+      "registers unchanged, late rows rejected, rebuilds flagged") {
+    import graft.streaming.GroupedHllRegister
+    val dayMs = 86400000L
+    def ts(day: Long, frac: Double = 0.5): java.sql.Timestamp =
+      new java.sql.Timestamp((day * dayMs + (frac * dayMs).toLong))
+    // retire a day-group once the watermark passes its day end + 6h
+    val retireAt = (day: Long) => (day + 1) * dayMs + 6 * 3600000L
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val query = StreamingHll.groupedRegistersRetiring(
+        StreamingHll.groupedObservationsTimed(
+          stream.toDF.toDF("day", "u", "t"),
+          col("day"), col("u"), col("t"), mBits = 6,
+          delay = "1 hour"),
+        retireAt)
+      .writeStream.format("memory").queryName("hll_retire_out")
+      .outputMode("update").start()
+    try {
+      def stateRows: Long =
+        query.lastProgress.stateOperators.head.numRowsTotal
+      // day 0 and day 1 active; day-1 events sit EARLY in day 1 so the
+      // watermark (max event − 1h = 25.4h) stays under retireAt(0)=30h
+      val d0 = (0 until 80).map(u => (0L, s"u$u", ts(0)))
+      val d1 = (0 until 60).map(u => (1L, s"v$u", ts(1, 0.1)))
+      stream.addData(d0 ++ d1); query.processAllAvailable()
+      val rowsBoth = stateRows
+      val day1Before = spark.table("hll_retire_out")
+        .as[GroupedHllRegister].collect().filter(_.grp == 1L)
+        .groupBy(_.bucket).map { case (b, vs) => b -> vs.map(_.max_rho).max }
+      assert(rowsBoth > 0)
+      assert(spark.table("hll_retire_out").as[GroupedHllRegister]
+        .collect().forall(!_.rebuilt), "nothing is a rebuild yet")
+
+      // jump the watermark past day 0's deadline but NOT day 1's:
+      // event time 1.5d (a day-1 event serving the day-2 trailing
+      // window) → wm = 36h − 1h = 35h: > retireAt(0)=30h,
+      // < retireAt(1)=54h, and < the 45.6h day-1 stragglers below
+      stream.addData(Seq((2L, "w0", ts(1, 0.5)))); query.processAllAvailable()
+      // timeout sweep needs a subsequent batch after the wm advanced
+      stream.addData(Seq((2L, "w1", ts(1, 0.5)))); query.processAllAvailable()
+      val rowsAfter = stateRows
+      assert(rowsAfter < rowsBoth,
+        s"day-0 state must retire: $rowsBoth -> $rowsAfter")
+
+      // day 1 is still open (retireAt(1) = day2 + 1h > wm): growing it
+      // must continue FROM EXISTING state — same grow-only contract,
+      // bit-equal to the batch sketch over all day-1 users
+      val d1b = (60 until 90).map(u => (1L, s"v$u", ts(1, 0.9)))
+      stream.addData(d1b); query.processAllAvailable()
+      val day1After = spark.table("hll_retire_out")
+        .as[GroupedHllRegister].collect().filter(_.grp == 1L)
+        .groupBy(_.bucket).map { case (b, vs) => b -> vs.map(_.max_rho).max }
+      val day1Batch = CardSketch.hllRegistersBy(
+          (0 until 90).map(u => (1L, s"v$u")).toDF("d", "u"),
+          col("d"), col("u"), 6)
+        .collect().filter(_.getLong(0) == 1L)
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(day1After === day1Batch,
+        "open-day registers must keep growing from pre-retirement state")
+      assert(day1Before.forall { case (b, v) => day1Batch(b) >= v })
+
+      // a LATE row (event time behind the watermark) keyed to the
+      // retired day 0 is rejected by the operator's late-row filter:
+      // no emission, no state resurrection
+      val emitted = spark.table("hll_retire_out").count()
+      stream.addData(Seq((0L, "late_user", ts(0)))); query.processAllAvailable()
+      assert(spark.table("hll_retire_out").count() === emitted,
+        "late rows behind the watermark must be dropped")
+
+      // a NEW-ENOUGH event keyed to the retired day 0 rebuilds from
+      // zero and says so: rebuilt=true (event at 60h > wm 44.6h)
+      stream.addData(Seq((0L, "phoenix", ts(2, 0.5))))
+      query.processAllAvailable()
+      val rebuilt = spark.table("hll_retire_out")
+        .as[GroupedHllRegister].collect().filter(_.rebuilt)
+      assert(rebuilt.nonEmpty && rebuilt.forall(_.grp == 0L),
+        "a re-keyed retired group must emit the rebuilt flag")
+    } finally query.stop()
+  }
 }

@@ -257,6 +257,19 @@ class TermStatsSpec extends AnyFunSuite {
     assert(str.nonEmpty && str === hashed)
   }
 
+  test("hashed-gram novelty gate equals the string-key oracle twin") {
+    // q_ngram_novelty ships the xxhash64 key (round-13 verdict #4);
+    // its DuckDB oracle replays raw gram strings — valid only while
+    // the two paths agree row-for-row on real data
+    val str = LlmQueries.ngramNoveltyQ(spark, "/root/testdata/sf0.001",
+        hashedKey = false)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val hashed = LlmQueries.ngramNoveltyQ(spark, "/root/testdata/sf0.001",
+        hashedKey = true)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(str.nonEmpty && str === hashed)
+  }
+
   test("trailing whitespace adds no phantom grams (split-parity hazard)") {
     // Java split DROPS trailing empty tokens, DuckDB string_split_regex
     // KEEPS them; cleanWords pins both engines to the filtered array so
