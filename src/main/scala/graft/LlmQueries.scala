@@ -135,6 +135,23 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The 100 TB form of the percentile gate (round-14): EXACT
+    // two-pass rank gate — (source, quality) histogram counts, BIGINT
+    // boundary-rank arithmetic, boundary tiebreak selected inside one
+    // value class, |sources|-row broadcast — NO full per-source sort.
+    // The oracle replays the WINDOW form: hash-matching proves the
+    // two derivations produce the identical keep set on real data.
+    "q_quality_gate_scale" -> ((s, d) => {
+      val q = TextStats.addStats(docs(s, d), col("text"))
+        .withColumn("quality", TextStats.qualityScore)
+        .select(col("doc_id"), col("source"), col("quality"))
+      graft.operators.Quantiles.rankGateTwoPass(q, col("source"),
+          col("quality"), col("doc_id"), num = 1, den = 4)
+        .select(col("_g").as("source"), col("_t").as("doc_id"),
+          col("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Host-level aggregation + robots-style deny gate over canonical
     // hosts: per-host doc counts / char mass / language spread, and
     // the blocked flag from an exact + suffix deny list (the
@@ -1488,6 +1505,29 @@ object LlmQueries {
         |SELECT doc_id, source, quality,
         |  percent_rank() OVER (PARTITION BY source
         |    ORDER BY quality, doc_id) AS pr,
+        |  (percent_rank() OVER (PARTITION BY source
+        |    ORDER BY quality, doc_id)) >= 0.25 AS kept
+        |FROM q ORDER BY doc_id""".stripMargin,
+    // q_quality_gate_scale: the oracle is the WINDOW form of the gate
+    // — a hash match proves the sort-free two-pass derivation equals
+    // the percent_rank gate row for row on the real corpus.
+    "q_quality_gate_scale" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(text, '[ \t\n\r\f]+')) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |      / length(text) AS punct_ratio,
+        |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|that)\b')) AS stopword_cnt
+        |  FROM documents
+        |),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4)
+        |    + ((1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3)
+        |    + (least(CAST(stopword_cnt AS DOUBLE) * 10.0 / n_tokens, 1.0) * 0.3) AS quality
+        |  FROM s
+        |)
+        |SELECT source, doc_id,
         |  (percent_rank() OVER (PARTITION BY source
         |    ORDER BY quality, doc_id)) >= 0.25 AS kept
         |FROM q ORDER BY doc_id""".stripMargin,

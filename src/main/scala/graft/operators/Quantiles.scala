@@ -106,6 +106,85 @@ object Quantiles {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** EXACT percentile-rank gate WITHOUT a full per-group sort — the
+    * 100 TB form of q_quality_gate_rel's window gate that SURVEY
+    * promised ("sources too big to sort: compute per-source exact
+    * rank thresholds via the q_quantiles machinery and broadcast-join
+    * them"). Returns the (group, tiebreak) → kept relation where
+    * `kept` ⟺ percent_rank over (value, tiebreak) within group
+    * ≥ num/den — the IDENTICAL keep set as
+    * `percent_rank().over(partitionBy(group).orderBy(value, tiebreak))
+    * >= num/den` (QuantilesSpec pins equality on the fixture and on
+    * planted edges), derived exactly in integers:
+    *
+    *  1. (group, value) histogram counts (map-side combinable — the
+    *     corpus scan parallelizes over value keys, not groups), plus
+    *     per-group totals n;
+    *  2. the boundary RANK k* = ⌈num·(n−1)/den⌉ + 1 (smallest rank
+    *     with (rank−1)·den ≥ num·(n−1) — all BIGINT `DIV` math);
+    *  3. the boundary VALUE from the cumulative histogram (a window
+    *     over |distinct values| rows per group, vocabulary-sized);
+    *  4. the boundary TIEBREAK: the (k* − cum)-th smallest tiebreak
+    *     within the boundary value class only (a window over one
+    *     value class — per-group-serial work is O(largest tie class),
+    *     not O(group); degenerates to the full sort only when one
+    *     value dominates a group, which a near-continuous score never
+    *     does);
+    *  5. kept = value > boundary value OR (value = boundary value AND
+    *     tiebreak ≥ boundary tiebreak), via a |groups|-row broadcast.
+    *
+    * Single-row groups follow the engines' percent_rank convention
+    * (pr = 0): kept only when num = 0 — pinned in the spec (the
+    * round-14 sweep edge).
+    *
+    * `tiebreak` must be unique within a group (the same totality
+    * requirement the window gate's determinism rests on). `value` is
+    * compared AS DOUBLE (like the other quantile ops): a DECIMAL
+    * whose sub-ulp differences vanish under the cast would merge
+    * value classes that the raw-decimal window gate keeps distinct —
+    * compare against a window gate over the SAME cast column, or
+    * don't feed >53-bit-precision decimals.
+    */
+  def rankGateTwoPass(df: DataFrame, group: Column, value: Column,
+      tiebreak: Column, num: Long, den: Long): DataFrame = {
+    require(den > 0 && num >= 0, "gate fraction must be >= 0 with den > 0")
+    val base = df.select(group.as("_g"), value.cast("double").as("_q"),
+      tiebreak.as("_t"))
+    val cnts = base.groupBy(col("_g"), col("_q"))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(col("_g")).orderBy(col("_q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("_g"))
+    val ranged = cnts
+      .withColumn("_cum", coalesce(sum(col("_c")).over(wCum), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      .withColumn("_kstar",
+        when(col("_n") === 1, if (num == 0) lit(1L) else lit(2L))
+          .otherwise(expr(
+            s"($num * (_n - 1) + ${den - 1}) DIV $den + 1")))
+    val boundaryVal = ranged
+      .filter(col("_cum") < col("_kstar") &&
+        col("_cum") + col("_c") >= col("_kstar"))
+      .select(col("_g"), col("_q").as("_qb"),
+        (col("_kstar") - col("_cum")).as("_j"))
+    // the boundary tiebreak: j-th smallest tiebreak INSIDE the
+    // boundary value class (the only sorted relation in the gate)
+    val wTie = Window.partitionBy(col("_g")).orderBy(col("_t"))
+    val boundary = base
+      .join(broadcast(boundaryVal), Seq("_g"))
+      .filter(col("_q") === col("_qb"))
+      .withColumn("_rn", row_number().over(wTie))
+      .filter(col("_rn") === col("_j"))
+      .select(col("_g"), col("_qb"), col("_t").as("_tb"))
+    base.join(broadcast(boundary), Seq("_g"), "left")
+      .select(col("_g"), col("_t"),
+        // a group past its k* entirely (kept set empty ⇒ no boundary
+        // row survives the filter) keeps nothing
+        coalesce(col("_q") > col("_qb") ||
+          (col("_q") === col("_qb") && col("_t") >= col("_tb")),
+          lit(false)).as("kept"))
+  }
+
   /** Adds `out` = the exact `ntile(k)` bucket of each row in
     * `orderCol` order, WITHOUT a single-partition window: the global
     * rank comes from [[Packing.withGlobalCumsum]]'s two-phase scan

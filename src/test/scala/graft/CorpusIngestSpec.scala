@@ -106,6 +106,22 @@ class CorpusIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("web front stage ORDER: URL dedup precedes the quality gate " +
+      "(the C4 contract — cheapest kills first)") {
+    // doc 20 (quality-failing) is the canonical-location survivor;
+    // doc 21 (quality-passing) is the SAME location. URL dedup runs
+    // BEFORE any text is read, so the location's survivor is doc 20,
+    // which then fails quality — NEITHER emerges. A quality-first
+    // order would have kept doc 21; this pin makes the stage order a
+    // contract, not an accident.
+    val rows = Seq(
+      (20L, "http://a.org/p", "x!", ts(0)),
+      (21L, "http://a.org/p", good, ts(1)))
+    val out = CorpusIngest.ingestWeb(
+      rows.toDF("doc_id", "url", "text", "event_time"))
+    assert(out.count() === 0L)
+  }
+
   test("batch mode: the same transform runs un-streamed") {
     val df = Seq((0L, good, ts(0)), (1L, good, ts(1)))
       .toDF("doc_id", "text", "event_time")

@@ -10,6 +10,54 @@ class QuantilesSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("rankGateTwoPass == the percent_rank window gate on the fixture") {
+    import graft.operators.TextStats
+    val q = TextStats.addStats(
+        Tables.documents(spark, "/root/testdata/sf0.001"), col("text"))
+      .withColumn("quality", TextStats.qualityScore)
+      .select(col("doc_id"), col("source"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    val windowed = q
+      .withColumn("kept", percent_rank().over(w) >= 0.25)
+      .select(col("source"), col("doc_id"), col("kept"))
+      .as[(String, Long, Boolean)].collect().toSet
+    val twoPass = Quantiles.rankGateTwoPass(q, col("source"),
+        col("quality"), col("doc_id"), num = 1, den = 4)
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(twoPass.nonEmpty && twoPass === windowed)
+    assert(twoPass.exists(_._3) && twoPass.exists(!_._3),
+      "fixture must exercise both sides of the gate")
+  }
+
+  test("rankGateTwoPass edges: all-equal values, single row, tie class " +
+      "straddling the boundary — all match the window gate") {
+    val df = (
+      Seq.tabulate(8)(i => ("allsame", 5.0, i.toLong)) ++  // 8 equal values
+      Seq(("solo", 1.0, 0L)) ++                            // n = 1
+      // boundary inside a 4-row tie class at value 2.0 (n=10, k*=ceil(9/4)+1=4)
+      (Seq(1.0, 1.5).zipWithIndex.map { case (v, i) => ("ties", v, i.toLong) } ++
+        Seq.tabulate(4)(i => ("ties", 2.0, 10L + i)) ++
+        Seq.tabulate(4)(i => ("ties", 3.0, 20L + i)))
+    ).toDF("g", "v", "t")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("t"))
+    val windowed = df
+      .withColumn("kept", percent_rank().over(w) >= 0.25)
+      .select(col("g"), col("t"), col("kept"))
+      .as[(String, Long, Boolean)].collect().toSet
+    val twoPass = Quantiles.rankGateTwoPass(df, col("g"), col("v"),
+        col("t"), num = 1, den = 4)
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(twoPass === windowed)
+    // n=1 convention: pr = 0 fails any positive gate, passes num = 0
+    assert(!twoPass.find(r => r._1 == "solo").get._3)
+    val zeroGate = Quantiles.rankGateTwoPass(df, col("g"), col("v"),
+        col("t"), num = 0, den = 1)
+      .as[(String, Long, Boolean)].collect()
+    assert(zeroGate.forall(_._3), "num=0 keeps everything, incl. n=1")
+  }
+
   test("disc and cont match the zero-based p*(n-1) definition") {
     // group a: 1..5 → p50: i=2 → disc=cont=3; p25: i=1 → 2; p90: i=3.6
     //   → disc=4, cont=4 + (5-4)*0.6 = 4.6
