@@ -152,6 +152,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The FULL batch web-corpus front, end to end (round-14): the
+    // C4/CCNet stage order — canonicalize → host deny gate →
+    // URL-location dedup (min-doc_id survivor) → quality gate →
+    // content-fingerprint dedup — as ONE oracle-gated query (the
+    // streaming twin is spec-pinned equal in CorpusIngestSpec). At
+    // sf0.01 every stage bites: 12+ duplicate canonical locations,
+    // 46/500 quality failures, the deny list kills two host families.
+    "q_web_ingest" -> ((s, d) => {
+      val in = docUrls(s, d).select(col("doc_id"), col("url"))
+        .join(docs(s, d).select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("event_time", timestamp_micros(col("doc_id")))
+      graft.streaming.CorpusIngest.ingestWeb(in,
+          denyExact = Seq("www.src3.example.com"),
+          denySuffixes = Seq("src7.example.com"), minQuality = 0.5)
+        .select(col("doc_id"), col("url_canon"), col("host"),
+          col("quality"), col("fp"))
+        .orderBy("doc_id")
+    }),
+
     // Host-level aggregation + robots-style deny gate over canonical
     // hosts: per-host doc counts / char mass / language spread, and
     // the blocked flag from an exact + suffix deny list (the
@@ -1531,6 +1550,85 @@ object LlmQueries {
         |  (percent_rank() OVER (PARTITION BY source
         |    ORDER BY quality, doc_id)) >= 0.25 AS kept
         |FROM q ORDER BY doc_id""".stripMargin,
+    // q_web_ingest: the oracle replays the full stage chain — the
+    // synthetic URL rebuild + canonicalization legs are q_url_canon's
+    // (no userinfo leg: the grammar never emits '@', and the Spark
+    // side's strip is identity there), the quality expression is
+    // q_quality's, fp is q_fingerprint's, and both dedups are
+    // min-doc_id row_number survivors in the PINNED stage order
+    // (URL dedup BEFORE the quality gate).
+    "q_web_ingest" ->
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
+        |      || '://WWW.' || source || '.Example.COM'
+        |      || (CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+        |          WHEN 2 THEN ':8080' ELSE '' END)
+        |      || '/' || lang || '/Doc' || CAST(doc_id % 100 AS VARCHAR)
+        |      || (CASE WHEN doc_id % 5 = 0 THEN ''
+        |          ELSE '?z=' || CAST(doc_id AS VARCHAR)
+        |            || '&a=' || CAST(doc_id % 7 AS VARCHAR) END)
+        |      || (CASE WHEN doc_id % 4 = 0 THEN '#sec-' || lang
+        |          ELSE '' END) AS url,
+        |    text
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, text, split_part(url, '#', 1) AS nofrag
+        |  FROM u),
+        |p2 AS (SELECT doc_id, text,
+        |    lower(split_part(nofrag, '://', 1)) AS scheme,
+        |    substr(nofrag, length(split_part(nofrag, '://', 1)) + 4)
+        |      AS rest
+        |  FROM p1),
+        |p3 AS (SELECT *,
+        |    split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
+        |    substr(rest, length(split_part(split_part(rest, '/', 1),
+        |      '?', 1)) + 1) AS pathq
+        |  FROM p2),
+        |p4 AS (SELECT *,
+        |    lower(split_part(hostport, ':', 1)) AS host,
+        |    CASE WHEN contains(hostport, ':')
+        |      THEN split_part(hostport, ':', 2) ELSE '' END AS port,
+        |    split_part(pathq, '?', 1) AS path,
+        |    CASE WHEN contains(pathq, '?')
+        |      THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
+        |      ELSE '' END AS q
+        |  FROM p3),
+        |canon AS (SELECT doc_id, text, host,
+        |  scheme || '://' || host
+        |  || (CASE WHEN port <> ''
+        |        AND NOT ((scheme = 'http' AND port = '80')
+        |          OR (scheme = 'https' AND port = '443'))
+        |      THEN ':' || port ELSE '' END)
+        |  || path
+        |  || (CASE WHEN q <> '' THEN '?' ||
+        |        array_to_string(list_sort(string_split(q, '&')), '&')
+        |      ELSE '' END) AS url_canon
+        |  FROM p4
+        |  WHERE NOT (host = 'www.src3.example.com'
+        |    OR host = 'src7.example.com'
+        |    OR host LIKE '%.src7.example.com')),
+        |ud AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY url_canon ORDER BY doc_id)
+        |      AS rn FROM canon) WHERE rn = 1),
+        |qx AS (
+        |  SELECT doc_id, url_canon, host, text,
+        |    (least(CAST(len(string_split_regex(text, '[ \\t\\n\\r\\f]+'))
+        |        AS DOUBLE) / 100.0, 1.0) * 0.4)
+        |    + ((1.0 - least(CAST(len(regexp_extract_all(text,
+        |        '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) * 5.0,
+        |        1.0)) * 0.3)
+        |    + (least(CAST(len(regexp_extract_all(text,
+        |        '\\b(the|a|of|to|and|in|is|that)\\b')) AS DOUBLE) * 10.0
+        |        / len(string_split_regex(text, '[ \\t\\n\\r\\f]+')), 1.0)
+        |        * 0.3) AS quality
+        |  FROM ud),
+        |fd AS (SELECT * FROM (SELECT doc_id, url_canon, host, quality,
+        |    $fpSql AS fp,
+        |    row_number() OVER (PARTITION BY $fpSql ORDER BY doc_id)
+        |      AS rn
+        |  FROM qx WHERE quality >= 0.5) WHERE rn = 1)
+        |SELECT doc_id, url_canon, host, quality, fp
+        |FROM fd ORDER BY doc_id""".stripMargin,
     // q_host_stats: the URL build→parse leg is identity on host
     // (lower('WWW.'||source||'.Example.COM') — same contract as
     // q_parse_roundtrip), so the oracle derives host directly.

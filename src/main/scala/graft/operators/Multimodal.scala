@@ -333,7 +333,9 @@ object Multimodal {
 
   /** REAL video frame sampling for Y4M: n evenly-spaced ACTUAL frames'
     * Y planes (frame i ← floor(frames·i/n), the [[sampleFrames]]
-    * spacing rule applied to real frame boundaries).
+    * spacing rule applied to real frame boundaries). When n exceeds
+    * the clip's frame count the spacing rule repeats frames (n rows
+    * out, some identical) — the stub has the same n-rows contract.
     */
   private[graft] def y4mSampleFrames(bytes: Array[Byte],
       n: Int): Option[Seq[Array[Byte]]] =

@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-(doc, shard) novelty partial: gram positions scored against the
+  * history filter in this doc's shard slice.
+  */
+case class NoveltyPartial(doc_id: Long, n_grams: Long, n_seen: Long)
+
+/** BOUNDED-STATE streaming n-gram novelty — the continuous twin of the
+  * oracle-gated q_ngram_novelty batch gate (continual-pretraining
+  * admission: per-doc fraction of distinct n-grams never seen in the
+  * corpus so far). The exact streaming formulation would carry the
+  * history's distinct-gram SET in keyed state — vocabulary-sized and
+  * growing forever; this twin carries a sharded Bloom filter instead
+  * ([[StreamingBloomDedup]]'s state shape applied to gram hashes), so
+  * TOTAL state is fixed at construction (shards × segLongs × 8 bytes)
+  * no matter how much history streams past.
+  *
+  * Semantics — "history" is everything in PRIOR micro-batches: every
+  * gram probes the filter AS OF BATCH START, then the batch's grams
+  * are inserted. Docs inside one batch therefore never see each other
+  * (exactly q_ngram_novelty's increment-vs-corpus split when each
+  * micro-batch is one increment), and the probe outcome is
+  * independent of row order — the partials are chunking-deterministic
+  * GIVEN the batch boundaries, which define the semantics here (what
+  * "the corpus so far" means is precisely the batch cut).
+  *
+  * Contract (StreamingNoveltySpec pins both):
+  *  - NO FALSE NEGATIVES: a gram inserted in any prior batch is
+  *    always found (its probe bits are set in its one shard segment),
+  *    so novelty is never OVER-estimated;
+  *  - FALSE POSITIVES mark genuinely-novel grams as seen at the
+  *    standard Bloom rate (novelty under-estimated — the conservative
+  *    direction for an ADMISSION gate: an FP can only make a document
+  *    look staler, never fresher). With the filter sized for the gram
+  *    volume (n ≲ m/10 at k = 4) the FP count is zero whp and the
+  *    partials equal the EXACT set-based computation bit for bit —
+  *    the same FP-conditional equality contract as
+  *    [[StreamingBloomDedup]].
+  *
+  * Rollup: partials are per (doc, shard); [[novelty]] reduces them to
+  * the per-doc (n_grams, n_seen, novelty_frac) row — run it inside
+  * `foreachBatch` (docs arrive whole in one batch, so the rollup is
+  * complete there; chaining a streaming aggregation after
+  * flatMapGroupsWithState would need event-time append mode this
+  * relation doesn't have).
+  *
+  * Scale shape: one shuffle keyed on shard (exactly `shards` live
+  * groups forever); the gram hash is the SAME xxhash64 key
+  * q_ngram_novelty joins on, computed map-side; per-doc distinctness
+  * comes from `array_distinct` on the gram array BEFORE the explode —
+  * per-row work, NOT a stateful streaming dropDuplicates. A shard
+  * group buffers its slice of one micro-batch's gram rows while
+  * scoring (bounded by batch size / shards — the same within-group
+  * materialization every keyed-state op here performs).
+  */
+object StreamingNovelty {
+
+  implicit val stEnc: Encoder[BloomState] = Encoders.product[BloomState]
+  implicit val outEnc: Encoder[NoveltyPartial] =
+    Encoders.product[NoveltyPartial]
+  implicit val intEnc: Encoder[Int] = Encoders.scalaInt
+  implicit val obsEnc: Encoder[(Int, Long, Long)] =
+    Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+      Encoders.scalaLong)
+
+  /** (shard, doc_id, gram_hash) observation rows: per-doc-DISTINCT
+    * n-grams (array_distinct before the explode — stateless), hashed
+    * with the same xxhash64 the batch gate keys on, routed to a shard
+    * by the hash itself.
+    */
+  def observations(docs: DataFrame, id: Column, text: Column,
+      n: Int, shards: Int): Dataset[(Int, Long, Long)] = {
+    require(shards >= 1, "shards must be >= 1")
+    import graft.operators.TermStats
+    docs
+      .select(id.cast("long").as("_id"),
+        explode(array_distinct(
+          TermStats.ngrams(TermStats.cleanWords(text), n))).as("_g"))
+      .select(pmod(xxhash64(col("_g")), lit(shards)).cast("int"),
+        col("_id"), xxhash64(col("_g")))
+      .as[(Int, Long, Long)]
+  }
+
+  /** k probe bit-positions of a 64-bit gram hash via Kirsch-
+    * Mitzenmacher double hashing: h1 + i·h2 over the segment's bit
+    * span, with h2 a finalizer-mixed copy so the probe sequence isn't
+    * an arithmetic artifact of the route hash.
+    */
+  private[graft] def probes(g: Long, numHashes: Int,
+      segBits: Int): Array[Int] = {
+    // splitmix64 finalizer for the second hash
+    var z = g + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    val h2 = z ^ (z >>> 31)
+    Array.tabulate(numHashes) { i =>
+      val h = g + i.toLong * h2
+      ((h % segBits) + segBits).toInt % segBits
+    }
+  }
+
+  private def isSet(bits: Array[Long], pos: Int): Boolean =
+    (bits(pos >>> 6) & (1L << (pos & 63))) != 0L
+
+  private def set(bits: Array[Long], pos: Int): Unit =
+    bits(pos >>> 6) |= 1L << (pos & 63)
+
+  private def updateGroup(segLongs: Int, numHashes: Int)(shard: Int,
+      rows: Iterator[(Int, Long, Long)],
+      state: GroupState[BloomState]): Iterator[NoveltyPartial] = {
+    val segBits = segLongs * 64
+    val bits = state.getOption.map(_.bits)
+      .getOrElse(new Array[Long](segLongs))
+    val all = rows.toArray
+    // probe EVERY row against the batch-start snapshot first...
+    val partials = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, Long)]
+    all.foreach { case (_, doc, g) =>
+      val seen = probes(g, numHashes, segBits).forall(isSet(bits, _))
+      val (n, s) = partials.getOrElse(doc, (0L, 0L))
+      partials(doc) = (n + 1, if (seen) s + 1 else s)
+    }
+    // ...then insert, so within-batch docs never see each other
+    all.foreach { case (_, _, g) =>
+      probes(g, numHashes, segBits).foreach(set(bits, _))
+    }
+    state.update(BloomState(bits))
+    partials.iterator.map { case (doc, (n, s)) =>
+      NoveltyPartial(doc, n, s)
+    }
+  }
+
+  /** The continuous partial relation: one (doc_id, n_grams, n_seen)
+    * row per (doc, shard) touched in a micro-batch. Total filter
+    * state: shards × segLongs longs, forever.
+    */
+  def partials(obs: Dataset[(Int, Long, Long)], segLongs: Int = 1024,
+      numHashes: Int = 4): Dataset[NoveltyPartial] = {
+    require(segLongs >= 16,
+      "don't size below ~16 segLongs: the double-hashing FP formula " +
+        "needs segBits >> k^2 (see StreamingBloomDedup's bound note)")
+    obs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateGroup(segLongs, numHashes) _)
+  }
+
+  /** Per-doc rollup of [[partials]] — run inside foreachBatch. */
+  def novelty(parts: DataFrame): DataFrame =
+    parts.groupBy(col("doc_id"))
+      .agg(sum(col("n_grams")).as("n_grams"),
+        sum(col("n_seen")).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        ((col("n_grams") - col("n_seen")).cast("double") /
+          col("n_grams").cast("double")).as("novelty_frac"))
+}

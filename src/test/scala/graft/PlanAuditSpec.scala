@@ -673,6 +673,14 @@ class PlanAuditSpec extends AnyFunSuite {
       && !ts.contains("NestedLoop"))
   }
 
+  test("q_quality_gate_scale: both gate joins broadcast (boundary " +
+      "relations are |sources|-row), no shuffle join, no cartesian") {
+    val p = plan("q_quality_gate_scale")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("NestedLoop"))
+  }
+
   test("Q5 unhinted-customer regimes (round-13 sweep): stats broadcast " +
       "it at small SF; with broadcasts off it shuffle-joins, never a " +
       "nested loop; rows identical either way") {

@@ -56,6 +56,18 @@ class QuantilesSpec extends AnyFunSuite {
         col("t"), num = 0, den = 1)
       .as[(String, Long, Boolean)].collect()
     assert(zeroGate.forall(_._3), "num=0 keeps everything, incl. n=1")
+    // frac = 1 keeps exactly the max row of each multi-row group
+    // (pr = 1 ⟺ rank = n); frac > 1 keeps nothing anywhere
+    val fullGate = Quantiles.rankGateTwoPass(df, col("g"), col("v"),
+        col("t"), num = 1, den = 1)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(fullGate.count(_._3) === 2, fullGate.filter(_._3).toString)
+    assert(fullGate.filter(_._3).map(r => (r._1, r._2)).toSet ===
+      Set(("allsame", 7L), ("ties", 23L)))
+    val overGate = Quantiles.rankGateTwoPass(df, col("g"), col("v"),
+        col("t"), num = 3, den = 2)
+      .as[(String, Long, Boolean)].collect()
+    assert(overGate.forall(!_._3), "frac > 1 keeps nothing")
   }
 
   test("disc and cont match the zero-based p*(n-1) definition") {

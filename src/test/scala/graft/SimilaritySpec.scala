@@ -139,6 +139,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("persisted LSH index: probe == inline hashing, no raw-corpus " +
+      "rescan") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-lsh-idx").toString
+    try {
+      Similarity.lshBuildIndex(planted, col("vec_id"), col("embedding"),
+        table = "graft_lsh_idx", path = base, dim = dim)
+      val inline = Similarity.lshTopK(planted, col("vec_id"),
+          col("embedding"), Seq(0L, 1L, 2L, 3L, 4L), 3, dim)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Long)].collect().toSeq
+      val probeDf = Similarity.lshProbeIndex(spark, "graft_lsh_idx",
+        Seq(0L, 1L, 2L, 3L, 4L), 3)
+      val probed = probeDf.orderBy("query_id", "rank")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(probed === inline && probed.nonEmpty)
+      val p = probeDf.queryExecution.executedPlan.toString
+      assert(!p.contains("embeddings"), "probe must not rescan the corpus")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_lsh_idx")
+  }
+
   test("lshTopK EQUALS bruteForceTopK on a strong-neighbor corpus") {
     // Every true top-5 neighbor is a near-copy at cos >= 0.99: per the
     // sign-LSH recall formula (Similarity.lshTopK scaladoc), a

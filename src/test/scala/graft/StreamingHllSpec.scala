@@ -89,6 +89,50 @@ class StreamingHllSpec extends AnyFunSuite {
       "drained grouped registers must equal the batch per-day sketch")
   }
 
+  test("END-TO-END streaming rolling WAU: in-stream ×7 replication " +
+      "(stateless) + retiring registers == the batch window sketch") {
+    val dayMs = 86400000L
+    def ts(day: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(day * dayMs + dayMs / 2)
+    // users active on (u%2) and day 1 — raw events, NOT pre-replicated
+    val events = (for { u <- 0 until 50; d <- Seq((u % 2).toLong, 1L) }
+      yield (s"u$u", d)).distinct
+    val repl = events.flatMap { case (u, d) => (d to d + 6).map(t => (t, u)) }
+    val batch = CardSketch.hllRegistersBy(
+        repl.toDF("t_day", "u"), col("t_day"), col("u"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    // the ×7 replication IS the stream plan: day from event time,
+    // explode(sequence) to the window days an event serves — all
+    // stateless projections ahead of the one keyed-state operator
+    val src = stream.toDF.toDF("u", "t")
+      .withColumn("day", expr("unix_millis(t) DIV 86400000"))
+      .select(col("u"), col("t"),
+        explode(sequence(col("day"), col("day") + lit(6L))).as("t_day"))
+    val query = StreamingHll.groupedRegistersRetiring(
+        StreamingHll.groupedObservationsTimed(src, col("t_day"), col("u"),
+          col("t"), mBits = 6, delay = "1 hour"),
+        // grace = a full window span: nothing retires inside the test
+        retireAtMs = day => (day + 1) * dayMs + 7 * dayMs)
+      .writeStream.format("memory").queryName("hll_wau_e2e")
+      .outputMode("update").start()
+    try {
+      val rows = events.map { case (u, d) => (u, ts(d)) }
+      // day-0 rows first, then day-1 (in watermark order), uneven cuts
+      val ordered = rows.sortBy(_._2.getTime)
+      Seq(ordered.take(20), ordered.slice(20, 21), ordered.drop(21))
+        .foreach { c => stream.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+    import graft.streaming.GroupedHllRegister
+    val fin = spark.table("hll_wau_e2e").as[GroupedHllRegister]
+      .collect().groupBy(r => (r.grp, r.bucket))
+      .map { case (k, vs) => k -> vs.map(_.max_rho).max }
+    assert(fin === batch,
+      "drained end-to-end WAU registers must equal the batch sketch")
+  }
+
   test("retiring grouped registers: closed-day state drops, open-day " +
       "registers unchanged, late rows rejected, rebuilds flagged") {
     import graft.streaming.GroupedHllRegister

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingNovelty
+
+/** The bounded-state streaming novelty gate vs the exact set-based
+  * computation: with the filter sized for the gram volume the Bloom FP
+  * count is zero and the streamed partials must equal the exact
+  * history-vs-increment numbers bit for bit (the FP-conditional
+  * equality contract, same as StreamingBloomDedupSpec's).
+  */
+class StreamingNoveltySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val n = 2 // bigrams keep the hand computation readable
+  private val history = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a stitch in time saves nine says the tailor"),
+    (3L, "the quick brown cat sleeps all day long"))
+  private val increment = Seq(
+    (10L, "the quick brown fox runs far away"),       // shares 3 bigrams
+    (11L, "entirely novel text with fresh word pairs"), // shares none
+    (12L, "a stitch in time saves nine says the tailor")) // full rehash
+
+  private def gramSet(text: String): Set[String] =
+    text.trim.split("\\s+").toSeq.sliding(n).map(_.mkString(" ")).toSet
+
+  private val historyGrams: Set[String] =
+    history.map(t => gramSet(t._2)).reduce(_ ++ _)
+
+  private def expected(doc: (Long, String)): (Long, Long, Long) = {
+    val g = gramSet(doc._2)
+    (doc._1, g.size.toLong, (g & historyGrams).size.toLong)
+  }
+
+  private def drain(chunks: Seq[Seq[(Long, String)]],
+      name: String): Map[Long, (Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamingNovelty.partials(
+        StreamingNovelty.observations(
+          stream.toDF.toDF("id", "text"), col("id"), col("text"),
+          n, shards = 4),
+        segLongs = 64)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      chunks.foreach { c => stream.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+    StreamingNovelty.novelty(spark.table(name))
+      .select("doc_id", "n_grams", "n_seen")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
+  test("increment partials equal the exact set computation; history " +
+      "batch scores all-novel; chunking the history doesn't matter") {
+    val a = drain(Seq(history, increment), "novelty_a")
+    // history docs probed the EMPTY filter: everything novel
+    history.foreach { case (id, text) =>
+      assert(a(id) === ((gramSet(text).size.toLong, 0L)),
+        s"history doc $id must score all-novel")
+    }
+    // increment docs: exact history-intersection numbers
+    increment.foreach { d =>
+      val (id, ng, ns) = expected(d)
+      assert(a(id) === ((ng, ns)), s"doc $id novelty mismatch")
+    }
+    // the full-rehash doc really scored novelty 0
+    assert(a(12L)._1 === a(12L)._2)
+    // chunking the HISTORY differently leaves the increment unchanged
+    val b = drain(Seq(history.take(1), history.drop(1), increment),
+      "novelty_b")
+    increment.foreach { d => assert(b(d._1) === a(d._1)) }
+  }
+
+  test("no false negatives: replaying a doc scores fully seen") {
+    val out = drain(Seq(history, increment, Seq(increment(1))),
+      "novelty_c")
+    // the memory sink accumulates BOTH emissions of doc 11 (partials
+    // are per (doc, shard), so emissions aren't separable by row);
+    // the TOTALS pin the pair: first pass (g11, 0) is already pinned
+    // by the exact-computation test, so totals (2·g11, g11) force the
+    // replay emission to be (g11, g11) — fully seen, no false negative
+    val g11 = gramSet(increment(1)._2).size.toLong
+    assert(out(11L) === ((2L * g11, g11)))
+  }
+
+  test("fixture parity: streamed corpus-then-increment equals the " +
+      "ORACLE-GATED q_ngram_novelty on the real documents") {
+    // same increment split as the batch gate (doc_id % 10), filter
+    // sized for zero FPs at this gram volume (~25k grams into 4.2M
+    // bits → FP ≈ 4e-8 per probe): the partials must equal the exact
+    // relation BIT FOR BIT
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val (incr, corpus) = docs.partition(_._1 % 10 == 0)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamingNovelty.partials(
+        StreamingNovelty.observations(
+          stream.toDF.toDF("doc_id", "text"), col("doc_id"),
+          col("text"), n = 5, shards = 8),
+        segLongs = 8192)
+      .writeStream.format("memory").queryName("novelty_fixture")
+      .outputMode("update").start()
+    try {
+      stream.addData(corpus); query.processAllAvailable()
+      stream.addData(incr); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = StreamingNovelty.novelty(
+        spark.table("novelty_fixture"))
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "n_grams", "n_seen", "novelty_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val batch = LlmQueries.ngramNoveltyQ(spark,
+        "/root/testdata/sf0.001", hashedKey = true)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed.nonEmpty && streamed === batch,
+      "bounded-state stream must equal the oracle-gated batch gate")
+  }
+
+  test("probe positions: deterministic, in-range, k distinct hashes " +
+      "spread (not an arithmetic ladder)") {
+    val ps = StreamingNovelty.probes(-987654321L, 4, 64 * 64)
+    assert(ps === StreamingNovelty.probes(-987654321L, 4, 64 * 64))
+    assert(ps.forall(p => p >= 0 && p < 64 * 64))
+    assert(ps.distinct.length >= 3, ps.toSeq.toString)
+  }
+}
