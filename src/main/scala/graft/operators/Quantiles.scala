@@ -148,8 +148,14 @@ object Quantiles {
   def rankGateTwoPass(df: DataFrame, group: Column, value: Column,
       tiebreak: Column, num: Long, den: Long): DataFrame = {
     require(den > 0 && num >= 0, "gate fraction must be >= 0 with den > 0")
+    // NULL values are EXCLUDED (rows absent from the output) — the
+    // same SQL-aggregate contract as exactQuantiles, and an engine-
+    // parity requirement: Spark windows sort NULLs first ascending,
+    // DuckDB's percent_rank sorts them last, so a null-valued row
+    // would shift every rank differently per engine (round-14 sweep)
     val base = df.select(group.as("_g"), value.cast("double").as("_q"),
       tiebreak.as("_t"))
+      .filter(col("_q").isNotNull)
     val cnts = base.groupBy(col("_g"), col("_q"))
       .agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy(col("_g")).orderBy(col("_q"))

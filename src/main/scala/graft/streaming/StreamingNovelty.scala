@@ -26,7 +26,12 @@ case class NoveltyPartial(doc_id: Long, n_grams: Long, n_seen: Long)
   * micro-batch is one increment), and the probe outcome is
   * independent of row order — the partials are chunking-deterministic
   * GIVEN the batch boundaries, which define the semantics here (what
-  * "the corpus so far" means is precisely the batch cut).
+  * "the corpus so far" means is precisely the batch cut). Corollary:
+  * an increment SPLIT ACROSS several micro-batches scores its later
+  * docs against its earlier docs' grams — when exact
+  * increment-vs-corpus semantics matter, feed one increment per
+  * trigger (Trigger.AvailableNow over one increment drop, or a file
+  * per batch) — the natural continual-pretraining cadence anyway.
   *
   * Contract (StreamingNoveltySpec pins both):
   *  - NO FALSE NEGATIVES: a gram inserted in any prior batch is

@@ -68,6 +68,20 @@ class QuantilesSpec extends AnyFunSuite {
         col("t"), num = 3, den = 2)
       .as[(String, Long, Boolean)].collect()
     assert(overGate.forall(!_._3), "frac > 1 keeps nothing")
+    // null values are EXCLUDED (the exactQuantiles contract): the
+    // gated relation and the boundary ranks see only non-null rows
+    val withNulls = df.union(Seq(("allsame", null.asInstanceOf[java.lang.Double], 99L),
+      ("ties", null.asInstanceOf[java.lang.Double], 98L))
+      .toDF("g", "v", "t"))
+    val gated = Quantiles.rankGateTwoPass(withNulls, col("g"), col("v"),
+        col("t"), num = 1, den = 4)
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(!gated.exists(r => r._2 == 99L || r._2 == 98L),
+      "null-valued rows must be absent from the output")
+    assert(gated === Quantiles.rankGateTwoPass(df, col("g"), col("v"),
+        col("t"), num = 1, den = 4)
+      .as[(String, Long, Boolean)].collect().toSet,
+      "nulls must not shift any non-null row's gate")
   }
 
   test("disc and cont match the zero-based p*(n-1) definition") {

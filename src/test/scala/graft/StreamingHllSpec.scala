@@ -89,6 +89,64 @@ class StreamingHllSpec extends AnyFunSuite {
       "drained grouped registers must equal the batch per-day sketch")
   }
 
+  test("checkpoint RESTART: retiring grouped registers resume from " +
+      "saved state — replays emit nothing, no spurious rebuilds") {
+    import graft.streaming.GroupedHllRegister
+    val dayMs = 86400000L
+    def ts(day: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(day * dayMs + dayMs / 2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-hll-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val buf = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[GroupedHllRegister]())
+    def startQ() = StreamingHll.groupedRegistersRetiring(
+        StreamingHll.groupedObservationsTimed(
+          stream.toDF.toDF("day", "u", "t"), col("day"), col("u"),
+          col("t"), mBits = 6, delay = "1 hour"),
+        retireAtMs = day => (day + 1) * dayMs + 7 * dayMs)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[GroupedHllRegister], _: Long) =>
+          buf.addAll(java.util.Arrays.asList(df.collect(): _*)); ()
+      }
+      .start()
+    val firstWave = (0 until 40).map(u => (0L, s"u$u", ts(0)))
+    val q1 = startQ()
+    try { stream.addData(firstWave); q1.processAllAvailable() }
+    finally q1.stop()
+    val afterRun1 = buf.size()
+    assert(afterRun1 > 0)
+
+    // restart from the SAME checkpoint: a pure replay of run-1 users
+    // must emit NOTHING (their registers are already absorbed — with
+    // LOST state every bucket would re-emit), and new users must keep
+    // GROWING the same sketch
+    val q2 = startQ()
+    try {
+      stream.addData(firstWave.take(10)); q2.processAllAvailable()
+      assert(buf.size() === afterRun1,
+        "replay after restart re-emitted: keyed state was lost")
+      stream.addData((40 until 80).map(u => (0L, s"u$u", ts(0))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val drained = buf.asScala.toSeq
+    assert(drained.forall(!_.rebuilt), "restart must not look like a rebuild")
+    val fin = drained.groupBy(r => (r.grp, r.bucket))
+      .map { case (k, vs) => k -> vs.map(_.max_rho).max }
+    val batch = CardSketch.hllRegistersBy(
+        (0 until 80).map(u => (0L, s"u$u")).toDF("d", "u"),
+        col("d"), col("u"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(fin === batch,
+      "registers across the restart must equal the one-shot batch sketch")
+  }
+
   test("END-TO-END streaming rolling WAU: in-stream ×7 replication " +
       "(stateless) + retiring registers == the batch window sketch") {
     val dayMs = 86400000L

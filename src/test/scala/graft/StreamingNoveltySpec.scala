@@ -125,6 +125,49 @@ class StreamingNoveltySpec extends AnyFunSuite {
       "bounded-state stream must equal the oracle-gated batch gate")
   }
 
+  test("checkpoint RESTART: the Bloom bit arrays survive — the " +
+      "increment scores against pre-restart history") {
+    import graft.streaming.NoveltyPartial
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-novelty-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val buf = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[NoveltyPartial]())
+    def startQ() = StreamingNovelty.partials(
+        StreamingNovelty.observations(
+          stream.toDF.toDF("id", "text"), col("id"), col("text"),
+          n, shards = 4),
+        segLongs = 64)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[NoveltyPartial], _: Long) =>
+          buf.addAll(java.util.Arrays.asList(df.collect(): _*)); ()
+      }
+      .start()
+    val q1 = startQ()
+    try { stream.addData(history); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = startQ()
+    try { stream.addData(increment); q2.processAllAvailable() }
+    finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val rolled = buf.asScala.toSeq.groupBy(_.doc_id)
+      .map { case (d, ps) =>
+        d -> (ps.map(_.n_grams).sum, ps.map(_.n_seen).sum)
+      }
+    // lost state would score the increment all-novel; the exact
+    // history-intersection numbers prove the bits round-tripped
+    increment.foreach { d =>
+      val (id, ng, ns) = expected(d)
+      assert(rolled(id) === ((ng, ns)),
+        s"doc $id scored wrong after restart — Bloom state lost?")
+    }
+    assert(rolled(12L)._1 === rolled(12L)._2, "rehash doc must be fully seen")
+  }
+
   test("probe positions: deterministic, in-range, k distinct hashes " +
       "spread (not an arithmetic ladder)") {
     val ps = StreamingNovelty.probes(-987654321L, 4, 64 * 64)
