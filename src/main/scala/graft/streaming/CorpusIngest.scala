@@ -51,8 +51,9 @@ object CorpusIngest {
     * quality gate → content dedup, the C4/CCNet stage ORDER (URL-level
     * kills are cheapest, so they run before any text is touched).
     * Input: `doc_id: long, url: string, text: string,
-    * event_time: timestamp`; output adds `url_canon, host, quality,
-    * fp`.
+    * event_time: timestamp`; output keeps `text` (the pipeline's
+    * PRODUCT — survivors feed training downstream) and adds
+    * `url_canon, host, quality, fp`.
     *
     * Streaming input runs BOTH dedups as watermark-bounded stateful
     * stages (two chained dropDuplicatesWithinWatermark — Spark's
@@ -80,8 +81,8 @@ object CorpusIngest {
         .withColumn("quality", TextStats.qualityScore)
         .filter(col("quality") >= minQuality)
         .withColumn("fp", TextStats.fingerprint(col("text")))
-        .select("doc_id", "url_canon", "host", "event_time", "quality",
-          "fp")
+        .select("doc_id", "url_canon", "host", "text", "event_time",
+          "quality", "fp")
       gated.dropDuplicatesWithinWatermark("fp")
     } else {
       val urlDeduped = graft.operators.Dedup.exactDedup(
@@ -90,8 +91,8 @@ object CorpusIngest {
         .withColumn("quality", TextStats.qualityScore)
         .filter(col("quality") >= minQuality)
         .withColumn("fp", TextStats.fingerprint(col("text")))
-        .select("doc_id", "url_canon", "host", "event_time", "quality",
-          "fp")
+        .select("doc_id", "url_canon", "host", "text", "event_time",
+          "quality", "fp")
       graft.operators.Dedup.exactDedup(gated, col("fp"), col("doc_id"))
     }
   }

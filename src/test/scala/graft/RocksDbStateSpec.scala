@@ -278,6 +278,42 @@ class RocksDbStateSpec extends AnyFunSuite {
     }
   }
 
+  test("StreamingNovelty under RocksDB: Bloom partials equal the " +
+    "default-store run exactly") {
+    import graft.streaming.{NoveltyPartial, StreamingNovelty}
+    val history = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"))
+    val incr = Seq((10L, "alpha beta gamma something new here"),
+      (11L, "totally fresh words nobody typed before"))
+    def drained(name: String): Map[Long, (Long, Long)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[(Long, String)]
+      val query = StreamingNovelty.partials(
+          StreamingNovelty.observations(
+            stream.toDF.toDF("id", "text"), col("id"), col("text"),
+            n = 2, shards = 4),
+          segLongs = 64)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        Seq(history, incr).foreach { c =>
+          stream.addData(c); query.processAllAvailable()
+        }
+        assert(query.lastProgress.json.contains("rocksdb") ===
+          (name == "rocks_novelty"), query.lastProgress.json.take(400))
+      } finally query.stop()
+      StreamingNovelty.novelty(spark.table(name))
+        .select("doc_id", "n_grams", "n_seen")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    val default = drained("default_novelty")
+    val rocks = withRocksDb { drained("rocks_novelty") }
+    assert(rocks === default && rocks.nonEmpty)
+    assert(rocks(10L)._2 > 0 && rocks(11L)._2 === 0L,
+      "fixture must exercise both seen and novel grams")
+  }
+
   test("StreamingPrioritySample under RocksDB: final sample equals batch") {
     import graft.streaming.{PrioRow, StreamingPrioritySample}
     val k = 7
