@@ -27,23 +27,25 @@ object LlmQueries {
     * The oracle builds the identical string with the identical CASE
     * arms, so the gate pins the full build→canonicalize pipeline.
     */
+  private def urlExpr: Column =
+    concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("HTTP")),
+      lit("://WWW."), col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 4 === 0, lit(":443"))
+        .when(col("doc_id") % 4 === 1, lit(":80"))
+        .when(col("doc_id") % 4 === 2, lit(":8080"))
+        .otherwise(lit("")),
+      lit("/"), col("lang"), lit("/Doc"),
+      (col("doc_id") % 100).cast("string"),
+      when(col("doc_id") % 5 === 0, lit(""))
+        .otherwise(concat(lit("?z="), col("doc_id").cast("string"),
+          lit("&a="), (col("doc_id") % 7).cast("string"))),
+      when(col("doc_id") % 4 === 0, concat(lit("#sec-"), col("lang")))
+        .otherwise(lit("")))
+
   private def docUrls(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"), col("source"), col("lang"),
-      col("n_chars"),
-      concat(
-        when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("HTTP")),
-        lit("://WWW."), col("source"), lit(".Example.COM"),
-        when(col("doc_id") % 4 === 0, lit(":443"))
-          .when(col("doc_id") % 4 === 1, lit(":80"))
-          .when(col("doc_id") % 4 === 2, lit(":8080"))
-          .otherwise(lit("")),
-        lit("/"), col("lang"), lit("/Doc"),
-        (col("doc_id") % 100).cast("string"),
-        when(col("doc_id") % 5 === 0, lit(""))
-          .otherwise(concat(lit("?z="), col("doc_id").cast("string"),
-            lit("&a="), (col("doc_id") % 7).cast("string"))),
-        when(col("doc_id") % 4 === 0, concat(lit("#sec-"), col("lang")))
-          .otherwise(lit(""))).as("url"))
+      col("n_chars"), urlExpr.as("url"))
 
   /** q_ngram_novelty body, key-parameterized. ONE gram pass over the
     * whole corpus (persisted), split by flag afterwards — the naive
@@ -160,8 +162,11 @@ object LlmQueries {
     // sf0.01 every stage bites: 12+ duplicate canonical locations,
     // 46/500 quality failures, the deny list kills two host families.
     "q_web_ingest" -> ((s, d) => {
-      val in = docUrls(s, d).select(col("doc_id"), col("url"))
-        .join(docs(s, d).select(col("doc_id"), col("text")), Seq("doc_id"))
+      // ONE documents scan: url + text projected together (a docUrls ⋈
+      // docs self-join would read the corpus twice — the scan count is
+      // the whole cost at 100 TB)
+      val in = docs(s, d)
+        .select(col("doc_id"), urlExpr.as("url"), col("text"))
         .withColumn("event_time", timestamp_micros(col("doc_id")))
       graft.streaming.CorpusIngest.ingestWeb(in,
           denyExact = Seq("www.src3.example.com"),
