@@ -430,10 +430,10 @@ object BatchQueries {
         .select(expr("ts div 86400000000000").as("day"), col("user_id"))
         .distinct())),
 
-    // (rollingWauFrom lives below the queries map — WauSpineSpec pins
-    // the day-GAP semantics the sf fixtures can't exercise: a day with
-    // zero events vanishes from BOTH dau and wau, identically to the
-    // oracle's observed-day spine + inner join.)
+    // (rollingWauFrom is defined above the queries map — WauSpineSpec
+    // pins the day-GAP semantics the sf fixtures can't exercise: a day
+    // with zero events vanishes from BOTH dau and wau, identically to
+    // the oracle's observed-day spine + inner join.)
 
     // Sketch-based rolling WAU — the shape q_rolling_wau actually
     // takes at 100 TB: per-day 7-day-window HLL registers instead of

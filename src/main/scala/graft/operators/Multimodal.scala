@@ -283,9 +283,18 @@ object Multimodal {
             else if (p.startsWith("C")) cs = p.drop(1)
           }
           val ySize = w.toLong * h
+          // ALL plane math in Long BEFORE any guard (round-15 sweep,
+          // flagged r14): the 420 chroma product was `(w/2) * (h/2)`
+          // in Int — for w·h ≳ 2³³ it wraps negative. The wrap could
+          // never actually slip past the `> Int.MaxValue` guard below
+          // (overflow requires ySize ≥ 2³³, so frameBytes ≥ 2³³ − 2³²
+          // = 2³² stays over the guard for every wrap value), but the
+          // acceptance proof shouldn't rest on that arithmetic
+          // accident — MultimodalSpec now pins the huge-header reject.
           val frameBytes: Long =
             if (w <= 0 || h <= 0) -1L
-            else if (cs.startsWith("420")) ySize + 2L * ((w / 2) * (h / 2))
+            else if (cs.startsWith("420"))
+              ySize + 2L * ((w / 2).toLong * (h / 2).toLong)
             else if (cs.startsWith("422")) ySize + 2L * ((w / 2).toLong * h)
             else if (cs.startsWith("444")) ySize * 3
             else if (cs.startsWith("mono")) ySize

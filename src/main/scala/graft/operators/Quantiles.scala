@@ -138,7 +138,14 @@ object Quantiles {
     * round-14 sweep edge).
     *
     * `tiebreak` must be unique within a group (the same totality
-    * requirement the window gate's determinism rests on). `value` is
+    * requirement the window gate's determinism rests on). If
+    * duplicates slip through anyway, the gate DEGRADES SAFELY
+    * (round-15 sweep pin): the boundary tiebreak is the j-th-smallest
+    * VALUE of the sorted multiset (deterministic whichever physical
+    * row the tie window ranks there), `>=` keeps every duplicate of
+    * it, and the kept count exceeds the exact complement by the
+    * boundary-duplicate multiplicity — deterministic and
+    * partitioning-invariant, just not an exact-count cut. `value` is
     * compared AS DOUBLE (like the other quantile ops): a DECIMAL
     * whose sub-ulp differences vanish under the cast would merge
     * value classes that the raw-decimal window gate keeps distinct —

@@ -92,18 +92,28 @@ object StreamingNovelty {
 
   /** k probe bit-positions of a 64-bit gram hash via Kirsch-
     * Mitzenmacher double hashing: h1 + i·h2 over the segment's bit
-    * span, with h2 a finalizer-mixed copy so the probe sequence isn't
-    * an arithmetic artifact of the route hash.
+    * span. BOTH h1 and h2 are finalizer-mixed (h1 = splitmix64(g),
+    * h2 = splitmix64(h1)) so neither probe is an arithmetic artifact
+    * of the route hash: rows reach a shard by pmod(g, shards), and
+    * segBits is a multiple of 64, so a raw h1 = g % segBits would be
+    * confined to segBits/gcd(shards, segBits) residues within one
+    * shard whenever the shard count shares a factor with 64 —
+    * concentrating fill in the probe-0 region and degrading the
+    * filter toward k−1 effective hashes (round-14 ADVICE). No state
+    * format change: BloomState is just the bit array.
     */
   private[graft] def probes(g: Long, numHashes: Int,
       segBits: Int): Array[Int] = {
-    // splitmix64 finalizer for the second hash
-    var z = g + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    val h2 = z ^ (z >>> 31)
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val h1 = mix(g)
+    val h2 = mix(h1)
     Array.tabulate(numHashes) { i =>
-      val h = g + i.toLong * h2
+      val h = h1 + i.toLong * h2
       ((h % segBits) + segBits).toInt % segBits
     }
   }
@@ -151,6 +161,72 @@ object StreamingNovelty {
     obs.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(updateGroup(segLongs, numHashes) _)
+  }
+
+  /** MECHANICAL one-increment-per-trigger feeding (round-14 verdict
+    * #5): the class doc's caveat — an increment split across
+    * micro-batches scores later docs against earlier docs' grams —
+    * was advisory ("feed one increment per trigger"); this helper
+    * makes it structural. Each call:
+    *
+    *  1. stages `increment` as ONE new file drop under `stagingDir`
+    *     (atomic renames of finished parquet part files — the file
+    *     source never sees a half-written file);
+    *  2. runs the novelty pipeline with `Trigger.AvailableNow` over
+    *     the staging dir and the SHARED `checkpointDir`: the source's
+    *     seen-files log makes exactly this drop the new data, and
+    *     with no per-trigger file limit set AvailableNow takes the
+    *     whole drop in ONE micro-batch — so the increment-vs-corpus
+    *     cut is exact by construction, never by caller discipline;
+    *  3. returns the per-doc (n_grams, n_seen, novelty_frac) rollup
+    *     for this increment (the Bloom state persists in the
+    *     checkpoint — the next call scores against all prior calls).
+    *
+    * StreamingNoveltySpec pins the contract three ways: sequential
+    * calls equal the batch gate's increment-vs-corpus rows; a doc
+    * repeated WITHIN one call is isolated (within-batch docs never
+    * see each other); the same rows fed as TWO calls show the
+    * documented split semantics (the second call sees the first's
+    * grams) — the helper exists precisely so that difference is
+    * opt-in, not accidental.
+    */
+  def scoreIncrement(increment: DataFrame, id: Column, text: Column,
+      stagingDir: String, checkpointDir: String, n: Int, shards: Int,
+      segLongs: Int = 1024, numHashes: Int = 4): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = increment.sparkSession
+    val prep = increment.select(id.cast("long").as("doc_id"),
+      text.cast("string").as("text"))
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-novelty-inc")
+    prep.write.mode("overwrite").parquet(scratch.toString)
+    val dst = java.nio.file.Paths.get(stagingDir)
+    java.nio.file.Files.createDirectories(dst)
+    val uuid = java.util.UUID.randomUUID().toString
+    val parts0 = java.nio.file.Files.list(scratch)
+    try {
+      parts0.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.move(p, dst.resolve(s"inc_${uuid}_$i.parquet"))
+        }
+    } finally parts0.close()
+    val src = spark.readStream.schema(prep.schema).parquet(stagingDir)
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[NoveltyPartial]())
+    val q = partials(
+        observations(src, col("doc_id"), col("text"), n, shards),
+        segLongs, numHashes)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (ds: Dataset[NoveltyPartial], _: Long) =>
+        collected.addAll(java.util.Arrays.asList(ds.collect(): _*)); ()
+      }
+      .start()
+    q.awaitTermination()
+    novelty(spark.createDataset(collected.asScala.toSeq)(outEnc).toDF)
   }
 
   /** Per-doc rollup of [[partials]] — run inside foreachBatch. */

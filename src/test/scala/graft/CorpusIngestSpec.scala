@@ -106,6 +106,62 @@ class CorpusIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("web front LATE DATA straddling the watermark (round-15 " +
+      "sweep): in-horizon duplicates drop at both stages; a " +
+      "behind-the-watermark row is discarded; an expired-state " +
+      "duplicate re-emits — the bounded-state horizon contract") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String, Timestamp)]
+    val checkpoint = Files.createTempDirectory("graft-late-ckpt").toString
+    val query = CorpusIngest.ingestWeb(
+        stream.toDF().toDF("doc_id", "url", "text", "event_time"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("web_late")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    def drained(): Seq[Long] = spark.table("web_late")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    try {
+      // batch 1: the original — seeds BOTH dedup states
+      stream.addData((0L, "http://a.org/p?x=1", good, ts(0)))
+      query.processAllAvailable()
+      // batch 2: in-horizon duplicates — a URL dup (same canonical
+      // location) and a content dup (same fp, new location): both
+      // must drop even though they straddled a batch boundary
+      stream.addData((1L, "HTTP://A.org/p?x=1", good2, ts(5)),
+        (2L, "http://b.org/q", good, ts(6)))
+      query.processAllAvailable()
+      assert(drained() === Seq(0L), "in-horizon duplicates must drop")
+      // batch 3: advance the watermark far past doc 0's state expiry
+      // (event_time 120 min − 10 min delay ⇒ watermark ≈ 110 min;
+      // doc 0's keys expired at their event_time + delay = 10 min)
+      stream.addData((3L, "http://c.org/r", good2, ts(120)))
+      query.processAllAvailable()
+      // batch 4a: a LATE duplicate — event_time (1 min) behind the
+      // watermark (110 min). Spark's watermark filter discards
+      // behind-the-watermark input rows before the stateful stages:
+      // the row produces NO output (neither emitted nor re-seeding
+      // state) — pin that it is absent, not re-emitted
+      stream.addData((4L, "http://a.org/p?x=1", good, ts(1)))
+      query.processAllAvailable()
+      assert(!drained().contains(4L),
+        "a behind-the-watermark row must be discarded, not re-emitted")
+      // batch 4b: the SAME location + content with a FRESH event_time
+      // after both states expired: re-emits. This is the documented
+      // bounded-state trade — the dedup horizon IS the watermark;
+      // state tracks unique keys within it, not forever
+      stream.addData((5L, "http://a.org/p?x=1", good, ts(125)))
+      query.processAllAvailable()
+      assert(drained() === Seq(0L, 3L, 5L),
+        "expired-state duplicate must re-emit (horizon contract)")
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS web_late")
+    }
+  }
+
   test("web front stage ORDER: URL dedup precedes the quality gate " +
       "(the C4 contract — cheapest kills first)") {
     // doc 20 (quality-failing) is the canonical-location survivor;

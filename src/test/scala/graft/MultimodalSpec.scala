@@ -410,6 +410,53 @@ class MultimodalSpec extends AnyFunSuite {
       "YUV4MPEG2 W8 H8\n".getBytes("US-ASCII")).isEmpty, "zero frames")
   }
 
+  test("Y4M round-15 sweep pins: FRAME lines carrying parameters " +
+    "parse identically; overflow-scale W×H headers reject, no throw") {
+    // the Y4M spec allows per-frame parameters after FRAME (e.g. the
+    // Xlength extension): "FRAME X..." must frame exactly like a bare
+    // "FRAME" — data starts after the newline either way
+    val plain = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("YUV4MPEG2 W2 H2 F25:1 Cmono\n".getBytes("US-ASCII"))
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      bos.write(Array[Byte](10, 20, 30, 40))
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      bos.write(Array[Byte](50, 60, 70, 80))
+      bos.toByteArray
+    }
+    val withParams = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("YUV4MPEG2 W2 H2 F25:1 Cmono\n".getBytes("US-ASCII"))
+      bos.write("FRAME Xlength=4 I1\n".getBytes("US-ASCII"))
+      bos.write(Array[Byte](10, 20, 30, 40))
+      bos.write("FRAME X2\n".getBytes("US-ASCII"))
+      bos.write(Array[Byte](50, 60, 70, 80))
+      bos.toByteArray
+    }
+    val pPlain = Multimodal.y4mParse(plain).get
+    val pParams = Multimodal.y4mParse(withParams).get
+    assert(pPlain._1 === 2 && pPlain._2 === 2 && pPlain._3.size === 2)
+    assert(pParams._1 === 2 && pParams._2 === 2 && pParams._3.size === 2)
+    assert(Multimodal.y4mDecode(plain, 16).get.toSeq
+      === Multimodal.y4mDecode(withParams, 16).get.toSeq,
+      "parameterized FRAME lines must decode identically")
+    // a frame line that is NOT a FRAME marker still rejects
+    assert(Multimodal.y4mParse(
+      "YUV4MPEG2 W2 H2 Cmono\nFRAMX\n1234".getBytes("US-ASCII")).isEmpty)
+    // overflow-scale headers: W·H past 2³¹ (the old Int chroma product
+    // wrapped here) must come back None — never a throw, never a
+    // bogus acceptance with a sheared frame size
+    for (cs <- Seq("C420", "C422", "C444", "Cmono")) {
+      val huge = (s"YUV4MPEG2 W92682 H92682 $cs\nFRAME\n" + "x" * 64)
+        .getBytes("US-ASCII")
+      assert(Multimodal.y4mParse(huge).isEmpty, s"huge $cs must reject")
+    }
+    // Int.MaxValue-adjacent W alone (H tiny) keeps Long math honest
+    assert(Multimodal.y4mParse(
+      ("YUV4MPEG2 W2147483647 H2147483647 C420\nFRAME\nxx")
+        .getBytes("US-ASCII")).isEmpty)
+  }
+
   test("videoHash: temporal-envelope identity, noise-robust, " +
     "scene-sensitive, undecodable None") {
     val mask = 0x00ff00ff00ff00ffL

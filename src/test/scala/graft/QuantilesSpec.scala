@@ -84,6 +84,34 @@ class QuantilesSpec extends AnyFunSuite {
       "nulls must not shift any non-null row's gate")
   }
 
+  test("rankGateTwoPass under DUPLICATE (group, tiebreak) pairs " +
+      "(round-15 sweep; contract says unique — pin what happens): " +
+      "deterministic, whole boundary-duplicate class kept") {
+    // n=5, num/den=1/2 → k* = ⌈4/2⌉+1 = 3; the boundary value class
+    // is three IDENTICAL (v=2.0, t=1) rows, so the exact complement
+    // (3 rows) is unreachable: the j-th-smallest boundary tiebreak is
+    // the duplicate VALUE 1 (deterministic — position j of the sorted
+    // multiset has the same value whichever physical row lands
+    // there), and `t >= tb` keeps every duplicate of it.
+    val df = Seq(("dup", 1.0, 0L), ("dup", 2.0, 1L), ("dup", 2.0, 1L),
+      ("dup", 2.0, 1L), ("dup", 3.0, 5L)).toDF("g", "v", "t")
+    val runs = (0 until 3).map { i =>
+      Quantiles.rankGateTwoPass(df.repartition(i + 2), col("g"),
+          col("v"), col("t"), num = 1, den = 2)
+        .as[(String, Long, Boolean)].collect().toSeq.sorted
+    }
+    assert(runs.distinct.size === 1,
+      "duplicate tiebreaks must not make the gate partitioning-dependent")
+    val out = runs.head
+    assert(out.size === 5, "one output row per input row, dups intact")
+    // all three duplicates carry the SAME flag (kept), so the kept
+    // count exceeds the exact 3-row complement by the multiplicity−1
+    assert(out.count(_._3) === 4, out.toString)
+    assert(out.filter(_._2 == 1L).forall(_._3),
+      "every duplicate of the boundary tiebreak is kept")
+    assert(!out.find(_._2 == 0L).get._3 && out.find(_._2 == 5L).get._3)
+  }
+
   test("disc and cont match the zero-based p*(n-1) definition") {
     // group a: 1..5 → p50: i=2 → disc=cont=3; p25: i=1 → 2; p90: i=3.6
     //   → disc=4, cont=4 + (5-4)*0.6 = 4.6

@@ -160,6 +160,95 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_lsh_idx")
   }
 
+  test("INCREMENTAL LSH append: build + append == full rebuild, " +
+      "appended vectors are discoverable (round-14 verdict #6)") {
+    // hyperplanes are a pure (seed, dim, bits, tables) function —
+    // no training state — so appending an increment must yield the
+    // EXACT index a full rebuild over corpus ∪ increment produces.
+    val baseA = java.nio.file.Files
+      .createTempDirectory("graft-lsh-app").toString
+    val baseB = java.nio.file.Files
+      .createTempDirectory("graft-lsh-full").toString
+    // increment = the planted near-copies; corpus = everything else
+    val increment = planted.filter(col("vec_id") >= 100L)
+    val corpus = planted.filter(col("vec_id") < 100L)
+    try {
+      Similarity.lshBuildIndex(corpus, col("vec_id"), col("embedding"),
+        table = "graft_lsh_app", path = baseA, dim = dim)
+      // before the append the near-copies are absent from the index
+      val before = Similarity.lshProbeIndex(spark, "graft_lsh_app",
+          Seq(0L, 1L, 2L, 3L, 4L), 1)
+        .as[(Long, Long, Long)].collect()
+      assert(before.forall(_._2 < 100L))
+      Similarity.lshAppendIndex(increment, col("vec_id"),
+        col("embedding"), table = "graft_lsh_app", dim = dim)
+      Similarity.lshBuildIndex(planted, col("vec_id"), col("embedding"),
+        table = "graft_lsh_full", path = baseB, dim = dim)
+      val appended = Similarity.lshProbeIndex(spark, "graft_lsh_app",
+          Seq(0L, 1L, 2L, 3L, 4L), 3)
+        .orderBy("query_id", "rank").as[(Long, Long, Long)].collect().toSeq
+      val rebuilt = Similarity.lshProbeIndex(spark, "graft_lsh_full",
+          Seq(0L, 1L, 2L, 3L, 4L), 3)
+        .orderBy("query_id", "rank").as[(Long, Long, Long)].collect().toSeq
+      assert(appended === rebuilt && appended.nonEmpty,
+        "append must equal a full rebuild over corpus ∪ increment")
+      // the appended near-copies win rank 1 — zero-rebuild discovery
+      appended.filter(_._3 == 1L).foreach { case (q, n, _) =>
+        assert(n === q + 100L, s"query $q rank-1 should be its copy")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_lsh_app")
+      spark.sql("DROP TABLE IF EXISTS graft_lsh_full")
+    }
+  }
+
+  test("INCREMENTAL IVF append: frozen-centroid assignment — append " +
+      "== one-shot assignment of the union against the same centroids") {
+    // IVF training state is the centroid set; the append contract is
+    // freeze-and-assign (re-train on a cadence, append between
+    // trainings), so the pin is equality against assigning the WHOLE
+    // union under the frozen centroids — not against a k-means re-run,
+    // whose centroids would drift with the increment.
+    val baseA = java.nio.file.Files
+      .createTempDirectory("graft-ivf-app").toString
+    val increment = planted.filter(col("vec_id") >= 100L)
+    val corpus = planted.filter(col("vec_id") < 100L)
+    try {
+      Similarity.ivfBuildIndex(corpus, col("vec_id"), col("embedding"),
+        assignTable = "graft_ivf_app", centroidTable = "graft_ivf_appc",
+        path = baseA, c = 8, iterations = 2, buckets = 4)
+      val before = Similarity.ivfProbeIndex(spark, "graft_ivf_app",
+          "graft_ivf_appc", Seq(0L, 1L, 2L, 3L, 4L), 1, nprobe = 2)
+        .as[(Long, Long, Long)].collect()
+      assert(before.forall(_._2 < 100L))
+      Similarity.ivfAppendIndex(increment, col("vec_id"),
+        col("embedding"), assignTable = "graft_ivf_app",
+        centroidTable = "graft_ivf_appc", buckets = 4)
+      // reference: one-shot frozen assignment of corpus ∪ increment
+      // (append-to-fresh-table creates it) against the SAME centroids
+      Similarity.ivfAppendIndex(planted, col("vec_id"), col("embedding"),
+        assignTable = "graft_ivf_ref", centroidTable = "graft_ivf_appc",
+        buckets = 4)
+      val appended = Similarity.ivfProbeIndex(spark, "graft_ivf_app",
+          "graft_ivf_appc", Seq(0L, 1L, 2L, 3L, 4L), 3, nprobe = 2)
+        .orderBy("query_id", "rank").as[(Long, Long, Long)].collect().toSeq
+      val oneShot = Similarity.ivfProbeIndex(spark, "graft_ivf_ref",
+          "graft_ivf_appc", Seq(0L, 1L, 2L, 3L, 4L), 3, nprobe = 2)
+        .orderBy("query_id", "rank").as[(Long, Long, Long)].collect().toSeq
+      assert(appended === oneShot && appended.nonEmpty,
+        "append must equal one-shot frozen-centroid assignment")
+      // appended near-copies land in their base's cluster (a copy at
+      // cos ≈ 0.995 shares the nearest centroid) — rank 1 per query
+      appended.filter(_._3 == 1L).foreach { case (q, n, _) =>
+        assert(n === q + 100L, s"query $q rank-1 should be its copy")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_app")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_appc")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_ref")
+    }
+  }
+
   test("lshTopK EQUALS bruteForceTopK on a strong-neighbor corpus") {
     // Every true top-5 neighbor is a near-copy at cos >= 0.99: per the
     // sign-LSH recall formula (Similarity.lshTopK scaladoc), a

@@ -84,6 +84,49 @@ class StatefulIndicatorsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("checkpoint RESTART: indicator state survives a stop/restart — " +
+      "post-restart bars continue the SAME MA/EMA chains") {
+    // round-15 (r14 verdict #4): the retiring-HLL and novelty shapes
+    // got real stop/restart pins in r14; this extends the pattern to
+    // the indicator twin. Split the corpus across a restart — the
+    // second half's MA20/EMA values depend on first-half state, so
+    // equality with the one-shot batch reference proves the keyed
+    // state round-tripped through the checkpoint (with lost state
+    // every post-restart EMA chain would restart from its seed).
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ind-ckpt").toString
+    val stream = MemoryStream[Bar]
+    val buf = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[graft.streaming.EnrichedBar]())
+    def startQ() = StatefulIndicators.enrich(stream.toDS())
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[graft.streaming.EnrichedBar],
+            _: Long) =>
+          buf.addAll(java.util.Arrays.asList(ds.collect(): _*)); ()
+      }
+      .start()
+    val q1 = startQ()
+    try { stream.addData(bars.take(70)); q1.processAllAvailable() }
+    finally q1.stop()
+    val afterRun1 = buf.size()
+    assert(afterRun1 === 70, "first run must emit one row per bar")
+    val q2 = startQ()
+    try {
+      // a restart with no new data must re-emit nothing (the last
+      // batch committed before the stop)
+      q2.processAllAvailable()
+      assert(buf.size() === afterRun1,
+        "restart replayed a committed batch")
+      stream.addData(bars.drop(70)); q2.processAllAvailable()
+    } finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(normalize(buf.asScala.toSeq) === batchReference,
+      "rows across the restart must equal the one-shot batch pipeline")
+  }
+
   test("chunking invariance: any split of the stream gives identical rows") {
     val whole = StatefulIndicators.enrich(bars.toDS()).collect().toSeq
     // simulate per-batch state carry by folding step() over chunks

@@ -147,6 +147,60 @@ class StreamingHllSpec extends AnyFunSuite {
       "registers across the restart must equal the one-shot batch sketch")
   }
 
+  test("retiring registers: a group born AFTER its deadline passed " +
+      "flags rebuilt=true on first emission (round-15 sweep — the " +
+      "docstring's 'born posthumously' case, now pinned)") {
+    import graft.streaming.GroupedHllRegister
+    val dayMs = 86400000L
+    def ts(day: Double): java.sql.Timestamp =
+      new java.sql.Timestamp((day * dayMs).toLong)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val buf = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[GroupedHllRegister]())
+    // deadline: window-day end + 7 days grace
+    val query = StreamingHll.groupedRegistersRetiring(
+        StreamingHll.groupedObservationsTimed(
+          stream.toDF.toDF("day", "u", "t"), col("day"), col("u"),
+          col("t"), mBits = 6, delay = "1 hour"),
+        retireAtMs = day => (day + 1) * dayMs + 7 * dayMs)
+      .writeStream
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-hll-posthumous").toString)
+      .outputMode("update")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[GroupedHllRegister], _: Long) =>
+          buf.addAll(java.util.Arrays.asList(df.collect(): _*)); ()
+      }
+      .start()
+    import scala.jdk.CollectionConverters._
+    try {
+      // batch 1: group 0 born young (watermark ≈ 0 << deadline day 8)
+      stream.addData((0L, "u1", ts(0.5))); query.processAllAvailable()
+      assert(buf.asScala.forall(!_.rebuilt),
+        "a young group's first emission must not flag rebuilt")
+      // batch 2: advance the watermark to ~day 30 — far past group
+      // 0's day-8 deadline (retires it) and past day 5's day-13
+      // deadline (so a later day-5 birth is posthumous)
+      stream.addData((30L, "u1", ts(30.5))); query.processAllAvailable()
+      assert(buf.asScala.filter(_.grp == 30L).forall(!_.rebuilt))
+      // batch 3, the pins: group 5 is BORN after its deadline passed
+      // (first row ever, new-enough event_time) → rebuilt=true; and
+      // group 0 was RETIRED, so a re-keyed row also flags
+      stream.addData((5L, "u9", ts(30.6)), (0L, "u9", ts(30.6)))
+      query.processAllAvailable()
+      val born = buf.asScala.filter(r => r.grp == 5L)
+      val rekey = buf.asScala.filter(r => r.grp == 0L && r.rebuilt)
+      assert(born.nonEmpty && born.forall(_.rebuilt),
+        "posthumous birth must flag rebuilt=true (docstring contract)")
+      assert(rekey.nonEmpty,
+        "a re-keyed retired group must flag rebuilt=true")
+      // and group 30 (still open) never flagged across the run
+      assert(buf.asScala.filter(_.grp == 30L).forall(!_.rebuilt),
+        "retiring/rebuilding old groups must not touch open groups")
+    } finally query.stop()
+  }
+
   test("END-TO-END streaming rolling WAU: in-stream ×7 replication " +
       "(stateless) + retiring registers == the batch window sketch") {
     val dayMs = 86400000L

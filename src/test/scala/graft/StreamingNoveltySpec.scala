@@ -168,6 +168,55 @@ class StreamingNoveltySpec extends AnyFunSuite {
     assert(rolled(12L)._1 === rolled(12L)._2, "rehash doc must be fully seen")
   }
 
+  test("scoreIncrement: one call = one batch (within-call isolation); " +
+      "a SPLIT feed shows the documented cross-batch semantics " +
+      "(round-14 verdict #5)") {
+    def freshDirs() = (
+      java.nio.file.Files.createTempDirectory("graft-nov-stage").toString,
+      java.nio.file.Files.createTempDirectory("graft-nov-sckpt").toString)
+    def score(staging: String, ckpt: String,
+        docs: Seq[(Long, String)]): Map[Long, (Long, Long)] =
+      StreamingNovelty.scoreIncrement(docs.toDF("id", "text"),
+          col("id"), col("text"), staging, ckpt, n, shards = 4,
+          segLongs = 64)
+        .select("doc_id", "n_grams", "n_seen")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // sequential calls reproduce the batch gate's increment-vs-corpus
+    // semantics: call 1 = corpus (all novel), call 2 = increment
+    // (exact history-intersection numbers)
+    val (st1, ck1) = freshDirs()
+    val first = score(st1, ck1, history)
+    history.foreach { case (id, text) =>
+      assert(first(id) === ((gramSet(text).size.toLong, 0L))) }
+    val second = score(st1, ck1, increment)
+    increment.foreach { d =>
+      val (id, ng, ns) = expected(d)
+      assert(second(id) === ((ng, ns)), s"doc $id novelty mismatch")
+    }
+    // the helper's whole point: docs INSIDE one call never see each
+    // other. Two docs sharing every bigram, fed in ONE call on a
+    // fresh state, BOTH score all-novel...
+    val twin = Seq((20L, "alpha beta gamma delta"),
+      (21L, "alpha beta gamma delta"))
+    val (st2, ck2) = freshDirs()
+    val oneCall = score(st2, ck2, twin)
+    assert(oneCall(20L) === ((3L, 0L)) && oneCall(21L) === ((3L, 0L)),
+      "within-call docs must be isolated (one batch per call)")
+    // ...while the SAME rows split across two calls show the
+    // documented split semantics — the second call's doc scores
+    // against the first call's grams. That difference is exactly what
+    // the class doc's caveat warns about; the helper makes choosing
+    // between the two mechanical rather than accidental.
+    val (st3, ck3) = freshDirs()
+    val splitA = score(st3, ck3, twin.take(1))
+    val splitB = score(st3, ck3, twin.drop(1))
+    assert(splitA(20L) === ((3L, 0L)))
+    assert(splitB(21L) === ((3L, 3L)),
+      "split feed must score the later doc against the earlier one")
+  }
+
   test("probe positions: deterministic, in-range, k distinct hashes " +
       "spread (not an arithmetic ladder)") {
     val ps = StreamingNovelty.probes(-987654321L, 4, 64 * 64)
