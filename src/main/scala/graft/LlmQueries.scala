@@ -716,6 +716,19 @@ object LlmQueries {
         .withColumnRenamed("_id", "doc_id")
         .orderBy("doc_id")),
 
+    // CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    // 2020): per-source terciles of the unigram-LM surprisal —
+    // head = most fluent third. The tercile boundaries come from the
+    // histogram rank machinery (Quantiles.rankBoundary), each a
+    // |sources|-row broadcast: NO per-source corpus sort anywhere.
+    "q_ccnet_buckets" -> ((s, d) =>
+      graft.operators.TermStats
+        .ccnetBuckets(docs(s, d), col("doc_id"), col("text"),
+          col("source"))
+        .select(col("_id").as("doc_id"), col("grp").as("source"),
+          col("avg_centibits"), col("bucket"))
+        .orderBy("doc_id")),
+
     // Gopher-style repetition gates: duplicate word / bigram fractions
     // and heaviest-gram counts per doc.
     "q_repetition" -> ((s, d) =>
@@ -888,6 +901,32 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_occ"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n_occ").desc, col("tok")).limit(50)
+    }),
+
+    // Tokenizer FERTILITY per language — tokens-per-word under the
+    // trained BPE, the standard tokenizer-fairness metric (a language
+    // whose words shatter into many tokens pays more sequence budget
+    // per sentence). Train-once/apply-everywhere like q_bpe_encode;
+    // the per-TOKEN relation reduces to per-doc counts BEFORE the
+    // lang join (map-side combine on the merge chain's own (doc,
+    // word) partitioning), so only a |docs|-row relation shuffles.
+    // Integer centi-ratio keeps the gate exact.
+    "q_token_fertility" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+      val merges = graft.operators.Bpe.trainedMerges(corpus,
+        col("doc_id"), col("text"), rounds = 3)
+      val perDoc = graft.operators.Bpe
+        .encode(corpus, col("doc_id"), col("text"), merges)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          countDistinct(col("widx")).as("n_w"))
+      perDoc.join(corpus.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_w")).as("n_words"))
+        .withColumn("fertility_centi",
+          expr("n_tokens * 100 DIV n_words"))
+        .orderBy("lang")
     }),
 
     // Tokenizer-vocabulary coverage: vocab = top-100 corpus terms by
@@ -2471,6 +2510,39 @@ object LlmQueries {
         |  CAST(sum(tf * sbits) AS BIGINT) * 100
         |    // CAST(sum(tf) AS BIGINT) AS avg_centibits
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replays the unigram-surprisal CTEs, then the integer tercile
+    // rule (rn−1)·3 ≥ num·(n−1) — the exact BIGINT equivalent of
+    // percent_rank ≥ num/3 under (avg_centibits, doc_id) ordering;
+    // n = 1 groups are head (pr = 0), matching the Spark gate's
+    // single-row convention
+    "q_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t WHERE term <> '' GROUP BY doc_id, term),
+        |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
+        |      FROM tf GROUP BY term),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS nt FROM c),
+        |s AS (SELECT tf.doc_id, tf.tf,
+        |  CAST(length(bin(nt)) - length(bin(cnt)) AS BIGINT) AS sbits
+        |  FROM tf JOIN c USING (term) CROSS JOIN n),
+        |u AS (SELECT doc_id,
+        |  CAST(sum(tf * sbits) AS BIGINT) * 100
+        |    // CAST(sum(tf) AS BIGINT) AS avg_centibits
+        |  FROM s GROUP BY doc_id),
+        |j AS (SELECT u.doc_id, d.source, u.avg_centibits
+        |      FROM u JOIN documents d USING (doc_id)),
+        |r AS (SELECT doc_id, source, avg_centibits,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY avg_centibits, doc_id) AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM j)
+        |SELECT doc_id, source, avg_centibits,
+        |  CASE WHEN n > 1 AND (rn - 1) * 3 >= (n - 1) * 2 THEN 'tail'
+        |       WHEN n > 1 AND (rn - 1) * 3 >= (n - 1) THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_bigram_lm" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
@@ -2630,6 +2702,19 @@ object LlmQueries {
     "q_kcenter_assign" -> kcenterOracle(8, assign = true),
     "q_bpe_merges" -> bpeOracle(3),
     "q_bpe_encode" -> bpeEncodeOracle(3),
+    // replays the identical 3 merge rounds, then per-doc token/word
+    // counts from the final symbol relation joined to lang
+    "q_token_fertility" -> (bpeCtes(3) + """
+      |, pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |    CAST(count(DISTINCT widx) AS BIGINT) AS n_w
+      |  FROM t3 GROUP BY doc_id)
+      |SELECT d.lang,
+      |  CAST(sum(pd.n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(pd.n_w) AS BIGINT) AS n_words,
+      |  CAST(sum(pd.n_tok) AS BIGINT) * 100
+      |    // CAST(sum(pd.n_w) AS BIGINT) AS fertility_centi
+      |FROM pd JOIN documents d USING (doc_id)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
     "q_lsh_parity" -> lshParityOracle(16, 4),
     // winnowing replay: positional trigram md5-prefix hashes, sliding
     // min over each 4-gram window (1-based pos >= 4 == the engine's

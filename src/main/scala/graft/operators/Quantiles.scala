@@ -163,6 +163,34 @@ object Quantiles {
     val base = df.select(group.as("_g"), value.cast("double").as("_q"),
       tiebreak.as("_t"))
       .filter(col("_q").isNotNull)
+    val boundary = rankBoundary(df, group, value, tiebreak, num, den)
+    base.join(broadcast(boundary), Seq("_g"), "left")
+      .select(col("_g"), col("_t"),
+        // a group past its k* entirely (kept set empty ⇒ no boundary
+        // row survives the filter) keeps nothing
+        coalesce(col("_q") > col("_qb") ||
+          (col("_q") === col("_qb") && col("_t") >= col("_tb")),
+          lit(false)).as("kept"))
+  }
+
+  /** The boundary relation of [[rankGateTwoPass]], exposed (round 15)
+    * so callers applying SEVERAL gates over one relation (e.g. the
+    * CCNet head/middle/tail terciles — two boundaries) can derive
+    * each |groups|-row boundary independently and apply them all in
+    * ONE pass over the data with broadcast comparisons, instead of
+    * re-running the whole gate per fraction. Returns
+    * (_g, _qb, _tb): a row (q, t) in group g has
+    * percent_rank ≥ num/den ⟺ q > _qb ∨ (q = _qb ∧ t ≥ _tb);
+    * a group whose kept set is empty has NO row here (match with a
+    * left join + coalesce(false), as rankGateTwoPass does). Same
+    * null/tiebreak contract as rankGateTwoPass.
+    */
+  def rankBoundary(df: DataFrame, group: Column, value: Column,
+      tiebreak: Column, num: Long, den: Long): DataFrame = {
+    require(den > 0 && num >= 0, "gate fraction must be >= 0 with den > 0")
+    val base = df.select(group.as("_g"), value.cast("double").as("_q"),
+      tiebreak.as("_t"))
+      .filter(col("_q").isNotNull)
     val cnts = base.groupBy(col("_g"), col("_q"))
       .agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy(col("_g")).orderBy(col("_q"))
@@ -183,19 +211,12 @@ object Quantiles {
     // the boundary tiebreak: j-th smallest tiebreak INSIDE the
     // boundary value class (the only sorted relation in the gate)
     val wTie = Window.partitionBy(col("_g")).orderBy(col("_t"))
-    val boundary = base
+    base
       .join(broadcast(boundaryVal), Seq("_g"))
       .filter(col("_q") === col("_qb"))
       .withColumn("_rn", row_number().over(wTie))
       .filter(col("_rn") === col("_j"))
       .select(col("_g"), col("_qb"), col("_t").as("_tb"))
-    base.join(broadcast(boundary), Seq("_g"), "left")
-      .select(col("_g"), col("_t"),
-        // a group past its k* entirely (kept set empty ⇒ no boundary
-        // row survives the filter) keeps nothing
-        coalesce(col("_q") > col("_qb") ||
-          (col("_q") === col("_qb") && col("_t") >= col("_tb")),
-          lit(false)).as("kept"))
   }
 
   /** Adds `out` = the exact `ntile(k)` bucket of each row in

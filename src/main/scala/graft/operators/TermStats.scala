@@ -415,6 +415,61 @@ object TermStats {
       .withColumn("avg_centibits", expr("total_bits * 100 DIV n_tokens"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    * document by its LM quality signal WITHIN its group (CCNet
+    * buckets per language; here `group` is the caller's slice — e.g.
+    * source) and label the best-scoring third `head`, the next
+    * `middle`, the rest `tail` — the tranche label downstream
+    * training mixes on. The signal is [[unigramSurprisal]]'s
+    * integer-quantized avg_centibits (LOWER = more fluent = head),
+    * tiebroken by doc id.
+    *
+    * Bucket rule (the percent_rank convention both gate families
+    * share): pr over (avg_centibits, id) within group —
+    * head pr < 1/3, middle 1/3 ≤ pr < 2/3, tail pr ≥ 2/3; a 1-doc
+    * group is head (pr = 0).
+    *
+    * Scale shape: NO per-group sort of the corpus — the two tercile
+    * boundaries come from [[Quantiles.rankBoundary]]'s histogram
+    * machinery ((group, value) counts → BIGINT boundary-rank
+    * arithmetic → one-value-class tiebreak window), each a
+    * |groups|-row broadcast; the bucket label is then two broadcast
+    * comparisons in one pass over the surprisal relation. A windowed
+    * percent_rank would serialize each group through one task — a
+    * scale-killer when one source holds 10¹⁰ documents; the
+    * quantized integer score keeps the histogram's value classes fat,
+    * which is exactly where the two-pass gate is cheapest.
+    */
+  def ccnetBuckets(df: DataFrame, id: Column, text: Column,
+      group: Column): DataFrame = {
+    // the surprisal relation is consumed three times (two boundary
+    // derivations + the labeling pass) — persist the ONE
+    // tokenize/count pass instead of re-scanning the corpus
+    // (persistRows: GC-managed, lazy, lineage intact)
+    val us = org.apache.spark.sql.graft.Bridge.persistRows(
+      unigramSurprisal(df, id, text)
+        .join(df.select(id.as("_id"), group.as("grp")), "_id"))
+    val b13 = Quantiles.rankBoundary(us, col("grp"),
+        col("avg_centibits"), col("_id"), 1, 3)
+      .select(col("_g"), col("_qb").as("_qb13"), col("_tb").as("_tb13"))
+    val b23 = Quantiles.rankBoundary(us, col("grp"),
+        col("avg_centibits"), col("_id"), 2, 3)
+      .select(col("_g"), col("_qb").as("_qb23"), col("_tb").as("_tb23"))
+    def atLeast(qb: Column, tb: Column): Column =
+      coalesce(col("avg_centibits").cast("double") > qb ||
+        (col("avg_centibits").cast("double") === qb &&
+          col("_id") >= tb), lit(false))
+    us
+      .join(broadcast(b13), col("grp") === col("_g"), "left")
+      .drop("_g")
+      .join(broadcast(b23), col("grp") === col("_g"), "left")
+      .drop("_g")
+      .select(col("_id"), col("grp"), col("avg_centibits"),
+        when(atLeast(col("_qb23"), col("_tb23")), lit("tail"))
+          .when(atLeast(col("_qb13"), col("_tb13")), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
   /** Integer-quantized bigram-LM conditional surprisal per document —
     * the order-2 refinement of [[unigramSurprisal]]: each bigram
     * (w, w') costs `bits(cnt_prefix(w)) − bits(cnt_bigram(w, w'))`

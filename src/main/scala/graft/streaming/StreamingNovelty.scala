@@ -189,6 +189,13 @@ object StreamingNovelty {
     * documented split semantics (the second call sees the first's
     * grams) — the helper exists precisely so that difference is
     * opt-in, not accidental.
+    *
+    * Caller contract: ONE caller per (stagingDir, checkpointDir)
+    * pair — the seen-files log and the Bloom state are one logical
+    * stream, and concurrent drops would interleave into one batch
+    * (harmless for scoring, but the increments would merge).
+    * An EMPTY increment is a no-op: zero-row drop, empty result,
+    * the filter state untouched (spec-pinned).
     */
   def scoreIncrement(increment: DataFrame, id: Column, text: Column,
       stagingDir: String, checkpointDir: String, n: Int, shards: Int,

@@ -215,6 +215,14 @@ class StreamingNoveltySpec extends AnyFunSuite {
     assert(splitA(20L) === ((3L, 0L)))
     assert(splitB(21L) === ((3L, 3L)),
       "split feed must score the later doc against the earlier one")
+    // EMPTY increment (round-15 sweep over this round's own lines):
+    // a no-op — empty result, state untouched (the next real
+    // increment still scores against everything before the empty one)
+    val empty = score(st3, ck3, Seq.empty[(Long, String)])
+    assert(empty.isEmpty, "empty increment must yield an empty result")
+    val after = score(st3, ck3, twin.take(1)) // replay doc 20
+    assert(after(20L) === ((3L, 3L)),
+      "state must survive an empty increment untouched")
   }
 
   test("probe positions: deterministic, in-range, k distinct hashes " +

@@ -327,4 +327,44 @@ class TermStatsSpec extends AnyFunSuite {
     assert(rows("x")._1 === 1L)       // 'x x' counted once for doc 1
     assert(rows("y")._2 > 0.0)        // only-en term discriminates
   }
+
+  test("ccnetBuckets: per-group terciles equal the percent_rank " +
+      "window rule; single-doc group is head; partitioning-invariant") {
+    // group A: 6 docs → pr = (r−1)/5; head pr < 1/3 (r ≤ 2),
+    // middle pr < 2/3 (r ≤ 4), tail r ≥ 5. Texts built so the
+    // surprisal ORDER is known: more repetitions of the corpus's
+    // dominant word = cheaper = lower rank
+    val docs = (
+      (0 until 6).map { i =>
+        // doc i: (6−i) common words + i rare-ish fillers → surprisal
+        // strictly increases with i
+        val text = (Seq.fill(6 - i)("the") ++
+          (0 until i).map(j => s"rare_${i}_$j")).mkString(" ")
+        (i.toLong, text, "A")
+      } :+ ((10L, "the solo document", "B"))
+    ).toDF("doc_id", "text", "source")
+    val runs = (0 until 3).map { p =>
+      TermStats.ccnetBuckets(docs.repartition(p + 2), col("doc_id"),
+          col("text"), col("source"))
+        .select(col("_id"), col("bucket"))
+        .as[(Long, String)].collect().toMap
+    }
+    assert(runs.distinct.size === 1, "buckets must be partitioning-invariant")
+    val got = runs.head
+    // the window-rule reference over the SAME surprisal scores
+    val us = TermStats.unigramSurprisal(docs, col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id").as("_id"), col("source")), "_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("avg_centibits"), col("_id"))
+    val want = us.withColumn("pr", percent_rank().over(w))
+      .select(col("_id"),
+        when(col("pr") >= 2.0 / 3.0, "tail")
+          .when(col("pr") >= 1.0 / 3.0, "middle")
+          .otherwise("head").as("bucket"))
+      .as[(Long, String)].collect().toMap
+    assert(got === want, s"got $got want $want")
+    assert(got(10L) === "head", "single-doc group is head (pr = 0)")
+    // the fixture exercises all three labels
+    assert(got.values.toSet === Set("head", "middle", "tail"))
+  }
 }
