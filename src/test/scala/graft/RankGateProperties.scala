@@ -56,6 +56,28 @@ object RankGateProperties extends Properties("RankGateTwoPass") {
               (windowed.toSet diff twoPass.toSet)}"
     }
 
+  property("multi-fraction boundaries nest: kept(a/d) ⊇ kept(b/d) " +
+    "for a <= b — the ccnetBuckets tercile invariant") =
+    Prop.forAll(frameGen, Gen.choose(2L, 6L), Gen.choose(1, 4)) {
+      case (rows, den, parts) =>
+        import spark.implicits._
+        val df = rows.toDF("g", "v", "t").repartition(parts)
+        // derive every fraction's keep set through rankBoundary (the
+        // round-15 multi-fraction path ccnetBuckets uses): keep sets
+        // must be monotone in the fraction, or a bucket labeling
+        // could emit contradictory labels (tail but not middle)
+        val keeps = (0L to den).map { nu =>
+          Quantiles.rankGateTwoPass(df, col("g"), col("v"), col("t"),
+              nu, den)
+            .as[(String, Long, Boolean)].collect()
+            .filter(_._3).map(r => (r._1, r._2)).toSet
+        }
+        Prop(keeps.sliding(2).forall {
+          case Seq(a, b) => b.subsetOf(a)
+          case _ => true
+        }) :| s"den=$den sizes=${keeps.map(_.size)}"
+    }
+
   private implicit class Tup3Ops(rows: Array[(String, Long, Boolean)]) {
     def toMap2: Map[(String, Long), Boolean] =
       rows.map(r => (r._1, r._2) -> r._3).toMap
