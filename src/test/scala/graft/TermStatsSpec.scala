@@ -367,4 +367,20 @@ class TermStatsSpec extends AnyFunSuite {
     // the fixture exercises all three labels
     assert(got.values.toSet === Set("head", "middle", "tail"))
   }
+
+  test("ccnetBuckets degenerate group: ALL-EQUAL scores split purely " +
+      "by the doc_id tiebreak (round-15 standing item, pinned early)") {
+    // six identical docs → identical avg_centibits → the boundary
+    // value class is the whole group and the tercile cut happens
+    // entirely inside the tiebreak window: pr = (r−1)/5 over doc_id
+    // order, so ids 0,1 head; 2,3 middle; 4,5 tail
+    val docs = (0 until 6).map(i => (i.toLong, "same text here", "A"))
+      .toDF("doc_id", "text", "source")
+    val got = TermStats.ccnetBuckets(docs, col("doc_id"), col("text"),
+        col("source"))
+      .select(col("_id"), col("bucket"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(0L -> "head", 1L -> "head", 2L -> "middle",
+      3L -> "middle", 4L -> "tail", 5L -> "tail"), got.toString)
+  }
 }
