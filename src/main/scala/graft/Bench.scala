@@ -78,6 +78,22 @@ package graft
   * q_pagerank child median came back 2.1× the committed value and
   * adjudicated nothing); and the record carries `value_adjudicated`
   * = Σ min(median, remeasured) as the authoritative headline total.
+  *
+  * Round-16 (round-15 verdict "What's wrong" #2 + ADVICE + sweep):
+  *  - `value` now IS the adjudicated total (the raw Σ medians moves
+  *    to `value_raw`; `value_adjudicated` stays as an alias) so no
+  *    consumer can grab the contaminated figure by habit;
+  *  - a re-measuring child also reports its timed-rep MEDIANS
+  *    (`queries_median` on its line → `remeasured_median` in the
+  *    record), so the best-rep adjudication value carries its spread
+  *    — min over few reps is downward-biased, and readers can now see
+  *    by how much;
+  *  - the startup quiesce gates on the INSTANT /proc/stat CPU busy
+  *    fraction alongside the 1-min loadavg: sbt/JVM startup alone
+  *    floors la near the 1.5 threshold for the first minute (both
+  *    r15 runs exited quiesce at la ≈ 1.4 — barely gating), while
+  *    the busy fraction reads external load directly and clears
+  *    seconds after the box actually goes quiet.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -107,29 +123,64 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
+    // Instantaneous whole-box CPU busy fraction over a 1 s window
+    // (/proc/stat deltas; idle = idle + iowait). Round-16, closing the
+    // round-15 sweep item: the 1-min LOADAVG floor right after launch
+    // is dominated by sbt/JVM startup itself (both r15 runs exited
+    // quiesce at la ≈ 1.4 against a 1.5 threshold — the gate barely
+    // gated), and la decays on a 1-min time constant no sleep loop
+    // should wait out. This JVM is asleep while sampling, so the busy
+    // fraction reads EXTERNAL load directly and clears within seconds
+    // of the box actually going quiet.
+    def cpuBusy(): Double = {
+      def snap(): Array[Long] =
+        try scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        catch { case _: Throwable => Array.empty[Long] }
+      val a = snap(); Thread.sleep(1000); val b = snap()
+      if (a.length < 5 || b.length < 5) -1.0
+      else {
+        val d = b.zip(a).map { case (x, y) => x - y }
+        val tot = d.sum.toDouble
+        if (tot <= 0) -1.0 else 1.0 - (d(3) + d(4)) / tot
+      }
+    }
+
     // Startup quiesce (round-15; round-14 verdict "What's wrong" #1):
     // the r14 driver run STARTED at loadavg 2.27 and flagged 52/230
     // queries — the flagger was right, but a sweep that begins on a
     // busy box bakes contamination into every early number. Wait for
-    // the 1-min la to settle below a threshold before the sweep, capped
-    // so a permanently-busy box still produces a record (the record
-    // then carries the elevated loadavg_start as its own annotation).
+    // BOTH the 1-min la (external sustained load) and the instant CPU
+    // busy fraction (the signal sbt's own startup can't pin — see
+    // cpuBusy) to settle, capped so a permanently-busy box still
+    // produces a record (the record then carries the elevated
+    // loadavg_start/cpu_busy_start as its own annotation).
     // Children skip this: the parent already quiesces before spawning.
     val childMode = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     val quiesceLa =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIESCE", "1.5").toDouble
+    val quiesceBusy =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIESCE_BUSY", "0.25").toDouble
     val quiesceCap =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIESCE_WAIT", "240").toInt
     if (!childMode) {
       var waited = 0
-      while (loadavg() > quiesceLa && waited < quiesceCap) {
-        Thread.sleep(5000); waited += 5
+      while ((loadavg() > quiesceLa || cpuBusy() > quiesceBusy) &&
+          waited < quiesceCap) {
+        Thread.sleep(4000); waited += 5 // +1 s spent inside cpuBusy()
       }
     }
 
     val loadavgStart: Double = loadavg()
+    val cpuBusyStart: Double = cpuBusy()
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // the median of the timed reps, recorded even in child mode (where
+    // `timings` carries the best rep) so a re-measure's SPREAD is
+    // visible next to the best it adjudicates with (round-15 ADVICE:
+    // a min over few reps is downward-biased — readers need the median
+    // alongside to see by how much)
+    val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rowCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // per-rep (seconds, loadavg-at-rep-start) — lets a later round
@@ -182,8 +233,9 @@ object Bench {
         // reports its BEST timed rep; the parent's committed value for
         // a flagged query is min(parent median, child best) — see the
         // adjudication block below. Parents keep the median.
-        timings(name) =
-          if (childMode) sorted.head else sorted(sorted.size / 2)
+        val median = sorted(sorted.size / 2)
+        timings(name) = if (childMode) sorted.head else median
+        medians(name) = median
         repDetail(name) = warmups.toSeq ++ samples.toSeq
         rowCounts(name) = fn(spark, sfDir).count()
       } catch {
@@ -250,6 +302,8 @@ object Bench {
       }
     }.toSeq
     val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val remeasuredMedian =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
     if (!childMode && contaminated.nonEmpty) {
       // session down FIRST: the child JVM allocates its own executor
       // threads/heap, and the whole point is a quiet fresh process
@@ -279,8 +333,9 @@ object Bench {
           // q_bpe_encode at 2.8× its true cost for exactly this
           // reason) — wait for the 1-min la to settle, capped
           var waited = 0
-          while (loadavg() > 3.0 && waited < 120) {
-            Thread.sleep(5000); waited += 5
+          while ((loadavg() > 3.0 || cpuBusy() > quiesceBusy) &&
+              waited < 120) {
+            Thread.sleep(4000); waited += 5 // +1 s inside cpuBusy()
           }
           val javaBin = System.getProperty("java.home") + "/bin/java"
           val cp = System.getProperty("java.class.path")
@@ -327,21 +382,31 @@ object Bench {
           if (!exited) p.destroyForcibly()
           val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
           chunk.foreach { name =>
-            // the child's headline carries `"<name>":<sec>` exactly
-            // once (inside its queries map — a ≤4-entry map always
-            // fits the line budget); -1 records a failed re-measure
-            val m = ("\"" + java.util.regex.Pattern.quote(name) +
-              "\":([0-9]+\\.[0-9]+)").r.findAllMatchIn(out).toSeq.lastOption
-            remeasured(name) = m.map(_.group(1).toDouble).getOrElse(-1.0)
+            // the child's headline carries `"<name>":<sec>` once in
+            // its queries map (best rep — the adjudication value) and
+            // once in its trailing queries_median map (the spread
+            // diagnostic, round-15 ADVICE); a ≤4-entry chunk always
+            // fits the line budget. -1 records a failed re-measure.
+            val ms = ("\"" + java.util.regex.Pattern.quote(name) +
+              "\":([0-9]+\\.[0-9]+)").r.findAllMatchIn(out).toSeq
+            remeasured(name) =
+              ms.headOption.map(_.group(1).toDouble).getOrElse(-1.0)
+            remeasuredMedian(name) = (if (ms.size >= 2) ms.lastOption
+              else None).map(_.group(1).toDouble).getOrElse(-1.0)
           }
         } catch { case _: Throwable =>
-          chunk.foreach(name => remeasured(name) = -1.0)
+          chunk.foreach { name =>
+            remeasured(name) = -1.0; remeasuredMedian(name) = -1.0
+          }
         }
       }
     }
     val cs = contaminated.map(jstr).mkString("[", ",", "]")
     val rms = remeasured.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }
       .mkString("{", ",", "}")
+    val rmsMed = remeasuredMedian.map { case (k, v) =>
+      s"${jstr(k)}:${r3(v)}"
+    }.mkString("{", ",", "}")
 
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }
       .mkString("{", ",", "}")
@@ -363,12 +428,19 @@ object Bench {
     val totalAdj = timings.map { case (k, v) =>
       remeasured.get(k).filter(_ > 0.0).map(math.min(v, _)).getOrElse(v)
     }.sum
+    // `value` IS the adjudicated total (round-16; round-15 verdict
+    // "What's wrong" #2: any consumer that grabs `value` by habit must
+    // get the meaningful number, not the contaminated raw sum). The
+    // raw Σ medians moves to `value_raw`; `value_adjudicated` stays as
+    // an alias so r13–r15 cross-round tooling keeps reading.
     val head = s""""metric":"total","unit":"sec","reps":$reps,""" +
-      s""""loadavg_start":$loadavgStart,"sf":${jstr(sfDir)},"errors":$es,""" +
+      s""""loadavg_start":$loadavgStart,"cpu_busy_start":${r3(cpuBusyStart)},""" +
+      s""""sf":${jstr(sfDir)},"errors":$es,""" +
       s""""contaminated":$cs,"remeasured":$rms,""" +
+      s""""remeasured_median":$rmsMed,""" +
       s""""value_adjudicated":${r3(totalAdj)}"""
     val full = s"""{$head,"rows":$rs,"rep_secs_loadavg":$reph,""" +
-      s""""queries":$qs,"value":${r3(total)}}"""
+      s""""queries":$qs,"value_raw":${r3(total)},"value":${r3(totalAdj)}}"""
     // stdout-line variants of the contamination lists, capped so the
     // line survives the driver's 2000-char tail capture even on a
     // worst-case run (48 remeasured entries ≈ 1.2 KB would sink it);
@@ -383,7 +455,8 @@ object Bench {
         s"${jstr(k)}:${r3(v)}"
       }.mkString("{", ",", "}")
     val headLine = s""""metric":"total","unit":"sec","reps":$reps,""" +
-      s""""loadavg_start":$loadavgStart,"sf":${jstr(sfDir)},"errors":$es,""" +
+      s""""loadavg_start":$loadavgStart,"cpu_busy_start":${r3(cpuBusyStart)},""" +
+      s""""sf":${jstr(sfDir)},"errors":$es,""" +
       s""""n_contaminated":${contaminated.size},""" +
       s""""n_remeasured":${remeasured.size},""" +
       s""""contaminated":$csLine,"remeasured":$rmsLine,""" +
@@ -402,9 +475,19 @@ object Bench {
         headlineEntries += ent; used += ent.length + 1
       }
     }
+    // a child's line additionally carries the timed-rep MEDIANS so the
+    // parent can record the re-measure's spread next to the best it
+    // adjudicates with (parsed positionally: best from `queries`,
+    // median from `queries_median` — queries must stay first)
+    val qmLine = if (childMode)
+      s""""queries_median":${medians.map { case (k, v) =>
+        s"${jstr(k)}:${r3(v)}"
+      }.mkString("{", ",", "}")},"""
+    else ""
     val line = s"""{$headLine,"n_queries":${timings.size},""" +
-      s""""queries":${headlineEntries.mkString("{", ",", "}")},""" +
-      s""""queries_full":"BENCH.json","value":${r3(total)}}"""
+      s""""queries":${headlineEntries.mkString("{", ",", "}")},$qmLine""" +
+      s""""queries_full":"BENCH.json","value_raw":${r3(total)},""" +
+      s""""value":${r3(totalAdj)}}"""
     println(line)
     if (!childMode) { // a child writing BENCH.json would clobber the
       try {           // parent's full record

@@ -929,6 +929,44 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // BPE artifact path (train-once / apply-FOREVER; round-15 verdict
+    // Next #2, mirroring the ANN persisted-index pattern): the
+    // trained merge table persists as a saved table — built only if
+    // absent, so the steady state (and every timed bench rep after
+    // the warmup) runs ZERO training jobs — and encoding loads it
+    // back as O(rounds) driver metadata. Same aggregation and oracle
+    // as q_bpe_encode: the hash match proves artifact-encode ≡
+    // inline-train encode end to end.
+    "q_bpe_encode_artifact" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+      graft.operators.Bpe.encodeFromArtifact(s, bpeArtifact(s, d, 3),
+          corpus, col("doc_id"), col("text"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occ").desc, col("tok")).limit(50)
+    }),
+
+    // Tokenizer fertility from the SAME persisted artifact — the
+    // fairness metric in its production form (q_token_fertility's
+    // derivation minus the per-query re-train; same oracle).
+    "q_fertility_artifact" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+      val perDoc = graft.operators.Bpe
+        .encodeFromArtifact(s, bpeArtifact(s, d, 3), corpus,
+          col("doc_id"), col("text"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          countDistinct(col("widx")).as("n_w"))
+      perDoc.join(corpus.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_w")).as("n_words"))
+        .withColumn("fertility_centi",
+          expr("n_tokens * 100 DIV n_words"))
+        .orderBy("lang")
+    }),
+
     // Tokenizer-vocabulary coverage: vocab = top-100 corpus terms by
     // frequency (ties to the lexicographically smaller term), then the
     // per-document out-of-vocabulary token fraction. The vocab relation
@@ -2704,17 +2742,12 @@ object LlmQueries {
     "q_bpe_encode" -> bpeEncodeOracle(3),
     // replays the identical 3 merge rounds, then per-doc token/word
     // counts from the final symbol relation joined to lang
-    "q_token_fertility" -> (bpeCtes(3) + """
-      |, pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-      |    CAST(count(DISTINCT widx) AS BIGINT) AS n_w
-      |  FROM t3 GROUP BY doc_id)
-      |SELECT d.lang,
-      |  CAST(sum(pd.n_tok) AS BIGINT) AS n_tokens,
-      |  CAST(sum(pd.n_w) AS BIGINT) AS n_words,
-      |  CAST(sum(pd.n_tok) AS BIGINT) * 100
-      |    // CAST(sum(pd.n_w) AS BIGINT) AS fertility_centi
-      |FROM pd JOIN documents d USING (doc_id)
-      |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+    "q_token_fertility" -> fertilityOracle(3),
+    // the artifact queries' oracles are the INLINE queries' oracles
+    // verbatim: artifact-encode must equal inline-train encode, and
+    // the shared hash gate is what proves it
+    "q_bpe_encode_artifact" -> bpeEncodeOracle(3),
+    "q_fertility_artifact" -> fertilityOracle(3),
     "q_lsh_parity" -> lshParityOracle(16, 4),
     // winnowing replay: positional trigram md5-prefix hashes, sliding
     // min over each 4-gram window (1-based pos >= 4 == the engine's
@@ -3067,6 +3100,26 @@ object LlmQueries {
     * contributes zero rows — the oracle's form of the trainer's
     * early stop.
     */
+  /** Get-or-build the shared BPE tokenizer artifact for `dir`. The
+    * table name keys on (dir, rounds, corpus row count) so fixtures
+    * at different SFs never alias and a regenerated fixture of a
+    * different size rebuilds automatically; a regenerated fixture
+    * with the SAME path and size requires dropping the warehouse (the
+    * standard saved-table staleness contract, shared with the ANN
+    * index tables).
+    */
+  private def bpeArtifact(s: SparkSession, d: String,
+      rounds: Int): String = {
+    val corpus = Tables.documents(s, d)
+    val key = s"$d:$rounds:${corpus.count()}"
+    val tbl = "graft_bpe_artifact_" +
+      java.lang.Integer.toHexString(key.hashCode)
+    if (!s.catalog.tableExists(tbl))
+      graft.operators.Bpe.buildArtifact(corpus, col("doc_id"),
+        col("text"), rounds, tbl)
+    tbl
+  }
+
   private def bpeOracle(rounds: Int): String =
     bpeCtes(rounds) + (1 to rounds).map(n =>
       s"""SELECT CAST($n AS BIGINT) AS round, ltok AS "left",
@@ -3085,6 +3138,23 @@ object LlmQueries {
       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
       |FROM t$rounds GROUP BY tok
       |ORDER BY n_occ DESC, tok LIMIT 50""".stripMargin
+
+  /** Per-language tokens-per-word under the trained BPE: the same
+    * unrolled round CTEs, per-doc counts from the final symbol
+    * relation t{R}, lang join, integer centi-ratio.
+    */
+  private def fertilityOracle(rounds: Int): String =
+    bpeCtes(rounds) + s"""
+      |, pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |    CAST(count(DISTINCT widx) AS BIGINT) AS n_w
+      |  FROM t$rounds GROUP BY doc_id)
+      |SELECT d.lang,
+      |  CAST(sum(pd.n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(pd.n_w) AS BIGINT) AS n_words,
+      |  CAST(sum(pd.n_tok) AS BIGINT) * 100
+      |    // CAST(sum(pd.n_w) AS BIGINT) AS fertility_centi
+      |FROM pd JOIN documents d USING (doc_id)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   /** The SQL-parity LSH pipeline replayed end to end: md5-prefix gram
     * hashes → mod-p minwise signatures (coefficients inlined from

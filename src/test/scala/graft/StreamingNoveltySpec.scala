@@ -225,6 +225,70 @@ class StreamingNoveltySpec extends AnyFunSuite {
       "state must survive an empty increment untouched")
   }
 
+  test("scoreIncrement: single-writer lock is mechanical; format tag " +
+      "refuses parameter drift and stale untagged checkpoints; no " +
+      "scratch residue outside stagingDir (round-15 verdict #1/#3)") {
+    import java.nio.file.{Files, Paths}
+    val staging = Files.createTempDirectory("graft-nov-lockstage")
+    val ckpt = Files.createTempDirectory("graft-nov-lockckpt").toString
+    def score(docs: Seq[(Long, String)], shards: Int = 4) =
+      StreamingNovelty.scoreIncrement(docs.toDF("id", "text"),
+        col("id"), col("text"), staging.toString, ckpt, n, shards,
+        segLongs = 64)
+    // a pre-existing lock fails fast instead of merging increments
+    val lock = staging.resolve("_graft_lock")
+    Files.createFile(lock)
+    val eLock = intercept[IllegalStateException] {
+      score(history).collect()
+    }
+    assert(eLock.getMessage.contains("_graft_lock"))
+    Files.delete(lock)
+    import scala.jdk.CollectionConverters._
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+    def tmpScratch(): Set[String] = Files.list(tmp).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("graft-novelty-inc")).toSet
+    val tmpBefore = tmpScratch() // rounds ≤ 15 leaked these; delta only
+    // a successful call releases the lock and leaves only inc files,
+    // the format tag, and at most ONE _results dir — no _scratch_*
+    // residue and nothing under java.io.tmpdir
+    assert(score(history).count() === history.size.toLong)
+    assert(!Files.exists(lock), "lock must be released")
+    val names = Files.list(staging).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(names.count(_.startsWith("_results_")) === 1, names.toString)
+    assert(!names.exists(_.startsWith("_scratch_")), names.toString)
+    assert(tmpScratch() === tmpBefore,
+      "scratch must not leak into java.io.tmpdir")
+    assert(Files.exists(Paths.get(ckpt, "_graft_novelty_format")))
+    // parameter drift against the same checkpoint is refused — the
+    // Bloom bits were filled under shards=4 probe routing
+    val eParam = intercept[IllegalStateException] {
+      score(increment, shards = 8).collect()
+    }
+    assert(eParam.getMessage.contains("graft-novelty-v2"))
+    // matching parameters still resume fine after the refusal
+    val second = score(increment)
+      .select("doc_id", "n_grams", "n_seen")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    increment.foreach { d =>
+      val (id, ng, ns) = expected(d)
+      assert(second(id) === ((ng, ns)))
+    }
+    // an UNTAGGED checkpoint that already holds state (a pre-v2
+    // checkpoint after upgrade) is refused, not silently resumed
+    val staleCk = Files.createTempDirectory("graft-nov-staleck")
+    Files.createDirectories(staleCk.resolve("offsets"))
+    val eStale = intercept[IllegalStateException] {
+      StreamingNovelty.scoreIncrement(history.toDF("id", "text"),
+        col("id"), col("text"),
+        Files.createTempDirectory("graft-nov-stalestage").toString,
+        staleCk.toString, n, shards = 4, segLongs = 64).collect()
+    }
+    assert(eStale.getMessage.contains("pre-v2"))
+  }
+
   test("probe positions: deterministic, in-range, k distinct hashes " +
       "spread (not an arithmetic ladder)") {
     val ps = StreamingNovelty.probes(-987654321L, 4, 64 * 64)

@@ -1,33 +1,60 @@
 #!/usr/bin/env python3
 """Cross-record bench adjudication: uniform-ratio analysis.
 
-Usage: python3 tools/bench_ratio.py OLD.json NEW.json [floor_sec]
+Usage: python3 tools/bench_ratio.py OLD.json NEW.json [floor_sec] [--raw]
 
-Compares two BENCH records' per-query medians over their shared
-queries (medians >= floor, default 0.3 s). A CODE regression shows up
+Compares two BENCH records' per-query values over their shared
+queries (values >= floor, default 0.3 s). A CODE regression shows up
 as a ratio outlier on the touched queries; a BUSY/THROTTLED BOX shows
 up as a near-uniform ratio across queries whose code did not change —
-the median ratio IS the environmental factor, and per-query medians
+the median ratio IS the environmental factor, and per-query values
 stay comparable after dividing it out. Round-15 learning: two
 same-code sf0.1 runs measured 1.38x apart with median ratios uniform
 across 155 untouched queries — without this analysis that reads as a
 global regression.
+
+Per-query values are ADJUDICATED by default (round-16; round-15
+verdict "What's wrong" #2): a flagged query with a successful
+fresh-JVM re-measure contributes min(median, remeasured) — the same
+rule Bench.scala's value_adjudicated headline applies — so the ratio
+analysis never feeds on a contaminated median the record itself
+already adjudicated away. Pass --raw to read the raw medians instead.
 """
 import json
 import statistics
 import sys
 
 
+def load(path: str, raw: bool) -> dict:
+    rec = json.load(open(path))
+    if "queries" not in rec and rec.get("parsed"):
+        rec = rec["parsed"]  # driver BENCH_r{N}.json wraps the record
+    if "queries" not in rec:
+        print(f"{path}: no queries map (driver tail-capture failed?)")
+        sys.exit(1)
+    qs = dict(rec["queries"])
+    if not raw:
+        for name, val in rec.get("remeasured", {}).items():
+            if name in qs and isinstance(val, (int, float)) and val > 0:
+                qs[name] = min(qs[name], val)
+    return qs
+
+
 def main() -> None:
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
-    floor = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3
-    qo, qn = old["queries"], new["queries"]
+    args = [a for a in sys.argv[1:] if a != "--raw"]
+    raw = "--raw" in sys.argv[1:]
+    qo, qn = load(args[0], raw), load(args[1], raw)
+    floor = float(args[2]) if len(args) > 2 else 0.3
     shared = sorted(k for k in qo.keys() & qn.keys() if qo[k] >= floor)
+    if not shared:
+        print(f"no shared queries >= {floor}s between the two records — "
+              "different suites, or lower the floor argument")
+        sys.exit(1)
     ratios = sorted((qn[k] / qo[k], k) for k in shared)
     med = statistics.median(r for r, _ in ratios)
     spread = statistics.quantiles(
         [r for r, _ in ratios], n=4) if len(ratios) >= 4 else []
+    print(f"per-query values: {'raw medians' if raw else 'adjudicated'}")
     print(f"shared queries >= {floor}s: {len(shared)}")
     print(f"median ratio new/old: {med:.3f}"
           + (f"  IQR [{spread[0]:.3f}, {spread[2]:.3f}]" if spread else ""))
