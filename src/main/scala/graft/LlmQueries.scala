@@ -746,6 +746,22 @@ object LlmQueries {
         .withColumnRenamed("_id", "doc_id")
         .orderBy("doc_id")),
 
+    // Eval-set CONTAMINATION AUDIT (Brown et al. 2020, GPT-3
+    // appendix C): per TRAINING doc, distinct-5-gram overlap FRACTION
+    // with the held-out eval slice (doc_id % 17) — the graded
+    // test-set-leakage relation a pipeline inspects before picking
+    // q_decontaminate's drop threshold (that query flags; this one
+    // measures everyone). xxhash64 gram keys move through the
+    // distinct and the LEFT join (the q_ngram_novelty narrowing);
+    // the output is gram-free, so the string-key oracle gates it
+    // exactly. The fixture's planted near-dups ARE the leakage this
+    // catches (two train docs contaminated at 96-100%).
+    "q_contam_audit" -> ((s, d) =>
+      graft.operators.TermStats.evalContamination(docs(s, d),
+          col("doc_id"), col("text"), col("doc_id") % 17 === 0, n = 5)
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id")),
+
     // The spans substring-dedup would TRIM (Lee et al. 2021): maximal
     // runs of cross-document duplicated 5-grams per doc — the
     // gaps-and-islands pattern on token positions.
@@ -816,6 +832,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR (Xie et al. 2023) — importance resampling for pretraining
+    // data selection: target-slice (lang = 'en') vs raw-corpus hashed
+    // char-trigram bucket models, bit-length-quantized per-doc
+    // log-likelihood-ratio, power-of-two keep threshold, content-
+    // addressed draw. The AUDIT relation gates (every doc with its
+    // weight, threshold, draw, and kept verdict), so model fitting,
+    // weighting, AND the resampling decisions are all hash-pinned —
+    // the kept subset is Dsir.resample's output. Models are one
+    // 64-row broadcast; one corpus gram scan; no RNG state anywhere.
+    "q_dsir_sample" -> ((s, d) => {
+      val w = graft.operators.Dsir.importanceWeights(docs(s, d),
+        col("doc_id"), col("text"), col("lang") === "en")
+      graft.operators.Dsir.resampleAudit(w, col("doc_id"))
+        .select("doc_id", "n_feats", "logw_bits", "thr",
+          "keep_bucket", "kept")
+        .orderBy("doc_id")
+    }),
+
     // CAPSTONE — the whole training-corpus pipeline as ONE declarative
     // query: quality gate → blocklist gate → near-dup clustering over
     // the survivors → best-quality survivor per duplicate cluster →
@@ -854,6 +888,32 @@ object LlmQueries {
       docs(s, d)
         .select(col("doc_id"), hits.as("n_blocked"))
         .filter(col("n_blocked") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // PII ANONYMIZATION (the BigScience-ROOTS / FineWeb regex pass):
+    // per-category detection counts + typed-placeholder redaction.
+    // The fixture text carries no PII, so deterministic contact lines
+    // are synthesized from the fixture columns (the urlExpr precedent
+    // — every rule gets hit by construction). Rules restricted to the
+    // Java/RE2-common regex subset, so the scrub ITSELF (not just the
+    // counts) is oracle-checkable string for string. Pure narrow
+    // codegen'd projection below the output sort — zero shuffles.
+    "q_pii_scrub" -> ((s, d) => {
+      val pii = concat(
+        lit("Contact User"), (col("doc_id") % 100).cast("string"),
+        lit("@mail."), col("source"),
+        lit(".example.com or call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" at 10."), (col("doc_id") % 256).cast("string"), lit("."),
+        expr("(doc_id DIV 256) % 256").cast("string"),
+        lit(".7 about: "), substring(col("text"), 1, 40))
+      docs(s, d).select(col("doc_id"),
+          TextStats.piiCounts(pii).as("_c"),
+          TextStats.redactPii(pii).as("scrubbed"))
+        .select(col("doc_id"), col("_c.n_emails").as("n_emails"),
+          col("_c.n_phones").as("n_phones"),
+          col("_c.n_ips").as("n_ips"), col("scrubbed"))
         .orderBy("doc_id")
     }),
 
@@ -1803,6 +1863,56 @@ object LlmQueries {
         |FROM fresh f LEFT JOIN base b ON f.gram = b.gram
         |GROUP BY f.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // contamination-audit replay: same tokenize/5-gram CTEs as the
+    // novelty oracle, eval slice doc_id % 17, string gram keys (the
+    // engine's xxhash64 keys are internal — output is gram-free)
+    "q_contam_audit" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+        |                w -> w <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            || ' ' || ws[i+3] || ' ' || ws[i+4]
+        |           for i in range(1, len(ws) - 3)]) AS gram
+        |  FROM t WHERE len(ws) >= 5),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+        |tr AS (SELECT * FROM g WHERE doc_id % 17 <> 0)
+        |SELECT tr.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN ev.gram IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_contaminated,
+        |  CAST(sum(CASE WHEN ev.gram IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) * 100 // CAST(count(*) AS BIGINT) AS contam_pct
+        |FROM tr LEFT JOIN ev USING (gram)
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    // PII replay: the same synthesized contact line, detection counts
+    // via regexp_extract_all, and the same three-stage global
+    // replacement (DuckDB needs the explicit 'g' flag)
+    "q_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'Contact User' || (doc_id % 100) || '@mail.' || source ||
+        |    '.example.com or call +1-555-' ||
+        |    lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        |    ' at 10.' || (doc_id % 256) || '.' ||
+        |    ((doc_id // 256) % 256) || '.7 about: ' ||
+        |    substr(text, 1, 40) AS pii
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(pii,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '[EMAIL]', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g') AS scrubbed
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '[ \t\n\r\f]+') AS w FROM documents),
         |s AS (
@@ -2714,6 +2824,50 @@ object LlmQueries {
         |FROM h JOIN p USING (source)
         |WHERE h.keep_bucket < p.thr
         |ORDER BY doc_id""".stripMargin,
+    // DSIR replay: md5-bucket trigram features (the q_hash_classifier
+    // kernel), add-1-smoothed target/raw bucket models, bit-length
+    // log2 quantization (the q_unigram_lm contract), power-of-two
+    // threshold, and the content-addressed draw — exact BIGINTs end
+    // to end
+    "q_dsir_sample" ->
+      """WITH grams AS (
+        |  SELECT doc_id, lang,
+        |    unnest([substr(lower(text), i, 3)
+        |            for i in range(1, length(text) - 1)]) AS g
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 3),
+        |feats AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM grams GROUP BY doc_id, tgt, b),
+        |model AS (
+        |  SELECT b, CAST(sum(cnt) AS BIGINT) AS raw_b,
+        |    CAST(sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS BIGINT) AS tgt_b
+        |  FROM feats GROUP BY b),
+        |tot AS (SELECT CAST(sum(raw_b) AS BIGINT) AS r,
+        |               CAST(sum(tgt_b) AS BIGINT) AS t FROM model),
+        |sb AS (SELECT b,
+        |  CAST(length(bin(tgt_b + 1)) - length(bin(raw_b + 1)) AS BIGINT) AS s
+        |  FROM model),
+        |lw AS (
+        |  SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_feats,
+        |    CAST(sum(f.cnt * (sb.s + length(bin(tot.r + 64))
+        |      - length(bin(tot.t + 64)))) AS BIGINT) AS logw_bits
+        |  FROM feats f JOIN sb USING (b) CROSS JOIN tot
+        |  GROUP BY f.doc_id),
+        |mx AS (SELECT max(logw_bits) AS m FROM lw),
+        |thr AS (
+        |  SELECT doc_id, n_feats, logw_bits,
+        |    CASE WHEN m - logw_bits >= 20 THEN CAST(0 AS BIGINT)
+        |         ELSE 1000000 // (CAST(1 AS BIGINT)
+        |           << CAST(m - logw_bits AS INT)) END AS thr
+        |  FROM lw CROSS JOIN mx)
+        |SELECT doc_id, n_feats, logw_bits, thr,
+        |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
+        |     * 2654435761) % 1000000007 % 1000000 AS keep_bucket,
+        |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
+        |     * 2654435761) % 1000000007 % 1000000 < thr AS kept
+        |FROM thr ORDER BY doc_id""".stripMargin,
     "q_importance_sample" ->
       """WITH h AS (SELECT doc_id, n_chars,
         |  (((((doc_id % 1000000007) * 2654435761) % 1000000007) + 40503)
@@ -3114,9 +3268,16 @@ object LlmQueries {
     val key = s"$d:$rounds:${corpus.count()}"
     val tbl = "graft_bpe_artifact_" +
       java.lang.Integer.toHexString(key.hashCode)
-    if (!s.catalog.tableExists(tbl))
+    if (!s.catalog.tableExists(tbl)) {
+      // external table under the session warehouse: a fresh catalog
+      // (new Derby per JVM) with a leftover data dir from a previous
+      // run must overwrite, not refuse (managed CTAS throws
+      // LOCATION_ALREADY_EXISTS on a non-empty managed location)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/")
       graft.operators.Bpe.buildArtifact(corpus, col("doc_id"),
-        col("text"), rounds, tbl)
+        col("text"), rounds, tbl, s"$wh/${tbl}_data")
+    }
     tbl
   }
 

@@ -188,11 +188,15 @@ object Bpe {
     * the corpus R times for nothing). The table is the full [[train]]
     * output (round, left, right, merged, freq), so the artifact
     * doubles as the oracle-checkable merge relation and survives
-    * sessions through the catalog exactly like the ANN index tables.
+    * sessions through the catalog exactly like the ANN index tables —
+    * and like them it is EXTERNAL (explicit `path`): a fresh catalog
+    * re-creating the table over a leftover data dir overwrites it,
+    * where a managed CTAS would refuse with LOCATION_ALREADY_EXISTS.
     */
   def buildArtifact(df: DataFrame, id: Column, text: Column,
-      rounds: Int, table: String): Unit =
-    train(df, id, text, rounds).write.mode("overwrite").saveAsTable(table)
+      rounds: Int, table: String, path: String): Unit =
+    train(df, id, text, rounds).write.mode("overwrite")
+      .option("path", path).saveAsTable(table)
 
   /** A saved artifact's merge list in rank order — O(rounds) driver
     * metadata, the form [[encode]] consumes. Zero corpus scans and

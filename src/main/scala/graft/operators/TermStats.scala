@@ -415,6 +415,45 @@ object TermStats {
       .withColumn("avg_centibits", expr("total_bits * 100 DIV n_tokens"))
   }
 
+  /** Eval-set DECONTAMINATION audit (Brown et al. 2020, GPT-3
+    * appendix C; the n-gram-overlap test-set-leakage check every
+    * pretraining pipeline runs before training and every eval report
+    * runs after): for each TRAINING document, how many of its
+    * distinct word n-grams also occur in ANY held-out evaluation
+    * document — (doc_id, n_grams, n_contaminated, contam_pct), the
+    * relation a pipeline filters (or flags) on before the corpus
+    * ships. `isEval` marks the benchmark slice; both slices tokenize
+    * identically ([[cleanWords]] → positional [[ngrams]] →
+    * array_distinct before the explode, all stateless).
+    *
+    * Scale shape: gram-keyed throughout — the eval gram set is a
+    * DISTINCT relation joined on the gram key (never a broadcast or
+    * driver-side set: a 10⁵-task eval SUITE is small, but the same
+    * audit runs train-vs-train at corpus scale); with `hashedKey`
+    * both the distinct and the LEFT join move 8-byte xxhash64 longs
+    * instead of ~6-word strings (the q_ngram_novelty key-narrowing),
+    * and the output is gram-free so the string-key oracle still
+    * gates it exactly (collisions ≈ |grams|²/2⁶⁵ — immaterial;
+    * TermStatsSpec pins hashed == string on the fixture). Per-doc
+    * rollup is one combinable aggregate.
+    */
+  def evalContamination(df: DataFrame, id: Column, text: Column,
+      isEval: Column, n: Int, hashedKey: Boolean = true): DataFrame = {
+    val grams = df.select(id.as("_id"), isEval.as("_ev"),
+      explode(array_distinct(ngrams(cleanWords(text), n))).as("_g"))
+    val keyed = grams.select(col("_id"), col("_ev"),
+      (if (hashedKey) xxhash64(col("_g")) else col("_g")).as("_k"))
+    val evalKeys = keyed.filter(col("_ev")).select(col("_k")).distinct()
+      .withColumn("_hit", lit(1L))
+    keyed.filter(!col("_ev"))
+      .join(evalKeys, Seq("_k"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contam_pct",
+        expr("n_contaminated * 100 DIV n_grams"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
     * document by its LM quality signal WITHIN its group (CCNet
     * buckets per language; here `group` is the caller's slice — e.g.

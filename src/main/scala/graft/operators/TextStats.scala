@@ -136,4 +136,43 @@ object TextStats {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), WsRegex, " "))
+
+  /** PII patterns for [[redactPii]]/[[piiCounts]] — the regex-rule
+    * families every corpus anonymization pass starts from (emails,
+    * international-format phone numbers, IPv4 addresses; the
+    * BigScience-ROOTS / FineWeb anonymization shape). Deliberately
+    * restricted to the regex subset where Java (Spark) and RE2
+    * (DuckDB) agree exactly — character classes, bounded repetition,
+    * grouping; no backreferences or lookaround — so the scrub itself
+    * is oracle-checkable.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Per-category PII match counts: (n_emails, n_phones, n_ips) as a
+    * struct — the detection side of the anonymization pass (pipelines
+    * report counts per source before deciding to scrub or drop).
+    * Pure narrow codegen'd projection; no shuffle anywhere.
+    */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+      .cast("long").as("n_emails"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+      .cast("long").as("n_phones"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+      .cast("long").as("n_ips"))
+
+  /** Redact all PII matches with typed placeholders — email first
+    * (its domain would otherwise leave dot-digit residue for the IP
+    * rule to half-match), then phone, then IPv4. Global replacement
+    * in both engines (Spark regexp_replace is global; the oracle
+    * passes the 'g' flag).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
 }

@@ -232,6 +232,18 @@ object StreamingNovelty {
     * Underscore-prefixed names are invisible to the streaming file
     * source (Spark's hidden-path filter), so scratch, lock, and
     * results never enter the increment stream.
+    *
+    * Deployment constraint (round-16 self-sweep): the staging
+    * choreography (lock create, tag check, atomic part moves, results
+    * sweep) runs through java.nio on the DRIVER, and executors write
+    * the increment/results parquet under the same path — so
+    * `stagingDir` must be a filesystem every node sees POSIX-style
+    * (single-node local[*], or a shared NFS/FUSE mount). On an
+    * HDFS/S3 cluster, stage increments yourself (the drop is just
+    * "finished parquet files appear atomically in one dir") and wire
+    * [[observations]]→[[partials]] into your own AvailableNow query —
+    * the distributed pieces are URI-agnostic; only this convenience
+    * wrapper's choreography is local.
     */
   def scoreIncrement(increment: DataFrame, id: Column, text: Column,
       stagingDir: String, checkpointDir: String, n: Int, shards: Int,

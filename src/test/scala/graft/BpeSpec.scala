@@ -150,7 +150,9 @@ class BpeSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     try {
       Bpe.buildArtifact(docs, col("doc_id"), col("text"), rounds = 4,
-        table = "graft_bpe_art")
+        table = "graft_bpe_art",
+        path = java.nio.file.Files
+          .createTempDirectory("graft-bpe-art").toString)
       val saved = spark.table("graft_bpe_art").orderBy("round")
         .as[(Long, String, String, String, Long)].collect().toSeq
       val trained = Bpe.train(docs, col("doc_id"), col("text"), 4)

@@ -202,6 +202,45 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("LSH append is order-associative: two sequential appends == one " +
+      "rebuild over all three slices, either append order (round-15 " +
+      "sweep item: the sequentialized form of two concurrent callers)") {
+    // hyperplanes are seed-pure and the index rows are per-vector, so
+    // appends commute — the only thing two CONCURRENT appenders could
+    // corrupt is the catalog file-commit itself, which saveAsTable
+    // does not serialize across writers (see lshAppendIndex scaladoc)
+    val sliceA = planted.filter(col("vec_id") >= 100L && col("vec_id") % 2 === 0)
+    val sliceB = planted.filter(col("vec_id") >= 100L && col("vec_id") % 2 === 1)
+    val corpus = planted.filter(col("vec_id") < 100L)
+    val dirs = (0 until 3).map(_ => java.nio.file.Files
+      .createTempDirectory("graft-lsh-assoc").toString)
+    try {
+      Similarity.lshBuildIndex(corpus, col("vec_id"), col("embedding"),
+        table = "graft_lsh_ab", path = dirs(0), dim = dim)
+      Similarity.lshAppendIndex(sliceA, col("vec_id"), col("embedding"),
+        table = "graft_lsh_ab", dim = dim)
+      Similarity.lshAppendIndex(sliceB, col("vec_id"), col("embedding"),
+        table = "graft_lsh_ab", dim = dim)
+      Similarity.lshBuildIndex(corpus, col("vec_id"), col("embedding"),
+        table = "graft_lsh_ba", path = dirs(1), dim = dim)
+      Similarity.lshAppendIndex(sliceB, col("vec_id"), col("embedding"),
+        table = "graft_lsh_ba", dim = dim)
+      Similarity.lshAppendIndex(sliceA, col("vec_id"), col("embedding"),
+        table = "graft_lsh_ba", dim = dim)
+      Similarity.lshBuildIndex(planted, col("vec_id"), col("embedding"),
+        table = "graft_lsh_all", path = dirs(2), dim = dim)
+      def probe(t: String) = Similarity.lshProbeIndex(spark, t,
+          Seq(0L, 1L, 2L, 3L, 4L), 3)
+        .orderBy("query_id", "rank").as[(Long, Long, Long)].collect().toSeq
+      val ab = probe("graft_lsh_ab")
+      assert(ab === probe("graft_lsh_ba") && ab === probe("graft_lsh_all")
+        && ab.nonEmpty, "append must commute and equal the full rebuild")
+    } finally {
+      Seq("graft_lsh_ab", "graft_lsh_ba", "graft_lsh_all").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("INCREMENTAL IVF append: frozen-centroid assignment — append " +
       "== one-shot assignment of the union against the same centroids") {
     // IVF training state is the centroid set; the append contract is

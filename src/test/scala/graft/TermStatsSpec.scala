@@ -383,4 +383,57 @@ class TermStatsSpec extends AnyFunSuite {
     assert(got === Map(0L -> "head", 1L -> "head", 2L -> "middle",
       3L -> "middle", 4L -> "tail", 5L -> "tail"), got.toString)
   }
+
+  test("evalContamination: hand case — full dup flagged 100, clean doc " +
+      "0, eval docs absent; hashed == string keys on the fixture") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // eval
+      (1L, "alpha beta gamma delta epsilon zeta"), // train: full dup
+      (2L, "one two three four five six seven"),   // train: clean
+      (3L, "x alpha beta gamma delta epsilon y")   // train: 2 of 3 grams
+    ).toDF("doc_id", "text")
+    val got = TermStats.evalContamination(docs, col("doc_id"),
+        col("text"), col("doc_id") === 0L, n = 5)
+      .select("_id", "n_grams", "n_contaminated", "contam_pct")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L, 2L, 100L), (2L, 3L, 0L, 0L),
+      (3L, 3L, 1L, 33L)), got.toString)
+    // fixture parity: the 8-byte xxhash64 key path equals the
+    // string-key path (the oracle's form) row for row
+    val fx = Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(h: Boolean) = TermStats.evalContamination(fx,
+        col("doc_id"), col("text"), col("doc_id") % 17 === 0, n = 5,
+        hashedKey = h)
+      .orderBy("_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val hashed = run(true)
+    assert(hashed === run(false) && hashed.nonEmpty)
+  }
+
+  test("ccnetBuckets: NULL/empty/whitespace-only docs are ABSENT (no " +
+      "tokens → no surprisal row) and do not shift the other docs' " +
+      "terciles (round-15 sweep item)") {
+    val base = (0 until 6).map { i =>
+      val text = (Seq.fill(6 - i)("the") ++
+        (0 until i).map(j => s"rare_${i}_$j")).mkString(" ")
+      (i.toLong, text, "A")
+    }
+    val clean = base.toDF("doc_id", "text", "source")
+    val noisy = (base ++ Seq((90L, null.asInstanceOf[String], "A"),
+        (91L, "", "A"), (92L, "   \t  ", "A")))
+      .toDF("doc_id", "text", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TermStats.ccnetBuckets(df, col("doc_id"), col("text"),
+          col("source"))
+        .select(col("_id"), col("bucket"))
+        .as[(Long, String)].collect().toMap
+    val got = run(noisy)
+    // token-less docs vanish — the same drop the tokenize-CTE oracle
+    // performs (unnest of an empty/NULL split yields no rows), so the
+    // engine and the gate agree by construction
+    assert(!got.contains(90L) && !got.contains(91L) && !got.contains(92L),
+      got.toString)
+    // and their presence upstream must not perturb anyone's bucket
+    assert(got === run(clean), "token-less docs must not shift terciles")
+  }
 }
