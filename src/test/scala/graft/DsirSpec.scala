@@ -61,6 +61,20 @@ class DsirSpec extends AnyFunSuite {
     assert(sampled === audit.filter(_._4).map(_._1))
   }
 
+  test("degenerate ALL-EQUAL weights: deficit 0 everywhere, thr = " +
+      "denom, every row kept (round-16 standing item, pinned early)") {
+    val same = (0L to 5L).map(i => (i, "identical text body", i < 2))
+      .toDF("doc_id", "text", "is_tgt")
+    val w = Dsir.importanceWeights(same, col("doc_id"), col("text"),
+      col("is_tgt"), n = 3, buckets = 64)
+    val audit = Dsir.resampleAudit(w, col("doc_id"))
+      .select("doc_id", "thr", "kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(audit.size === 6)
+    assert(audit.forall { case (_, thr, kept) => thr == 1000000L && kept },
+      audit.toString)
+  }
+
   test("weights are partitioning-invariant and drop sub-n docs") {
     val base = weights().orderBy("doc_id")
       .as[(Long, Long, Long)].collect().toSeq

@@ -408,6 +408,16 @@ class TermStatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     val hashed = run(true)
     assert(hashed === run(false) && hashed.nonEmpty)
+    // EMPTY eval slice (round-16 standing item, pinned early): no
+    // eval docs → the left join probes an empty key set → every
+    // train doc reports zero contamination (never an error, never a
+    // dropped doc)
+    val noEval = TermStats.evalContamination(docs, col("doc_id"),
+        col("text"), lit(false), n = 5)
+      .select("_id", "n_grams", "n_contaminated", "contam_pct")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(noEval.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    assert(noEval.forall(r => r._3 == 0L && r._4 == 0L), noEval.toString)
   }
 
   test("ccnetBuckets: NULL/empty/whitespace-only docs are ABSENT (no " +
