@@ -298,7 +298,9 @@ object StreamingNovelty {
       }
 
       // sweep the previous call's results dir (the one lazy-backing
-      // grace period the class doc promises)
+      // grace period the class doc promises) — AFTER the tag check:
+      // a refused call must not destroy the previous call's still-
+      // readable results (round-16 self-sweep)
       val stale = Files.list(dst)
       try stale.iterator().asScala
         .filter(_.getFileName.toString.startsWith("_results_"))

@@ -267,6 +267,13 @@ class StreamingNoveltySpec extends AnyFunSuite {
       score(increment, shards = 8).collect()
     }
     assert(eParam.getMessage.contains("graft-novelty-v2"))
+    // and the REFUSED call must not have swept the previous call's
+    // results dir (the lazy-backing grace period holds across a
+    // refusal — the sweep runs only after validation passes)
+    val afterRefusal = Files.list(staging).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(afterRefusal.count(_.startsWith("_results_")) === 1,
+      afterRefusal.toString)
     // matching parameters still resume fine after the refusal
     val second = score(increment)
       .select("doc_id", "n_grams", "n_seen")
