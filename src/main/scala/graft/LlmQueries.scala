@@ -762,6 +762,21 @@ object LlmQueries {
         .withColumnRenamed("_id", "doc_id")
         .orderBy("doc_id")),
 
+    // The contamination audit over a PERSISTED gram table (the
+    // artifact pattern applied to grams — one corpus tokenization
+    // materialized, N leakage audits consume it): built only if
+    // absent, bucketed on the xxhash64 gram key so neither the
+    // eval-key distinct nor the train-side join shuffles the corpus
+    // grams. Shares q_contam_audit's oracle verbatim — the hash match
+    // proves table-audit ≡ inline-audit end to end.
+    "q_contam_artifact" -> ((s, d) => {
+      val tbl = gramArtifact(s, d, 5)
+      graft.operators.TermStats.evalContaminationFromTable(s, tbl,
+          col("_id") % 17 === 0)
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // The spans substring-dedup would TRIM (Lee et al. 2021): maximal
     // runs of cross-document duplicated 5-grams per doc — the
     // gaps-and-islands pattern on token positions.
@@ -1867,6 +1882,28 @@ object LlmQueries {
     // novelty oracle, eval slice doc_id % 17, string gram keys (the
     // engine's xxhash64 keys are internal — output is gram-free)
     "q_contam_audit" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+        |                w -> w <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            || ' ' || ws[i+3] || ' ' || ws[i+4]
+        |           for i in range(1, len(ws) - 3)]) AS gram
+        |  FROM t WHERE len(ws) >= 5),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+        |tr AS (SELECT * FROM g WHERE doc_id % 17 <> 0)
+        |SELECT tr.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN ev.gram IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_contaminated,
+        |  CAST(sum(CASE WHEN ev.gram IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) * 100 // CAST(count(*) AS BIGINT) AS contam_pct
+        |FROM tr LEFT JOIN ev USING (gram)
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    // the artifact audit's oracle IS q_contam_audit's: table-audit
+    // must equal inline-audit, and the shared hash gate proves it
+    "q_contam_artifact" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
         |                w -> w <> '') AS ws
@@ -3277,6 +3314,22 @@ object LlmQueries {
         .stripSuffix("/")
       graft.operators.Bpe.buildArtifact(corpus, col("doc_id"),
         col("text"), rounds, tbl, s"$wh/${tbl}_data")
+    }
+    tbl
+  }
+
+  /** Get-or-build the shared n-gram artifact table for `dir` — same
+    * keying and staleness contract as [[bpeArtifact]].
+    */
+  private def gramArtifact(s: SparkSession, d: String, n: Int): String = {
+    val corpus = Tables.documents(s, d)
+    val key = s"$d:grams$n:${corpus.count()}"
+    val tbl = "graft_gram_artifact_" +
+      java.lang.Integer.toHexString(key.hashCode)
+    if (!s.catalog.tableExists(tbl)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.operators.TermStats.buildGramTable(corpus, col("doc_id"),
+        col("text"), n, tbl, s"$wh/${tbl}_data")
     }
     tbl
   }

@@ -463,6 +463,50 @@ object TermStats {
         expr("n_contaminated * 100 DIV n_grams"))
   }
 
+  /** Materialize the tokenize→distinct-n-gram relation as a saved
+    * table BUCKETED on the gram key — the artifact pattern (BPE
+    * merges, ANN indexes) applied to GRAMS: the corpus-gram scan is
+    * the shared fixed cost of the whole dedup/contamination/novelty
+    * family (~17 s each at sf0.1 because every query re-pays it), and
+    * a corpus's gram relation changes exactly when the corpus does.
+    * One materialization, N consumers; gram-key-bucketed, so every
+    * downstream distinct/join on `_k` reads the corpus side
+    * EXCHANGE-FREE. Schema: (_id, _k) with _k = xxhash64(gram) — the
+    * 8-byte key the family already joins on; external table (explicit
+    * `path`), same staleness/overwrite contract as the other
+    * artifacts.
+    */
+  def buildGramTable(df: DataFrame, id: Column, text: Column, n: Int,
+      table: String, path: String, buckets: Int = 8): Unit =
+    df.select(id.as("_id"),
+        explode(array_distinct(ngrams(cleanWords(text), n))).as("_g"))
+      .select(col("_id"), xxhash64(col("_g")).as("_k"))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "_k").sortBy("_k")
+      .saveAsTable(table)
+
+  /** [[evalContamination]] over a saved gram table: identical output
+    * (TermStatsSpec pins it), ZERO tokenization — the steady-state
+    * shape when one corpus snapshot feeds many leakage audits
+    * (per-benchmark eval slices, per-epoch checks). `isEval` is a
+    * predicate over `_id` (the doc id as stored). Bucket-join bonus:
+    * both the eval-key distinct and the train-side join group by the
+    * table's own bucketing, so neither shuffles the corpus grams.
+    */
+  def evalContaminationFromTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, isEval: Column): DataFrame = {
+    val keyed = spark.table(table)
+    val evalKeys = keyed.filter(isEval).select(col("_k")).distinct()
+      .withColumn("_hit", lit(1L))
+    keyed.filter(!isEval)
+      .join(evalKeys, Seq("_k"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contam_pct",
+        expr("n_contaminated * 100 DIV n_grams"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
     * document by its LM quality signal WITHIN its group (CCNet
     * buckets per language; here `group` is the caller's slice — e.g.

@@ -408,6 +408,21 @@ class TermStatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     val hashed = run(true)
     assert(hashed === run(false) && hashed.nonEmpty)
+    // persisted gram-table path (the artifact pattern applied to
+    // grams): identical output to the inline audit, zero tokenization
+    // in the probe, and the bucket layout serves the join
+    try {
+      TermStats.buildGramTable(fx, col("doc_id"), col("text"), n = 5,
+        table = "graft_gram_fx",
+        path = java.nio.file.Files
+          .createTempDirectory("graft-gram-fx").toString)
+      val viaTable = TermStats.evalContaminationFromTable(spark,
+          "graft_gram_fx", col("_id") % 17 === 0)
+        .orderBy("_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(viaTable === hashed,
+        "gram-table audit must equal the inline audit")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_gram_fx")
     // EMPTY eval slice (round-16 standing item, pinned early): no
     // eval docs → the left join probes an empty key set → every
     // train doc reports zero contamination (never an error, never a
