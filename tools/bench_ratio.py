@@ -29,6 +29,17 @@ def load(path: str, raw: bool) -> dict:
     rec = json.load(open(path))
     if "queries" not in rec and rec.get("parsed"):
         rec = rec["parsed"]  # driver BENCH_r{N}.json wraps the record
+        # the wrapped stdout line is BUDGET-TRUNCATED: its queries map
+        # holds only the slowest headline entries and its remeasured
+        # map at most 12 — a comparison fed from it silently covers a
+        # subset (round-16 ADVICE). Say so loudly.
+        n_declared = rec.get("n_queries")
+        if n_declared is not None and n_declared != len(rec.get("queries", {})):
+            print(f"NOTE: {path} is a driver tail-capture wrapper — its "
+                  f"queries map holds {len(rec.get('queries', {}))} headline "
+                  f"entries of {n_declared} measured; this comparison "
+                  "covers only that subset (use the full BENCH.json "
+                  "snapshot for complete coverage)")
     if "queries" not in rec:
         print(f"{path}: no queries map (driver tail-capture failed?)")
         sys.exit(1)
