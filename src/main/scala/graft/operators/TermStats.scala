@@ -507,6 +507,90 @@ object TermStats {
         expr("n_contaminated * 100 DIV n_grams"))
   }
 
+  /** [[ngramNovelty]]-shaped audit over the saved DISTINCT gram table
+    * (round-17; the q_contam_artifact pattern extended to the third
+    * gram consumer): `isNew` is a predicate over `_id` splitting the
+    * increment from the base corpus. Identical output to the inline
+    * novelty query — the shared oracle hash-gates it — with ZERO
+    * tokenization: the fresh side is the table filtered (already
+    * distinct per doc), the base side a bucket-local distinct, and
+    * the LEFT join runs inside the table's own bucketing, so the
+    * corpus grams never shuffle. Steady-state shape when one corpus
+    * snapshot scores many candidate increments.
+    */
+  def ngramNoveltyFromTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, isNew: Column): DataFrame = {
+    val keyed = spark.table(table)
+    val base = keyed.filter(!isNew).select(col("_k")).distinct()
+      .withColumn("_seen", lit(1L))
+    keyed.filter(isNew)
+      .join(base, Seq("_k"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_seen"), lit(0L))).as("n_seen"))
+      .select(col("_id"), col("n_grams"), col("n_seen"),
+        ((col("n_grams") - col("n_seen")).cast("double") /
+          col("n_grams").cast("double")).as("novelty_frac"))
+  }
+
+  /** Materialize the POSITIONAL gram relation `(_id, pos, _k)` as a
+    * saved table bucketed on the gram key — the positional sibling of
+    * [[buildGramTable]] for the consumers that need gram POSITIONS or
+    * per-position counts ([[crossDocNgramStats]]'s duplicated-share
+    * and [[sharedGramSpans]]'s trim spans), which the distinct table
+    * cannot serve. Same key (`xxhash64` of the gram string), same
+    * bucketing contract: every downstream groupBy/join on `_k` — and,
+    * because hash-partitioning on `_k` co-locates equal `(_id, _k)`
+    * pairs, every groupBy on `(_id, _k)` too — reads the corpus side
+    * exchange-free.
+    */
+  def buildGramPosTable(df: DataFrame, id: Column, text: Column, n: Int,
+      table: String, path: String, buckets: Int = 8): Unit =
+    df.select(id.as("_id"),
+        posexplode(ngrams(cleanWords(text), n)).as(Seq("pos", "_g")))
+      .select(col("_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("_g")).as("_k"))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "_k").sortBy("_k")
+      .saveAsTable(table)
+
+  /** [[crossDocNgramStats]] over a saved positional gram table:
+    * identical output (the shared oracle hash-gates it), zero
+    * tokenization. Both aggregations run exchange-free — the
+    * `(_id, _k)` partial agg because partitioning on `_k` already
+    * clusters equal pairs, the doc-frequency agg on the bucket key
+    * itself; only the final per-doc rollup shuffles (on `_id`,
+    * |docs|-sized — unavoidable and small relative to grams).
+    */
+  def crossDocNgramStatsFromTable(
+      spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    sharedGramRollup(
+      spark.table(table).select(col("_id"), col("_k").as("gram")))
+
+  /** [[sharedGramSpans]] over a saved positional gram table: the
+    * doc-frequency gate groups on the bucket key (exchange-free),
+    * the position join stays inside the bucketing, and only the
+    * per-doc gaps-and-islands window shuffles on `_id`.
+    */
+  def sharedGramSpansFromTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, n: Int): DataFrame = {
+    val toks = spark.table(table)
+    val docFreq = toks.groupBy(col("_k"))
+      .agg(count_distinct(col("_id")).as("_nd"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("pos"))
+    toks.join(docFreq.filter(col("_nd") > 1), "_k")
+      .select(col("_id"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) === 1L, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n.toLong - 1)).as("span_end"),
+        count(lit(1)).as("span_grams"))
+      .drop("island")
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
     * document by its LM quality signal WITHIN its group (CCNet
     * buckets per language; here `group` is the caller's slice — e.g.

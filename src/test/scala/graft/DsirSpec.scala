@@ -75,6 +75,29 @@ class DsirSpec extends AnyFunSuite {
       audit.toString)
   }
 
+  test("denom=1 edge (round-16 verdict sweep): keeps exactly the " +
+      "max-weight class, zero-threshold drops everything else, no " +
+      "shift wraparound") {
+    val w = weights()
+    val audit = Dsir.resampleAudit(w, col("doc_id"), denom = 1)
+      .select("doc_id", "thr", "keep_bucket", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(audit.nonEmpty)
+    val wRows = w.select("doc_id", "logw_bits")
+      .as[(Long, Long)].collect().toMap
+    val mx = wRows.values.max
+    audit.foreach { case (id, thr, kb, kept) =>
+      assert(kb === 0L) // hashBucket(id, 1) is always 0
+      if (wRows(id) == mx) {
+        // deficit 0: thr = 1 DIV 1 = 1, bucket 0 < 1 → kept
+        assert(thr === 1L && kept, s"max-weight doc $id dropped")
+      } else {
+        // any deficit ≥ cut(=1 bit) zeroes the threshold
+        assert(thr === 0L && !kept, s"sub-max doc $id kept at denom=1")
+      }
+    }
+  }
+
   test("weights are partitioning-invariant and drop sub-n docs") {
     val base = weights().orderBy("doc_id")
       .as[(Long, Long, Long)].collect().toSeq

@@ -815,6 +815,81 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  // ---- round-17 pins (round-15 directive #7, extended per round-16
+  // verdict Next #2): the round-15/16/17 queries' scale shapes were
+  // verified by reading dumps — pin them so a regression can't land
+  // silently. ----
+
+  private def fmt(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("ccnet buckets: tercile boundaries enter as broadcasts, no per-group rank over the corpus") {
+    val p = plan("q_ccnet_buckets")
+    // the two boundary relations (|groups| rows each) join the
+    // surprisal relation as broadcast LEFT joins
+    assert("BroadcastHashJoin [^\\n]*LeftOuter, Build".r
+        .findAllIn(p).size === 2,
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // the corpus is never percent_rank'd per group (the windowed form
+    // serializes each group through one task — the exact scale-killer
+    // Quantiles.rankBoundary exists to avoid)
+    assert(!p.contains("percent_rank"), "corpus-wide rank window found")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("token fertility reduces per doc BEFORE the broadcast lang join") {
+    val p = plan("q_token_fertility")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the lang join is a broadcast equi-join on the DOC key — it
+    // moves |docs| per-doc aggregates, not |tokens| raw rows
+    assert("BroadcastHashJoin \\[doc_id#".r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // …and the per-doc reduce exists below it: a reordered plan that
+    // joined lang onto raw tokens would aggregate by lang only and
+    // this doc-keyed (count, count distinct) aggregate would vanish
+    assert(("HashAggregate\\(keys=\\[doc_id#\\d+L?\\], " +
+        "functions=\\[count\\(1\\), count\\(distinct").r
+        .findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("HashAggregate"))
+        .take(8).mkString("\n"))
+  }
+
+  test("dsir: bucket models broadcast, scalar totals BNLJ-only, draw never sort-merges") {
+    val p = plan("q_dsir_sample")
+    // the ≤64-row trigram bucket models join the corpus as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // nested-loop joins may appear ONLY as scalar-total cross joins
+    val bnlj = "BroadcastNestedLoopJoin \\w+ Build\\w+".r.findAllIn(p).toSeq
+    assert(bnlj.forall(_.contains("Cross")), s"non-scalar BNLJ: $bnlj")
+  }
+
+  test("pii scrub is a narrow codegen projection — zero hash exchanges") {
+    val p = plan("q_pii_scrub")
+    assert(!p.contains("Exchange hashpartitioning"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // the only exchange is the output-determinism orderBy
+    assert("Exchange rangepartitioning".r.findAllIn(p).size === 1, p.take(600))
+  }
+
+  test("gram-table consumers read the bucketed artifact exchange-free on the gram key") {
+    // contamination/novelty/shared/spans from-table twins: the corpus
+    // gram relation must never shuffle on _k (the table's bucketing
+    // serves every distinct/groupBy/join on it); the one permitted
+    // hash exchange is the per-doc rollup/window on _id.
+    for (q <- Seq("q_contam_artifact", "q_novelty_artifact",
+        "q_shared_artifact", "q_spans_artifact")) {
+      val p = plan(q)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n <= 1, s"$q: $n hash exchanges — corpus grams shuffled:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      assert(!p.contains("CartesianProduct"), q)
+      assert(fmt(q).contains("SelectedBucketsCount"),
+        s"$q lost the bucketed scan")
+    }
+  }
+
   test("PLANS.md covers every registered query (staleness gate)") {
     // adding a query without regenerating PLANS.md (sbt "runMain
     // graft.tools.DumpPlans") broke two rounds in a row — fail fast

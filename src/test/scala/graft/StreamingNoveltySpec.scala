@@ -296,6 +296,28 @@ class StreamingNoveltySpec extends AnyFunSuite {
     assert(eStale.getMessage.contains("pre-v2"))
   }
 
+  test("scoreIncrement: a result HELD across the next call stays fully " +
+      "consumable (round-16 verdict #3 — the sweep must not invalidate it)") {
+    import java.nio.file.Files
+    val st = Files.createTempDirectory("graft-nov-hold-stage").toString
+    val ck = Files.createTempDirectory("graft-nov-hold-ckpt").toString
+    def call(docs: Seq[(Long, String)]) =
+      StreamingNovelty.scoreIncrement(docs.toDF("id", "text"),
+        col("id"), col("text"), st, ck, n, shards = 4, segLongs = 64)
+    // call A: HOLD the DataFrame unconsumed
+    val held = call(history)
+    // call B sweeps A's _results_* parquet dir
+    call(increment).collect()
+    // A must now consume fully and correctly from its persisted blocks
+    val got = held.select("doc_id", "n_grams", "n_seen")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    history.foreach { case (id, text) =>
+      assert(got(id) === ((gramSet(text).size.toLong, 0L)),
+        s"held result for doc $id lost or corrupted after the sweep")
+    }
+  }
+
   test("probe positions: deterministic, in-range, k distinct hashes " +
       "spread (not an arithmetic ladder)") {
     val ps = StreamingNovelty.probes(-987654321L, 4, 64 * 64)
