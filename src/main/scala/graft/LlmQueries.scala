@@ -58,13 +58,24 @@ object LlmQueries {
     */
   private[graft] def ngramNoveltyQ(s: SparkSession, d: String,
       hashedKey: Boolean): DataFrame = {
-    val exploded = docs(s, d)
-      .select(col("doc_id"), (col("doc_id") % 10 === 0).as("is_new"),
-        explode(graft.operators.TermStats.ngrams(
-          graft.operators.TermStats.cleanWords(col("text")), 5))
-          .as("_g"))
-      .select(col("doc_id"), col("is_new"),
-        (if (hashedKey) xxhash64(col("_g")) else col("_g")).as("gram"))
+    // hashed path (round-17): the Shingles kernel fuses gram build +
+    // per-doc distinct + xxhash64 into one codegen'd pass. The per-doc
+    // pre-distinct is semantics-free here — both downstream consumers
+    // re-distinct (fresh on (doc, gram), base on gram), and a per-doc
+    // dedup commutes with both — while shrinking the persisted
+    // relation to |distinct grams per doc|. String path unchanged
+    // (the oracle-replayable twin; parity pinned in TermStatsSpec).
+    val exploded =
+      if (hashedKey) docs(s, d)
+        .select(col("doc_id"), (col("doc_id") % 10 === 0).as("is_new"),
+          explode(graft.operators.TermStats.hashedGrams(
+            graft.operators.TermStats.cleanWords(col("text")), 5,
+            distinct = true)).as("gram"))
+      else docs(s, d)
+        .select(col("doc_id"), (col("doc_id") % 10 === 0).as("is_new"),
+          explode(graft.operators.TermStats.ngrams(
+            graft.operators.TermStats.cleanWords(col("text")), 5))
+            .as("gram"))
     val g = org.apache.spark.sql.graft.Bridge.persistRows(exploded)
     val fresh = g.filter(col("is_new"))
       .select(col("doc_id"), col("gram")).distinct()
@@ -740,9 +751,15 @@ object LlmQueries {
     // Cross-document duplicated 5-gram share — the substring-level
     // dedup signal (Lee et al. 2021) that doc-level MinHash misses:
     // per doc, how many of its 5-gram positions recur in ANOTHER doc.
+    // Round-17: the HASHED kernel variant is the declared query — the
+    // gram build is one codegen'd pass and both shuffles + the join
+    // move 8-byte xxhash64 keys instead of ~30-char strings (output
+    // is gram-free, so it is value-identical to the string path —
+    // TermStatsSpec pins the two equal; the DuckDB oracle replays the
+    // string form).
     "q_shared_ngrams" -> ((s, d) =>
       graft.operators.TermStats
-        .crossDocNgramStats(docs(s, d), col("doc_id"), col("text"), 5)
+        .crossDocNgramStatsHashed(docs(s, d), col("doc_id"), col("text"), 5)
         .withColumnRenamed("_id", "doc_id")
         .orderBy("doc_id")),
 
@@ -780,9 +797,12 @@ object LlmQueries {
     // The spans substring-dedup would TRIM (Lee et al. 2021): maximal
     // runs of cross-document duplicated 5-grams per doc — the
     // gaps-and-islands pattern on token positions.
+    // Round-17: hashed-key variant declared (same narrowing as
+    // q_shared_ngrams — spans are gram-free, TermStatsSpec pins
+    // hashed == string, the oracle replays the string form).
     "q_dedup_spans" -> ((s, d) =>
       graft.operators.TermStats
-        .sharedGramSpans(docs(s, d), col("doc_id"), col("text"), 5)
+        .sharedGramSpansHashed(docs(s, d), col("doc_id"), col("text"), 5)
         .withColumnRenamed("_id", "doc_id")
         .orderBy("doc_id", "span_start")),
 

@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the same equivalence the MinHash band path already relies on).
   */
 case class Shingles(child: Expression, n: Int, hashed: Boolean = false,
-    md5Parity: Boolean = false)
+    md5Parity: Boolean = false, distinct: Boolean = true)
     extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   override def prettyName: String =
@@ -47,7 +47,13 @@ case class Shingles(child: Expression, n: Int, hashed: Boolean = false,
   def compute(toks: ArrayData): ArrayData = {
     val m = toks.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[Any](m * 2)
+    // `distinct = false` keeps every positional gram (index i = gram
+    // starting at token i) — the form the positional gram table and
+    // the per-(doc, gram) frequency consumers need; `true` dedups in
+    // first-occurrence order (array_distinct semantics).
+    val seen: java.util.Collection[Any] =
+      if (distinct) new java.util.LinkedHashSet[Any](m * 2)
+      else new java.util.ArrayList[Any](m - n + 1)
     var i = 0
     while (i <= m - n) {
       val parts = new Array[UTF8String](2 * n - 1)

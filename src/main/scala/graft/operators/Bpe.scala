@@ -49,15 +49,63 @@ object Bpe {
       .withColumnRenamed("pos", "widx")
       .withColumnRenamed("col", "w")
     words.select(col("doc_id"), col("widx"),
-        posexplode(transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1)))))
+        posexplode(codePoints(col("w"))))
       .withColumnRenamed("col", "tok")
+  }
+
+  /** [[graft.functions.CodePoints]] as a Column — the codegen'd
+    * replacement for the interpreted per-char HOF split (round-17).
+    */
+  private def codePoints(w: Column): Column =
+    Bridge.column(graft.functions.CodePoints(Bridge.expression(w)))
+
+  /** The greedy run-parity merge decision, computed entirely inside
+    * ONE window ordering (round-17, guide §2.4 "remove shuffles/sorts
+    * outright"): the previous formulation derived the run-relative
+    * offset with a second window PARTITIONED on (doc, word, run, m) —
+    * a different partition key, so every merge application paid an
+    * extra full sort of the symbol relation (and the trailing
+    * `_consumed` lag a third, to restore pos order). All three facts
+    * are expressible over the SAME (doc, word) × pos ordering:
+    *
+    *   _m      = tok == l && next == r              (match position)
+    *   _mi     = running count of matches           (frame sum)
+    *   _rsmi   = _mi at the current run's start     (last non-null of
+    *             `_mi where _m && !lag(_m)` — a run is CONSECUTIVE
+    *             match rows, so the most recent run-start at or before
+    *             a match row is its own run's first row)
+    *   _merge  = _m && (_mi − _rsmi) even           (greedy = every
+    *             second occurrence along the chain, from the start)
+    *
+    * which Catalyst stacks as window nodes over one sort. Equivalence
+    * to the two-window form: for a match row, min(_mi) over its
+    * (doc, word, run, m) group IS the run-start's _mi — BpeSpec pins
+    * the window form against the sequential scan either way.
+    * Appends `_merge` (this row absorbs its right neighbor) and
+    * `_consumed` (this row was absorbed) to `marked`'s columns.
+    */
+  private def withMergeFlags(marked: DataFrame,
+      wOrd: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    marked
+      .withColumn("_pm",
+        coalesce(lag(col("_m"), 1).over(wOrd), lit(false)))
+      .withColumn("_mi", sum(when(col("_m"), 1L).otherwise(0L))
+        .over(wCum))
+      .withColumn("_rsmi",
+        last(when(col("_m") && !col("_pm"), col("_mi")),
+          ignoreNulls = true).over(wCum))
+      .withColumn("_merge", col("_m") &&
+        pmod(col("_mi") - col("_rsmi"), lit(2L)) === 0L)
+      .withColumn("_consumed",
+        coalesce(lag(col("_merge"), 1).over(wOrd), lit(false)))
   }
 
   /** One greedy merge of (l, r) → l+r applied everywhere, via the
     * run-parity rule. `syms` must have (doc_id, widx, pos, tok);
     * output has the same shape (pos values stay sparse — only their
-    * ORDER matters, which every consumer respects).
+    * ORDER matters, which every consumer respects). Single-sort: see
+    * [[withMergeFlags]].
     */
   private[graft] def applyMerge(syms: DataFrame, l: String,
       r: String): DataFrame = {
@@ -65,25 +113,47 @@ object Bpe {
     val marked = syms
       .withColumn("_nx", lead(col("tok"), 1).over(wOrd))
       .withColumn("_m", col("tok") === lit(l) && col("_nx") === lit(r))
-      .withColumn("_idx", row_number().over(wOrd))
-      // inclusive running count of match positions: rank among the
-      // m-rows for m-rows, so _idx - _mi is constant exactly along a
-      // run of CONSECUTIVE matches (the chain greedy walks)
-      .withColumn("_mi", sum(when(col("_m"), 1L).otherwise(0L))
-        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("_grp", col("_idx") - col("_mi"))
-    // even offset within the (doc, word, grp) m-run == greedy merge
-    val wRun = Window.partitionBy(col("doc_id"), col("widx"),
-      col("_grp"), col("_m"))
-    val merged = marked
-      .withColumn("_merge", col("_m") &&
-        pmod(col("_mi") - min(col("_mi")).over(wRun), lit(2L)) === 0L)
-      .withColumn("_consumed",
-        coalesce(lag(col("_merge"), 1).over(wOrd), lit(false)))
-    merged.filter(!col("_consumed"))
+    withMergeFlags(marked, wOrd).filter(!col("_consumed"))
       .select(col("doc_id"), col("widx"), col("pos"),
         when(col("_merge"), concat(col("tok"), col("_nx")))
           .otherwise(col("tok")).as("tok"))
+  }
+
+  /** [[applyMerge]] for the TRAINING loop: consumes and produces the
+    * (doc_id, widx, pos, tok, _nt) relation where `_nt` is the NEXT
+    * surviving token (null at word end) — the adjacency column the
+    * next round's pair count aggregates directly, so each training
+    * round runs ONE window sort total (the merge application) instead
+    * of two (the old top-1 job re-derived adjacency with its own
+    * lead-window sort over the full symbol relation every round).
+    *
+    * New-next derivation inside the same sorted pass: the row after a
+    * merged row is consumed, so the next SURVIVING row after i is
+    * i+2 when _merge(i) else i+1, and its new token is tok+_nt when
+    * it merges itself, else tok — four lead columns decide both cases.
+    */
+  private[graft] def applyMergeWithNext(syms: DataFrame, l: String,
+      r: String): DataFrame = {
+    val wOrd = Window.partitionBy("doc_id", "widx").orderBy("pos")
+    val marked = syms
+      .withColumn("_m", col("tok") === lit(l) && col("_nt") === lit(r))
+    withMergeFlags(marked, wOrd)
+      .withColumn("_mg1", lead(col("_merge"), 1).over(wOrd))
+      .withColumn("_mg2", lead(col("_merge"), 2).over(wOrd))
+      .withColumn("_t1", lead(col("tok"), 1).over(wOrd))
+      .withColumn("_n1", lead(col("_nt"), 1).over(wOrd))
+      .withColumn("_t2", lead(col("tok"), 2).over(wOrd))
+      .withColumn("_n2", lead(col("_nt"), 2).over(wOrd))
+      .filter(!col("_consumed"))
+      .select(col("doc_id"), col("widx"), col("pos"),
+        when(col("_merge"), concat(col("tok"), col("_nt")))
+          .otherwise(col("tok")).as("tok"),
+        when(col("_merge"),
+          when(col("_mg2"), concat(col("_t2"), col("_n2")))
+            .otherwise(col("_t2")))
+          .otherwise(
+            when(col("_mg1"), concat(col("_t1"), col("_n1")))
+              .otherwise(col("_t1"))).as("_nt"))
   }
 
   /** ENCODE a corpus with a trained merge list: apply each (left,
@@ -146,8 +216,7 @@ object Bpe {
       merges: Seq[(String, String)]): DataFrame = {
     val ws = filter(split(lower(text), TextStats.WsRegex),
       w => length(w) > 0)
-    def chars(w: Column): Column =
-      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    def chars(w: Column): Column = codePoints(w)
     def encodeWord(w: Column): Column =
       merges.foldLeft(chars(w)) { case (a, (l, r)) =>
         mergeInArray(a, l, r) }
@@ -230,10 +299,17 @@ object Bpe {
   private def trainLoop(df: DataFrame, id: Column, text: Column,
       rounds: Int): Seq[(Long, String, String, String, Long)] = {
     require(rounds >= 1, "rounds must be >= 1")
-    var syms = Bridge.persistRows(charSymbols(df, id, text))
+    // The persisted relation carries `_nt` (next token — see
+    // applyMergeWithNext): the per-round pair count is then a pure
+    // map-side-combined aggregate over the persisted rows, with NO
+    // per-round lead-window sort of the symbol relation (round-17;
+    // previously every round paid a full (doc, word) × pos sort in
+    // the top-1 job AND two more inside the merge application).
+    val wOrd = Window.partitionBy("doc_id", "widx").orderBy("pos")
+    var syms = Bridge.persistRows(charSymbols(df, id, text)
+      .withColumn("_nt", lead(col("tok"), 1).over(wOrd)))
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
-    val wOrd = Window.partitionBy("doc_id", "widx").orderBy("pos")
     var round = 1
     var done = false
     // the previous round's persisted relation: freed only AFTER the
@@ -243,9 +319,8 @@ object Bpe {
     var prev: DataFrame = null
     while (round <= rounds && !done) {
       val top = syms
-        .withColumn("_nx", lead(col("tok"), 1).over(wOrd))
-        .filter(col("_nx").isNotNull)
-        .groupBy(col("tok").as("l"), col("_nx").as("r"))
+        .filter(col("_nt").isNotNull)
+        .groupBy(col("tok").as("l"), col("_nt").as("r"))
         .agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("l"), col("r")).limit(1)
         .collect()
@@ -262,7 +337,7 @@ object Bpe {
         // round-12 verdict #3). The next round's top-1 job
         // materializes the relation, which is when the checkpoint
         // cuts; unpersistRows skips checkpointed prevs by design.
-        val merged = applyMerge(syms, l, r)
+        val merged = applyMergeWithNext(syms, l, r)
         val next = if (round % 6 == 0) Bridge.checkpointRows(merged)
           else Bridge.persistRows(merged)
         prev = syms

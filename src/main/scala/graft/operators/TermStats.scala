@@ -36,6 +36,27 @@ object TermStats {
   /** Adjacent word pairs ("w[i] w[i+1]") from a words array. */
   def bigrams(ws: Column): Column = ngrams(ws, 2)
 
+  /** xxhash64 gram keys of a words array in ONE codegen'd JVM pass —
+    * the [[graft.functions.Shingles]] kernel (hashed mode) applied to
+    * the TermStats gram family. Value-identical to
+    * `transform`-built grams → `concat_ws(" ", …)` → `xxhash64(gram)`
+    * (seed 42, byte-for-byte the same hash input), but without the
+    * interpreted higher-order-function chain: the HOF composition
+    * (`transform` + `filter` + per-gram `concat_ws` + `array_distinct`
+    * + `xxhash64`) evaluates per-element lambdas outside whole-stage
+    * codegen and was measured as the dominant cost of the gram-scan
+    * queries at sf0.1 (guide §1.2 step 2: per-task work). With
+    * `distinct` the pass dedups in first-occurrence order
+    * (`array_distinct` semantics); without, index i = the gram
+    * starting at token i (the positional contract `posexplode`
+    * consumers rely on).
+    */
+  def hashedGrams(ws: Column, n: Int, distinct: Boolean): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.Shingles(
+        org.apache.spark.sql.graft.Bridge.expression(ws), n,
+        hashed = true, distinct = distinct))
+
   /** All space-joined word `n`-grams from a words array, positionally
     * (one entry per starting index; duplicates preserved). Pure array
     * expression — stays inside whole-stage codegen, no explode until
@@ -448,10 +469,18 @@ object TermStats {
     // second full-corpus scan the recompute form pays IS material
     // (I/O-bound there, CPU-bound here), and caching an exploded
     // relation ~5× the corpus is the worst of the three
-    def gramsOf(slice: DataFrame) = slice.select(id.as("_id"),
-        explode(array_distinct(ngrams(cleanWords(text), n))).as("_g"))
-      .select(col("_id"),
-        (if (hashedKey) xxhash64(col("_g")) else col("_g")).as("_k"))
+    // hashed path: the Shingles kernel fuses gram build + per-doc
+    // distinct + xxhash64 into one codegen'd pass (hash values
+    // byte-identical to xxhash64(concat_ws(" ", gram)) — see
+    // [[hashedGrams]]); string path stays the HOF chain the oracle
+    // mirrors structurally (parity pinned in TermStatsSpec)
+    def gramsOf(slice: DataFrame) =
+      if (hashedKey) slice.select(id.as("_id"),
+        explode(hashedGrams(cleanWords(text), n, distinct = true))
+          .as("_k"))
+      else slice.select(id.as("_id"),
+          explode(array_distinct(ngrams(cleanWords(text), n))).as("_g"))
+        .select(col("_id"), col("_g").as("_k"))
     val evalKeys = gramsOf(df.filter(isEval)).select(col("_k"))
       .distinct().withColumn("_hit", lit(1L))
     gramsOf(df.filter(!isEval))
@@ -478,9 +507,12 @@ object TermStats {
     */
   def buildGramTable(df: DataFrame, id: Column, text: Column, n: Int,
       table: String, path: String, buckets: Int = 8): Unit =
+    // Shingles kernel: same `_k` values as the previous
+    // array_distinct(ngrams) → xxhash64 chain (hash input identical
+    // byte for byte), so existing saved tables stay compatible
     df.select(id.as("_id"),
-        explode(array_distinct(ngrams(cleanWords(text), n))).as("_g"))
-      .select(col("_id"), xxhash64(col("_g")).as("_k"))
+        explode(hashedGrams(cleanWords(text), n, distinct = true))
+          .as("_k"))
       .write.mode("overwrite").option("path", path)
       .bucketBy(buckets, "_k").sortBy("_k")
       .saveAsTable(table)
@@ -546,10 +578,13 @@ object TermStats {
     */
   def buildGramPosTable(df: DataFrame, id: Column, text: Column, n: Int,
       table: String, path: String, buckets: Int = 8): Unit =
+    // positional Shingles kernel (distinct = false): index i of the
+    // hash array IS the gram-start token index, so posexplode yields
+    // the identical (pos, _k) pairs the ngrams-string chain produced
     df.select(id.as("_id"),
-        posexplode(ngrams(cleanWords(text), n)).as(Seq("pos", "_g")))
-      .select(col("_id"), col("pos").cast("long").as("pos"),
-        xxhash64(col("_g")).as("_k"))
+        posexplode(hashedGrams(cleanWords(text), n, distinct = false))
+          .as(Seq("pos", "_k")))
+      .select(col("_id"), col("pos").cast("long").as("pos"), col("_k"))
       .write.mode("overwrite").option("path", path)
       .bucketBy(buckets, "_k").sortBy("_k")
       .saveAsTable(table)
@@ -760,10 +795,12 @@ object TermStats {
   def crossDocNgramStatsHashed(df: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val base = df.select(id.as("_id"), cleanWords(text).as("_ws"))
-    sharedGramRollup(base
-      .select(col("_id"), explode(ngrams(col("_ws"), n)).as("_g"))
-      .select(col("_id"), xxhash64(col("_g")).as("gram")))
+    // one codegen'd pass builds + hashes the positional grams
+    // ([[hashedGrams]], distinct = false: the rollup needs per-doc
+    // gram multiplicities)
+    sharedGramRollup(df.select(id.as("_id"),
+      explode(hashedGrams(cleanWords(text), n, distinct = false))
+        .as("gram")))
   }
 
   /** Maximal duplicated spans per document — the actual REMOVAL unit
@@ -787,6 +824,38 @@ object TermStats {
     val base = df.select(id.as("_id"), cleanWords(text).as("_ws"))
     val toks = base.select(col("_id"),
       posexplode(ngrams(col("_ws"), n)).as(Seq("pos", "gram")))
+    val docFreq = toks.groupBy(col("gram"))
+      .agg(count_distinct(col("_id")).as("_nd"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("pos"))
+    toks.join(docFreq.filter(col("_nd") > 1), "gram")
+      .select(col("_id"), col("pos").cast("long").as("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) === 1L, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n.toLong - 1)).as("span_end"),
+        count(lit(1)).as("span_grams"))
+      .drop("island")
+  }
+
+  /** Production-scale variant of [[sharedGramSpans]] — the same
+    * key-narrowing as [[crossDocNgramStatsHashed]]: gram keys are the
+    * Shingles kernel's xxhash64 longs, so the doc-frequency shuffle
+    * and the position join move 8-byte keys instead of ~(6·n)-char
+    * strings, and the gram build is one codegen'd pass. Output
+    * (span positions/counts — gram-free) is identical to the
+    * string-key path absent a 64-bit collision (TermStatsSpec pins
+    * equality on the fixtures; the string variant is what the DuckDB
+    * oracle replays).
+    */
+  def sharedGramSpansHashed(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = df.select(id.as("_id"),
+      posexplode(hashedGrams(cleanWords(text), n, distinct = false))
+        .as(Seq("pos", "gram")))
     val docFreq = toks.groupBy(col("gram"))
       .agg(count_distinct(col("_id")).as("_nd"))
     val w = Window.partitionBy(col("_id")).orderBy(col("pos"))

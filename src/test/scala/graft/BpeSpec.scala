@@ -93,6 +93,49 @@ class BpeSpec extends AnyFunSuite {
     assert(r(1)._2 === "aa" && r(1)._3 === "a")
   }
 
+  test("round-17 CodePoints kernel == the substr HOF split, astral " +
+      "chars stay whole") {
+    import org.apache.spark.sql.graft.Bridge
+    def split(texts: Seq[String]) = texts.toDF("w")
+      .select(Bridge.column(
+        graft.functions.CodePoints(Bridge.expression(col("w")))).as("c"))
+      .as[Seq[String]].collect().toSeq
+    val texts = Seq("héllo wörld", "aaa", "x", "𝕏𝕐 a𝄞b", "日本語 mix3d_")
+    val hof = texts.toDF("w")
+      .select(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("c"))
+      .as[Seq[String]].collect().toSeq
+    assert(split(texts) === hof)
+    assert(split(texts)(3) === Seq("𝕏", "𝕐", " ", "a", "𝄞", "b"))
+    // empty word → empty array (the HOF form's sequence(1,0) DESCENDS
+    // and yields ["",""] — a latent quirk both charSymbols and
+    // encodePacked mask by filtering empty words before the split;
+    // the kernel does the sane thing)
+    assert(split(Seq("")) === Seq(Seq.empty[String]))
+  }
+
+  test("round-17 fused training step: applyMergeWithNext keeps the " +
+      "_nt adjacency invariant (== recomputed lead) through chains") {
+    import org.apache.spark.sql.expressions.Window
+    // chains (xxx, xxxx), word-end merges, and non-matches in one word
+    val df = Seq((0L, "aaa aaaa ab ba abab"), (1L, "b aa")).toDF("doc_id", "text")
+    val wOrd = Window.partitionBy("doc_id", "widx").orderBy("pos")
+    val syms = Bpe.charSymbols(df, col("doc_id"), col("text"))
+      .withColumn("_nt", lead(col("tok"), 1).over(wOrd))
+    for ((l, r) <- Seq(("a", "a"), ("a", "b"))) {
+      val fused = Bpe.applyMergeWithNext(syms, l, r)
+        .orderBy("doc_id", "widx", "pos")
+        .select("doc_id", "widx", "tok", "_nt")
+        .as[(Long, Long, String, Option[String])].collect().toSeq
+      val viaOld = Bpe.applyMerge(syms.drop("_nt"), l, r)
+        .withColumn("_nt", lead(col("tok"), 1).over(wOrd))
+        .orderBy("doc_id", "widx", "pos")
+        .select("doc_id", "widx", "tok", "_nt")
+        .as[(Long, Long, String, Option[String])].collect().toSeq
+      assert(fused === viaOld, s"merge ($l,$r)")
+    }
+  }
+
   test("merges never cross word boundaries; stops early when no " +
       "pair repeats") {
     // "ab" appears twice but only across different words of "a b"?

@@ -52,6 +52,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2)._2.toSeq === Seq("x x x")) // distinct collapses repeats
   }
 
+  test("positional (non-distinct) hashed shingles: index i = gram at " +
+    "token i, values = xxhash64 of the concat_ws gram (round-17 kernel)") {
+    import graft.operators.TermStats
+    val df = Seq((0L, "a b a b a"), (1L, "x y")).toDF("doc_id", "text")
+    val viaKernel = df.select(col("doc_id"),
+        TermStats.hashedGrams(TermStats.cleanWords(col("text")), 2,
+          distinct = false).as("h"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    val viaHof = df.select(col("doc_id"),
+        transform(TermStats.ngrams(TermStats.cleanWords(col("text")), 2),
+          g => xxhash64(g)).as("h"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(viaKernel.toSeq === viaHof.toSeq)
+    // duplicates preserved positionally: "a b" appears at 0 and 2
+    assert(viaKernel(0)._2.length === 4)
+    assert(viaKernel(0)._2(0) === viaKernel(0)._2(2))
+    // distinct mode: same values, first-occurrence dedup
+    val dist = df.filter(col("doc_id") === 0L).select(
+        TermStats.hashedGrams(TermStats.cleanWords(col("text")), 2,
+          distinct = true).as("h"))
+      .as[Seq[Long]].collect().head
+    assert(dist === viaKernel(0)._2.distinct)
+  }
+
   test("nearDupPairs finds exact+near duplicates, not unrelated docs") {
     val pairs = Dedup.nearDupPairs(docs, col("doc_id"), col("text"))
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -257,6 +257,24 @@ class TermStatsSpec extends AnyFunSuite {
     assert(str.nonEmpty && str === hashed)
   }
 
+  test("hashed-gram spans path equals the string-key path") {
+    // q_dedup_spans ships the hashed-kernel variant (round-17); its
+    // DuckDB oracle replays raw gram strings — valid only while the
+    // two paths agree row-for-row on real data
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val str = TermStats.sharedGramSpans(
+        docs, col("doc_id"), col("text"), 5)
+      .select("_id", "span_start", "span_end", "span_grams")
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    val hashed = TermStats.sharedGramSpansHashed(
+        docs, col("doc_id"), col("text"), 5)
+      .select("_id", "span_start", "span_end", "span_grams")
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(str.nonEmpty && str === hashed)
+  }
+
   test("hashed-gram novelty gate equals the string-key oracle twin") {
     // q_ngram_novelty ships the xxhash64 key (round-13 verdict #4);
     // its DuckDB oracle replays raw gram strings — valid only while
