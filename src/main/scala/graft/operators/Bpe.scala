@@ -25,16 +25,19 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * run-parity case ("aaaa" → "(aa)(aa)", "aaa" → "(aa)a"), and both
   * engines compute it with the same three window functions.
   *
-  * Scale shape: symbols live as one (doc, word, pos, tok) relation —
-  * each round is ONE combinable pair-count aggregate (map-side
-  * combined; the shuffled relation is |distinct pairs|), a
-  * distributed top-1 (TakeOrdered), and one window pass partitioned
-  * by (doc, word) — millions of independent tiny partitions, no
-  * global sort anywhere. The merge TABLE (the trained vocabulary) is
-  * O(rounds) driver metadata, exactly what a BPE trainer emits; the
-  * symbol relation is persisted per round and unpersisted after the
-  * next round materializes. Word-internal merging only (the standard
-  * BPE word boundary): pairs never cross whitespace.
+  * Scale shape (round-17): training runs over the DISTINCT-WORD
+  * frequency relation — one corpus aggregation up front, then every
+  * round is a pair-count aggregate + a greedy merge kernel over
+  * |vocabulary| rows (see [[trainLoop]]); encoding applies the whole
+  * trained merge list as one codegen'd kernel per word — zero
+  * exchanges ([[encode]]). The per-character relational formulation
+  * ([[charSymbols]] + [[applyMerge]] window passes) is kept as the
+  * spec-pinned executable reference for the run-parity rule. The
+  * merge TABLE (the trained vocabulary) is O(rounds) driver metadata,
+  * exactly what a BPE trainer emits; the word relation is persisted
+  * per round and unpersisted after the next round materializes.
+  * Word-internal merging only (the standard BPE word boundary):
+  * pairs never cross whitespace.
   */
 object Bpe {
 
@@ -119,60 +122,45 @@ object Bpe {
           .otherwise(col("tok")).as("tok"))
   }
 
-  /** [[applyMerge]] for the TRAINING loop: consumes and produces the
-    * (doc_id, widx, pos, tok, _nt) relation where `_nt` is the NEXT
-    * surviving token (null at word end) — the adjacency column the
-    * next round's pair count aggregates directly, so each training
-    * round runs ONE window sort total (the merge application) instead
-    * of two (the old top-1 job re-derived adjacency with its own
-    * lead-window sort over the full symbol relation every round).
-    *
-    * New-next derivation inside the same sorted pass: the row after a
-    * merged row is consumed, so the next SURVIVING row after i is
-    * i+2 when _merge(i) else i+1, and its new token is tok+_nt when
-    * it merges itself, else tok — four lead columns decide both cases.
-    */
-  private[graft] def applyMergeWithNext(syms: DataFrame, l: String,
-      r: String): DataFrame = {
-    val wOrd = Window.partitionBy("doc_id", "widx").orderBy("pos")
-    val marked = syms
-      .withColumn("_m", col("tok") === lit(l) && col("_nt") === lit(r))
-    withMergeFlags(marked, wOrd)
-      .withColumn("_mg1", lead(col("_merge"), 1).over(wOrd))
-      .withColumn("_mg2", lead(col("_merge"), 2).over(wOrd))
-      .withColumn("_t1", lead(col("tok"), 1).over(wOrd))
-      .withColumn("_n1", lead(col("_nt"), 1).over(wOrd))
-      .withColumn("_t2", lead(col("tok"), 2).over(wOrd))
-      .withColumn("_n2", lead(col("_nt"), 2).over(wOrd))
-      .filter(!col("_consumed"))
-      .select(col("doc_id"), col("widx"), col("pos"),
-        when(col("_merge"), concat(col("tok"), col("_nt")))
-          .otherwise(col("tok")).as("tok"),
-        when(col("_merge"),
-          when(col("_mg2"), concat(col("_t2"), col("_n2")))
-            .otherwise(col("_t2")))
-          .otherwise(
-            when(col("_mg1"), concat(col("_t1"), col("_n1")))
-              .otherwise(col("_t1"))).as("_nt"))
-  }
 
   /** ENCODE a corpus with a trained merge list: apply each (left,
-    * right) merge in rank order to the character-symbol relation —
-    * the production contract of a tokenizer (train once, apply to
-    * every new batch). Returns the final (doc_id, widx, pos, tok)
-    * symbol relation; `pos` stays sparse (order-only, the
-    * [[applyMerge]] contract).
+    * right) merge in rank order — the production contract of a
+    * tokenizer (train once, apply to every new batch). Returns the
+    * final (doc_id, widx, pos, tok) symbol relation; `pos` is dense
+    * per word (order-only — every consumer respects order, not
+    * values).
     *
-    * Scale shape: the merge list is O(rounds) driver metadata and
-    * every round's window pass partitions by the SAME (doc_id, widx)
-    * key, so Catalyst plans ONE exchange for the whole chain — the
-    * R merge applications run back-to-back inside each task with no
-    * intermediate shuffle or persist (unlike training, which must
-    * materialize each round to count pairs before choosing the next
-    * merge).
+    * Round-17 shape (guide §1.2 step 2): applying a KNOWN merge list
+    * is purely word-local, so the whole chain runs as ONE codegen'd
+    * kernel per word ([[graft.functions.EncodeBpeWord]] — code-point
+    * split + R greedy passes inside the task) — ZERO exchanges, zero
+    * sorts, no per-character relation at all, at any scale. The
+    * previous window formulation ([[encodeWindowed]], kept as the
+    * spec-pinned relational reference) paid one exchange + R stacked
+    * window passes over a relation ~5× the corpus row count.
+    * BpeSpec pins kernel == windowed == packed == sequential,
+    * including the l == r chain-parity cases.
     */
   def encode(df: DataFrame, id: Column, text: Column,
-      merges: Seq[(String, String)]): DataFrame =
+      merges: Seq[(String, String)]): DataFrame = {
+    val ws = filter(split(lower(text), TextStats.WsRegex),
+      w => length(w) > 0)
+    df.select(id.as("doc_id"), posexplode(ws))
+      .withColumnRenamed("pos", "widx")
+      .select(col("doc_id"), col("widx"),
+        posexplode(Bridge.column(graft.functions.EncodeBpeWord(
+          Bridge.expression(col("col")), merges))))
+      .withColumnRenamed("col", "tok")
+  }
+
+  /** The relational window-form encoder — [[applyMerge]] folded over
+    * the per-character symbol relation. Superseded by the kernel
+    * [[encode]] for the declared queries (round-17) but kept as the
+    * executable reference for the run-parity rule: BpeSpec pins
+    * kernel == windowed == sequential. `pos` stays sparse here.
+    */
+  private[graft] def encodeWindowed(df: DataFrame, id: Column,
+      text: Column, merges: Seq[(String, String)]): DataFrame =
     merges.foldLeft(charSymbols(df, id, text)) {
       case (s, (l, r)) => applyMerge(s, l, r)
     }
@@ -299,15 +287,31 @@ object Bpe {
   private def trainLoop(df: DataFrame, id: Column, text: Column,
       rounds: Int): Seq[(Long, String, String, String, Long)] = {
     require(rounds >= 1, "rounds must be >= 1")
-    // The persisted relation carries `_nt` (next token — see
-    // applyMergeWithNext): the per-round pair count is then a pure
-    // map-side-combined aggregate over the persisted rows, with NO
-    // per-round lead-window sort of the symbol relation (round-17;
-    // previously every round paid a full (doc, word) × pos sort in
-    // the top-1 job AND two more inside the merge application).
-    val wOrd = Window.partitionBy("doc_id", "widx").orderBy("pos")
-    var syms = Bridge.persistRows(charSymbols(df, id, text)
-      .withColumn("_nt", lead(col("tok"), 1).over(wOrd)))
+    // Round-17 (guide §1.2 step 1 — fix the distributed algorithm):
+    // train over the DISTINCT-WORD FREQUENCY relation, the classic
+    // Sennrich trainer shape. A pair's corpus-wide count is
+    // Σ_w cnt(w) · occurrences_in(w), so ONE corpus aggregation to
+    // (word, cnt) up front replaces the per-character corpus relation
+    // entirely: every round then counts pairs and applies the merge
+    // over |distinct words| rows instead of |corpus characters| —
+    // at 100 TB that is the difference between O(vocabulary) and
+    // O(corpus) PER ROUND, and it is why production BPE trainers all
+    // work on the word-frequency table. Pair extraction reuses the
+    // Shingles kernel (n = 2, positional): tokens never contain
+    // WsRegex characters, so the "l r" pair string splits back
+    // unambiguously on the single space. The merge application is the
+    // sequential greedy kernel ([[graft.functions.BpeMergeWord]]).
+    // freq numbers, tie-breaks, and early-stop are IDENTICAL to the
+    // per-character formulation (BpeSpec pins train == sequential
+    // reference, including chain-parity counting).
+    def pairsOf(toks: Column): Column =
+      Bridge.column(graft.functions.Shingles(
+        Bridge.expression(toks), 2, hashed = false, distinct = false))
+    var syms = Bridge.persistRows(
+      df.select(explode(filter(split(lower(text), TextStats.WsRegex),
+          w => length(w) > 0)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"), codePoints(col("w")).as("toks")))
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var round = 1
@@ -319,9 +323,10 @@ object Bpe {
     var prev: DataFrame = null
     while (round <= rounds && !done) {
       val top = syms
-        .filter(col("_nt").isNotNull)
-        .groupBy(col("tok").as("l"), col("_nt").as("r"))
-        .agg(count(lit(1)).as("freq"))
+        .select(col("cnt"), explode(pairsOf(col("toks"))).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("freq"))
+        .select(split_part(col("pair"), lit(" "), lit(1)).as("l"),
+          split_part(col("pair"), lit(" "), lit(2)).as("r"), col("freq"))
         .orderBy(col("freq").desc, col("l"), col("r")).limit(1)
         .collect()
       if (prev != null) { Bridge.unpersistRows(prev); prev = null }
@@ -337,7 +342,9 @@ object Bpe {
         // round-12 verdict #3). The next round's top-1 job
         // materializes the relation, which is when the checkpoint
         // cuts; unpersistRows skips checkpointed prevs by design.
-        val merged = applyMergeWithNext(syms, l, r)
+        val merged = syms.select(col("cnt"),
+          Bridge.column(graft.functions.BpeMergeWord(
+            Bridge.expression(col("toks")), l, r)).as("toks"))
         val next = if (round % 6 == 0) Bridge.checkpointRows(merged)
           else Bridge.persistRows(merged)
         prev = syms

@@ -114,26 +114,23 @@ class BpeSpec extends AnyFunSuite {
     assert(split(Seq("")) === Seq(Seq.empty[String]))
   }
 
-  test("round-17 fused training step: applyMergeWithNext keeps the " +
-      "_nt adjacency invariant (== recomputed lead) through chains") {
-    import org.apache.spark.sql.expressions.Window
-    // chains (xxx, xxxx), word-end merges, and non-matches in one word
-    val df = Seq((0L, "aaa aaaa ab ba abab"), (1L, "b aa")).toDF("doc_id", "text")
-    val wOrd = Window.partitionBy("doc_id", "widx").orderBy("pos")
-    val syms = Bpe.charSymbols(df, col("doc_id"), col("text"))
-      .withColumn("_nt", lead(col("tok"), 1).over(wOrd))
-    for ((l, r) <- Seq(("a", "a"), ("a", "b"))) {
-      val fused = Bpe.applyMergeWithNext(syms, l, r)
-        .orderBy("doc_id", "widx", "pos")
-        .select("doc_id", "widx", "tok", "_nt")
-        .as[(Long, Long, String, Option[String])].collect().toSeq
-      val viaOld = Bpe.applyMerge(syms.drop("_nt"), l, r)
-        .withColumn("_nt", lead(col("tok"), 1).over(wOrd))
-        .orderBy("doc_id", "widx", "pos")
-        .select("doc_id", "widx", "tok", "_nt")
-        .as[(Long, Long, String, Option[String])].collect().toSeq
-      assert(fused === viaOld, s"merge ($l,$r)")
-    }
+  test("round-17 kernel encode == window-form encode, per (doc, " +
+      "word, position) — chains included") {
+    val texts = Seq("aaa aaaa aaaaa banana", "abab ababab xyxyx",
+      "the cat sat on the mat", "low lower lowest newest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainedMerges(df, col("doc_id"), col("text"), 4)
+    def tokens(out: org.apache.spark.sql.DataFrame) =
+      out.select("doc_id", "widx", "pos", "tok").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .groupBy(t => (t._1, t._2))
+        .map { case (k, v) => k -> v.sortBy(_._3).map(_._4).toSeq }
+        .toSeq.sortBy(_._1)
+    val kernel = tokens(Bpe.encode(df, col("doc_id"), col("text"), merges))
+    val windowed = tokens(
+      Bpe.encodeWindowed(df, col("doc_id"), col("text"), merges))
+    assert(kernel === windowed && kernel.nonEmpty)
   }
 
   test("merges never cross word boundaries; stops early when no " +
@@ -234,8 +231,10 @@ class BpeSpec extends AnyFunSuite {
     val packed = tokens(
       Bpe.encodePacked(df, col("doc_id"), col("text"), merges))
     val window = tokens(
-      Bpe.encode(df, col("doc_id"), col("text"), merges))
+      Bpe.encodeWindowed(df, col("doc_id"), col("text"), merges))
     assert(packed === window)
+    assert(tokens(Bpe.encode(df, col("doc_id"), col("text"), merges))
+      === window) // round-17 kernel form agrees too
     val flat = packed.flatMap(_._2).groupBy(identity)
       .map { case (t, xs) => t -> xs.size.toLong }
     assert(flat === refEncode(texts, merges))
