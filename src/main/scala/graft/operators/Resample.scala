@@ -9,18 +9,24 @@ import org.apache.spark.sql.functions._
   * math (the reference's source delivers irregular ticks; rolling
   * windows assume a regular cadence).
   *
-  * Shape: per-key observed buckets (max_by keeps the LATEST value in
-  * a bucket — deterministic because the event time is unique per
-  * key), per-key bounds, grid generation as a per-key `sequence`
-  * explode (rows expand map-side — no shuffle for the grid), one left
-  * join back to observations on (key, bucket), and the carry-forward
-  * as `last(ignoreNulls)` over the per-key ordered window — the same
-  * single key-shuffle + spillable-sort cost profile as the indicator
-  * pipeline. Grid size is bounded by span/step per key and capped by
-  * `maxBucketsPerKey` (analogous to BucketPairs' bucket cap): one key
-  * whose first and last observations span years at a fine step would
-  * otherwise explode a huge per-key sequence and OOM its task — the
-  * cap turns that into an immediate, named error instead.
+  * Shape (round-17 rewrite; guide §2.4 "remove shuffles outright"):
+  * everything happens on the OBSERVATION relation — per-key observed
+  * buckets (max_by keeps the LATEST value in a bucket), the
+  * previous/next-observation lookups as running frames over the
+  * per-key ordered window, and the grid as a per-SEGMENT `sequence`
+  * explode from each observed bucket to the one before the next
+  * (map-side, after the windows). The previous formulation
+  * materialized the FULL GRID first (per-key bounds aggregate +
+  * sequence explode), joined observations onto it, and ran the
+  * carry-forward windows over grid-sized data — three exchanges and
+  * two sorts of |grid| rows; this one plans ONE exchange (an explicit
+  * key repartition that the bucket aggregation, both window passes,
+  * and nothing else all share — hash(key) clusters (key, bucket)
+  * groups too) and sorts only |observations| rows. Grid size is still
+  * capped by `maxBucketsPerKey`: one key whose first and last
+  * observations span years at a fine step would otherwise explode a
+  * huge sequence and OOM its task — the cap turns that into an
+  * immediate, named error instead.
   */
 object Resample {
 
@@ -41,10 +47,16 @@ object Resample {
     */
   def gridFill(df: DataFrame, key: Column, tsUs: Column, value: Column,
       stepUs: Long, maxBucketsPerKey: Long = 1L << 21): DataFrame = {
-    val w = Window.partitionBy(col("_k")).orderBy(col("_b"))
+    val wp = Window.partitionBy(col("_k")).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gridJoin(df, key, tsUs, value, stepUs, maxBucketsPerKey)
-      .withColumn("value", last(col("_obs"), ignoreNulls = true).over(w))
+    obsWithSegments(df, key, tsUs, value, stepUs, maxBucketsPerKey)
+      // carry-forward value for the whole segment [b, next_b): the
+      // last non-null observation at or before this row (an
+      // observed-but-null bucket carries the previous value, exactly
+      // like the grid-join formulation's last(ignoreNulls) did)
+      .withColumn("value", last(col("_obs"), ignoreNulls = true).over(wp))
+      .select(col("_k"), col("_grid"), col("value"))
+      .withColumn("_b", explode(col("_grid")))
       .select(col("_k").as("key"), col("_b").as("bucket"), col("value"))
   }
 
@@ -60,60 +72,85 @@ object Resample {
     * two neighboring observations — no accumulation — so results are
     * bit-reproducible and oracle-gateable despite the floating-point
     * division. Both directions share the single key exchange; the
-    * NEXT-observation lookup deliberately runs as a running frame
-    * over the DESCENDING bucket order (one extra in-partition sort)
-    * instead of the natural `currentRow → unboundedFollowing` frame:
-    * Spark's unbounded-following frame re-scans the partition tail
-    * for every row — O(n²) per key, measured 46 s vs 4 s on a 1M-row
-    * grid at sf0.1 — while both running frames are O(n).
+    * NEXT-observation lookup runs as a running frame over the
+    * DESCENDING bucket order (one extra in-partition sort of the
+    * OBSERVATION relation) because Spark's unbounded-following frame
+    * re-scans the partition tail per row — O(n²) per key, measured
+    * 46 s vs 4 s on a 1M-row grid at sf0.1 — while both running
+    * frames are O(n).
     */
   def gridInterp(df: DataFrame, key: Column, tsUs: Column, value: Column,
       stepUs: Long, maxBucketsPerKey: Long = 1L << 21): DataFrame = {
     val wp = Window.partitionBy(col("_k")).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // strictly-after frame in DESC order = "the next non-null
+    // observation AFTER this bucket" — correct for every grid point
+    // of this row's segment: for the observed bucket itself the
+    // original fell into the interpolation branch only when _obs was
+    // null (where inclusive == exclusive), and interior points have
+    // no observation between them and the next observed bucket.
     val wn = Window.partitionBy(col("_k")).orderBy(col("_b").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gridJoin(df, key, tsUs, value, stepUs, maxBucketsPerKey)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    obsWithSegments(df, key, tsUs, value, stepUs, maxBucketsPerKey)
       .withColumn("_pv", last(col("_obs"), ignoreNulls = true).over(wp))
       .withColumn("_pb", last(when(col("_obs").isNotNull, col("_b")),
         ignoreNulls = true).over(wp))
       .withColumn("_nv", last(col("_obs"), ignoreNulls = true).over(wn))
       .withColumn("_nb", last(when(col("_obs").isNotNull, col("_b")),
         ignoreNulls = true).over(wn))
+      .select(col("_k"), col("_b").as("_ob"), col("_obs"), col("_grid"),
+        col("_pv"), col("_pb"), col("_nv"), col("_nb"))
+      .withColumn("_b", explode(col("_grid")))
+      // identical FP shape (cast/operation order) to the grid-join
+      // formulation — the oracle replays it term for term
       .withColumn("value",
-        when(col("_obs").isNotNull, col("_obs").cast("double"))
+        when(col("_b") === col("_ob") && col("_obs").isNotNull,
+          col("_obs").cast("double"))
           .otherwise(col("_pv").cast("double") +
             (col("_nv").cast("double") - col("_pv").cast("double")) *
             ((col("_b") - col("_pb")).cast("double") /
               (col("_nb") - col("_pb")).cast("double"))))
-      .withColumn("is_observed", col("_obs").isNotNull)
+      .withColumn("is_observed",
+        col("_b") === col("_ob") && col("_obs").isNotNull)
       .select(col("_k").as("key"), col("_b").as("bucket"), col("value"),
         col("is_observed"))
   }
 
-  /** Shared grid construction: per-key bucketed observations left-joined
-    * onto the per-key [first, last] bucket sequence — (_k, _b, _obs).
+  /** Shared observation relation with per-row grid segments:
+    * one row per (key, observed bucket) carrying `_obs` (latest value
+    * in the bucket) and `_grid` = [bucket, next observed bucket) —
+    * the last observation's segment is just itself, so the segments
+    * tile each key's [first, last] grid exactly once. The span cap
+    * rides the same window pass (full-partition min/max frames share
+    * the ascending sort).
     */
-  private def gridJoin(df: DataFrame, key: Column, tsUs: Column,
+  private def obsWithSegments(df: DataFrame, key: Column, tsUs: Column,
       value: Column, stepUs: Long, maxBucketsPerKey: Long): DataFrame = {
     require(stepUs >= 1, "step must be positive")
     require(maxBucketsPerKey >= 1, "maxBucketsPerKey must be positive")
-    val ev = df.select(key.as("_k"), tsUs.as("_t"), value.as("_v"))
+    val wOrd = Window.partitionBy(col("_k")).orderBy(col("_b"))
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    df.select(key.as("_k"), tsUs.as("_t"), value.as("_v"))
       .withColumn("_b", expr(s"_t DIV ${stepUs}L"))
-    val obs = ev.groupBy(col("_k"), col("_b"))
+      // explicit key repartition: hash(_k) clusters the (_k, _b)
+      // aggregation AND both window passes — Catalyst plans ONE
+      // exchange for the whole operator
+      .repartition(col("_k"))
+      .groupBy(col("_k"), col("_b"))
       .agg(max_by(col("_v"), col("_t")).as("_obs"))
-    val grid = ev.groupBy(col("_k"))
-      .agg(min(col("_b")).as("_mn"), max(col("_b")).as("_mx"))
-      .withColumn("_n", col("_mx") - col("_mn") + lit(1L))
-      .select(col("_k"),
-        explode(sequence(col("_mn"),
-          when(col("_n") <= lit(maxBucketsPerKey), col("_mx"))
+      .withColumn("_nxt", lead(col("_b"), 1).over(wOrd))
+      .withColumn("_n",
+        max(col("_b")).over(wAll) - min(col("_b")).over(wAll) + lit(1L))
+      .withColumn("_grid",
+        sequence(col("_b"),
+          when(col("_n") <= lit(maxBucketsPerKey),
+            coalesce(col("_nxt") - lit(1L), col("_b")))
             .otherwise(raise_error(concat(
               lit("gridFill: key "), col("_k").cast("string"),
               lit(" spans "), col("_n").cast("string"),
               lit(s" buckets > maxBucketsPerKey=$maxBucketsPerKey — "),
               lit("use a coarser step or filter the key"))))))
-          .as("_b"))
-    grid.join(obs, Seq("_k", "_b"), "left")
+      .drop("_nxt", "_n")
   }
 }
