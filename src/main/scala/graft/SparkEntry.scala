@@ -211,10 +211,18 @@ object SparkEntry {
     // so the serving query adds no shuffle beyond the pipeline's own.
     "q_dashboard_feed" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("symbol")).orderBy(col("ts").desc)
+      // rank-from-latest derived INSIDE the indicator pipeline's own
+      // (symbol, ts ASC) window family — rk_desc = |partition| − rn_asc
+      // + 1 (ts unique per symbol, so both formulations are the same
+      // permutation) — instead of a row_number over ts DESC, which
+      // re-sorted the whole enriched relation a second time (round-17;
+      // guide §2.4: operations keyed the same way share one sort).
+      val wAsc = Window.partitionBy(col("symbol")).orderBy(col("ts"))
+      val wAll = Window.partitionBy(col("symbol"))
       def at(i: Int, c: String) = max(when(col("rk") === i, col(c)))
       val last = enriched(s, dir)
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk",
+          count(lit(1)).over(wAll) - row_number().over(wAsc) + lit(1))
         .filter(col("rk") <= 5)
         .groupBy("symbol")
         .agg(at(1, "ts").as("last_ts"),
