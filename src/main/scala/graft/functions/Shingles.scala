@@ -78,6 +78,74 @@ case class Shingles(child: Expression, n: Int, hashed: Boolean = false,
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003) of a token
+  * array in one pass: the DISTINCT sliding-window minima of the
+  * positional word-n-gram md5-prefix-60 hashes — value-identical to
+  * positional [[Shingles]] (md5Parity) → posexplode →
+  * `min(_h) over (partition by doc order by _pos rows window-1
+  * preceding)` → `_pos >= window-1` filter → per-doc distinct, but
+  * with NO exchange, sort, window, or distinct operator: the window
+  * minimum of a row-local gram sequence never needed to leave the row
+  * (guide §2.4). Docs with fewer than `window` grams emit nothing
+  * (the relational form's `_pos >= window-1` filter kept no row).
+  * Distinctness is per document; callers joining on the fingerprint
+  * must supply unique doc ids (the contract every pair consumer here
+  * already holds).
+  */
+case class WinnowFps(child: Expression, n: Int, window: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  require(window >= 1, "window must be >= 1")
+  override def prettyName: String = "winnow_fps"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowFps", this, classOf[WinnowFps].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(toks: ArrayData): ArrayData = {
+    val m = toks.numElements()
+    val g = m - n + 1
+    if (m < n || g < window)
+      return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = toks.getUTF8String(i + j)
+        if (j < n - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      hs(i) = Shingles.md5Prefix60(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    // sliding-window minima, deduped in first-occurrence order (the
+    // relational distinct's order never mattered — consumers join on
+    // the value)
+    val seen = new java.util.LinkedHashSet[Any](g * 2)
+    var p = window - 1
+    while (p < g) {
+      var mn = hs(p - window + 1)
+      var q = p - window + 2
+      while (q <= p) { if (hs(q) < mn) mn = hs(q); q += 1 }
+      seen.add(java.lang.Long.valueOf(mn))
+      p += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
 object Shingles {
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

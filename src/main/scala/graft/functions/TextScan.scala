@@ -254,3 +254,124 @@ case class CharGramBuckets(child: Expression, n: Int, mod: Int)
   override protected def withNewChildInternal(newChild: Expression): CharGramBuckets =
     copy(child = newChild)
 }
+
+/** Per-bucket hashed char-n-gram COUNTS in one pass: element `b` of
+  * the returned `array<long>` (length `mod`) is the number of gram
+  * positions whose [[CharGramBuckets]] bucket id is `b` — i.e. the
+  * whole per-document feature VECTOR of the hashed bag-of-n-grams
+  * model as one row-local array, value-identical to
+  * `explode(char_gram_buckets(text, n, mod))` → `groupBy(id, b).count`
+  * (zero-count buckets carry 0 instead of being absent).
+  *
+  * Why: the explode → partial-agg → Exchange(id, b) → final-agg chain
+  * materializes one row PER GRAM (|chars| rows per doc) and shuffles
+  * the (doc, bucket) relation just to rebuild what is a per-row
+  * reduction; the count vector never leaves the row, so consumers
+  * (DSIR's feature relation, the classifier's linear scores) become
+  * narrow whole-stage-codegen projections with no aggregation
+  * exchange at all (guide §2.4 — remove shuffles outright). Counts
+  * are exact integers, so every downstream value is bit-identical.
+  */
+case class CharGramBucketCounts(child: Expression, n: Int, mod: Int)
+    extends UnaryExpression {
+  require(n >= 1, "gram length must be >= 1")
+  require(mod >= 1, "bucket count must be >= 1")
+  override def prettyName: String = "char_gram_bucket_counts"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charGramBucketCounts", this,
+      classOf[CharGramBucketCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val counts = new Array[Long](mod)
+    val s = text.toString
+    val cps = s.codePointCount(0, s.length)
+    if (cps >= n) {
+      val offs = new Array[Int](cps + 1)
+      var o = 0
+      var i = 0
+      while (i < cps) { offs(i) = o; o = s.offsetByCodePoints(o, 1); i += 1 }
+      offs(cps) = s.length
+      var g = 0
+      while (g <= cps - n) {
+        val gram = s.substring(offs(g), offs(g + n))
+        counts((Shingles.md5Prefix60(UTF8String.fromString(gram)) % mod)
+          .toInt) += 1L
+        g += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      counts.map(java.lang.Long.valueOf).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharGramBucketCounts = copy(child = newChild)
+}
+
+/** Per-class linear scores of the hashed bag-of-n-grams model in one
+  * pass: element `c` of the returned `array<long>` is
+  * `Σ over gram positions of weights(c)(bucket(gram))`
+  * — exactly `Σ_b cnt_b · w_c(b)` (the [[CharGramBuckets]] explode →
+  * count → broadcast-weight join → per-doc sum chain collapsed into
+  * the text scan itself; 64-bit wrap-around addition is
+  * order-insensitive, so the value is bit-identical to the relational
+  * form on any partitioning). One md5 per gram position serves every
+  * class. Weights are a Seq-of-Seq for structural equality in the
+  * plan tree; a flattened primitive copy is built lazily per task.
+  */
+case class CharGramScores(child: Expression, n: Int, mod: Int,
+    weights: Seq[Seq[Long]]) extends UnaryExpression {
+  require(n >= 1, "gram length must be >= 1")
+  require(mod >= 1, "bucket count must be >= 1")
+  require(weights.nonEmpty && weights.forall(_.length == mod),
+    "each class needs exactly `mod` bucket weights")
+  override def prettyName: String = "char_gram_scores"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  private val classes = weights.length
+  @transient private lazy val flat: Array[Long] = weights.flatten.toArray
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charGramScores", this,
+      classOf[CharGramScores].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val acc = new Array[Long](classes)
+    val s = text.toString
+    val cps = s.codePointCount(0, s.length)
+    if (cps >= n) {
+      val offs = new Array[Int](cps + 1)
+      var o = 0
+      var i = 0
+      while (i < cps) { offs(i) = o; o = s.offsetByCodePoints(o, 1); i += 1 }
+      offs(cps) = s.length
+      val w = flat
+      var g = 0
+      while (g <= cps - n) {
+        val gram = s.substring(offs(g), offs(g + n))
+        val b = (Shingles.md5Prefix60(UTF8String.fromString(gram)) % mod).toInt
+        var c = 0
+        while (c < classes) { acc(c) += w(c * mod + b); c += 1 }
+        g += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      acc.map(java.lang.Long.valueOf).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharGramScores = copy(child = newChild)
+}

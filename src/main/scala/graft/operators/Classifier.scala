@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CharGramBuckets, Shingles}
+import graft.functions.Shingles
 
 /** Hashed bag-of-character-n-grams linear classifier inference — the
   * fasttext architecture (Joulin et al. 2016) that production corpus
@@ -20,15 +20,19 @@ import graft.functions.{CharGramBuckets, Shingles}
   * exactly the same (class, bucket, weight) broadcast relation and
   * nothing else in the plan would change.
   *
-  * Scale shape: feature extraction is a codegen'd one-pass kernel
-  * ([[CharGramBuckets]]) followed by a map-side-combinable
-  * (doc, bucket) count aggregate — the corpus is scanned once and at
-  * most |docs|·min(|grams|, buckets) feature rows ever shuffle. The
-  * weight matrix (classes·buckets rows) broadcasts; scoring is one
-  * partial-aggregated (doc, class) sum and the argmax one struct-min
-  * aggregate — no window, no second corpus scan. All integer
-  * arithmetic (counts × small weights), so scores and tie-breaks
-  * (highest score, then lowest class id) are bit-stable anywhere.
+  * Scale shape (round-17): inference is ONE narrow whole-stage-codegen
+  * projection — the [[graft.functions.CharGramScores]] kernel computes
+  * every class's Σ_b cnt_b·w_c(b) inside the text scan itself (one md5
+  * per gram position serves all classes), and the argmax is a
+  * per-row least() over the class structs. Nothing is exploded,
+  * aggregated, or shuffled below the caller's own operators: the
+  * previous shape (explode → (doc, bucket) count agg → broadcast
+  * weight join → (doc, class) sum → struct-min argmax) materialized
+  * one row per GRAM and paid two aggregation exchanges to rebuild
+  * what is a row-local reduction (guide §2.4). Weights stay exact
+  * small integers, sums are 64-bit wrap-around (order-insensitive),
+  * so scores and tie-breaks (highest score, then lowest class id)
+  * are bit-identical to the relational form anywhere.
   */
 object Classifier {
 
@@ -39,56 +43,64 @@ object Classifier {
   private def weight(c: Int, b: Int): Long =
     Shingles.md5Prefix60(UTF8String.fromString(s"w:$c:$b")) % 7 - 3
 
-  /** The hashed bucket-count feature relation (id, b, cnt) — one scan
-    * of the corpus through the codegen'd gram→bucket kernel, shared by
-    * [[hashNgramPredict]] (all-class argmax) and [[hashNgramScore]]
-    * (single-class scorer).
+  /** All-class score vector per document, as one fused-kernel
+    * projection: (id, _s array<long>) — `_s(c)` = class c's raw score.
+    * The `length(text) >= n` filter reproduces the previous explode
+    * form's row contract exactly: docs too short to have any gram emit
+    * NO row (they had no feature rows, so they vanished from the
+    * aggregate). `id` must be unique (one output row per input row) —
+    * the per-document contract every caller already holds.
     */
-  private def features(df: DataFrame, id: Column, text: Column,
-      n: Int, buckets: Int): DataFrame =
+  private def scoreVec(df: DataFrame, id: Column, text: Column,
+      classes: Int, n: Int, buckets: Int): DataFrame =
     df.filter(text.isNotNull && length(text) >= n)
       .select(id.as("id"),
-        explode(Bridge.column(CharGramBuckets(
-          Bridge.expression(lower(text)), n, buckets))).as("b"))
-      .groupBy("id", "b").agg(count(lit(1)).as("cnt"))
+        Bridge.column(graft.functions.CharGramScores(
+          Bridge.expression(lower(text)), n, buckets,
+          (0 until classes).map(c =>
+            (0 until buckets).map(b => weight(c, b))))).as("_s"))
 
   /** One class's raw score per document: (id, score) — the shape an
     * eval pass consumes (ROC AUC, calibration bins need ONE scalar
-    * score per example, not the argmax). Same feature scan and
-    * broadcast weights as [[hashNgramPredict]], minus the argmax.
+    * score per example, not the argmax). The kernel is instantiated
+    * with just this class's weight row.
     */
   def hashNgramScore(df: DataFrame, id: Column, text: Column,
       cls: Int, n: Int = 3, buckets: Int = 64): DataFrame = {
     require(cls >= 0 && buckets >= 1, "cls and buckets must be >= 0/1")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val wts = (0 until buckets).map(b => (b.toLong, weight(cls, b)))
-      .toDF("b", "w")
-    features(df, id, text, n, buckets)
-      .join(broadcast(wts), "b")
-      .groupBy(col("id"))
-      .agg(sum(col("w") * col("cnt")).as("score"))
+    // coalesce never fires (the kernel array is non-null for non-null
+    // text, which the filter below guarantees, and index 1 is always
+    // present) — it is here to make `score` NON-NULLABLE, so a
+    // consumer's `score.isNotNull` guard constant-folds away instead
+    // of being pushed below this projection, where it would evaluate
+    // the kernel a second time in the Filter (guide §4.4's
+    // duplicated-expensive-expression trap; measured +0.85 s on
+    // q_calibration at sf0.1).
+    df.filter(text.isNotNull && length(text) >= n)
+      .select(id.as("id"),
+        coalesce(element_at(Bridge.column(graft.functions.CharGramScores(
+          Bridge.expression(lower(text)), n, buckets,
+          Seq((0 until buckets).map(b => weight(cls, b))))), 1), lit(0L))
+          .as("score"))
   }
 
   /** Per-document predicted class and score: (id, cls, score), one
-    * row per input document with at least `n` characters.
+    * row per input document with at least `n` characters. The argmax
+    * (ties to the lowest class id) is a row-local least() over the
+    * class structs — same (−score, cls) ordering as the previous
+    * struct-min aggregate. `_s` is multi-referenced, so CollapseProject
+    * keeps the kernel in its own projection (one evaluation per row).
     */
   def hashNgramPredict(df: DataFrame, id: Column, text: Column,
       classes: Int = 3, n: Int = 3, buckets: Int = 64): DataFrame = {
     require(classes >= 1 && buckets >= 1, "classes and buckets must be >= 1")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val feats = features(df, id, text, n, buckets)
-    val wts = (0 until classes).flatMap(c => (0 until buckets).map(b =>
-      (c.toLong, b.toLong, weight(c, b)))).toDF("c", "b", "w")
-    feats.join(broadcast(wts), "b")
-      .groupBy(col("id"), col("c"))
-      .agg(sum(col("w") * col("cnt")).as("score"))
-      // argmax(score), ties to the lowest class id, as ONE struct-min
-      // aggregate (no per-doc rank window)
-      .groupBy(col("id"))
-      .agg(min(struct((-col("score")).as("neg"), col("c").as("cls"),
-        col("score").as("score"))).as("best"))
+    val cands = (0 until classes).map(c =>
+      struct((-element_at(col("_s"), c + 1)).as("neg"),
+        lit(c.toLong).as("cls"),
+        element_at(col("_s"), c + 1).as("score")))
+    scoreVec(df, id, text, classes, n, buckets)
+      .select(col("id"),
+        (if (classes == 1) cands.head else least(cands: _*)).as("best"))
       .select(col("id"), col("best.cls").as("cls"),
         col("best.score").as("score"))
   }

@@ -280,49 +280,40 @@ object Dedup {
     * least `window + shingleN - 1` tokens yields at least one shared
     * fingerprint, with index density 2/(window+1) of the gram count.
     *
-    * Stages: positional word n-grams (NOT the distinct-shingle kernel
-    * — winnowing needs the gram SEQUENCE) hashed with the md5-prefix
-    * parity hash → per-document sliding min over each `window` of
-    * consecutive gram hashes (one keyed window pass) → the DISTINCT
-    * (doc, fingerprint) relation → fingerprint-keyed
-    * [[BucketPairs.boundedPairs]] candidates (never all-pairs; a
-    * boilerplate fingerprint shared by N docs is salted, not funneled
-    * to one task) → per-pair shared-fingerprint count with the
-    * fingerprint-set Jaccard. Every value is oracle-recomputable: the
-    * hash is SQL md5, the min/count are exact, the one double is a
-    * single division of exact integers.
+    * Stages: the per-document DISTINCT sliding-min fingerprints come
+    * out of ONE codegen'd kernel pass
+    * ([[graft.functions.WinnowFps]]: positional gram md5 hashes,
+    * window minima, per-doc dedup — the gram sequence and its window
+    * minima are row-local, so the round-16 keyed-window form paid an
+    * exchange + sort + global distinct for nothing; round-17, guide
+    * §2.4) → fingerprint-keyed [[BucketPairs.boundedPairs]] candidates
+    * (never all-pairs; a boilerplate fingerprint shared by N docs is
+    * salted, not funneled to one task) → per-pair shared-fingerprint
+    * count with the fingerprint-set Jaccard. Every value is
+    * oracle-recomputable: the hash is SQL md5, the min/count are
+    * exact, the one double is a single division of exact integers.
     *
     * Emits (doc_a, doc_b, n_shared, n_fp_a, n_fp_b, jaccard_fp) for
     * pairs sharing >= `minShared` fingerprints.
     */
-  /** The UNPERSISTED distinct (_id, _fp) winnowing fingerprint
-    * relation — [[winnowPairs]]' first stage, exposed separately so
-    * the plan audit can see the doc-partitioned sliding-min window
-    * (inside winnowPairs it sits behind a persistRows boundary, which
-    * the executed plan renders as an opaque `Scan ExistingRDD`).
+  /** The distinct (_id, _fp) winnowing fingerprint relation —
+    * [[winnowPairs]]' first stage, exposed separately so the plan
+    * audit can pin its shape (inside winnowPairs it sits behind a
+    * persistRows boundary, which the executed plan renders as an
+    * opaque `Scan ExistingRDD`). One narrow kernel explode — no
+    * exchange anywhere ([[graft.functions.WinnowFps]] computes the
+    * positional gram hashes, sliding minima, and per-doc dedup in the
+    * scan task). `id` must be unique: per-doc dedup equals the old
+    * global distinct exactly when it is (the contract winnowPairs and
+    * every other pair operator here already state).
     */
   def winnowFingerprints(df: DataFrame, id: Column, text: Column,
       shingleN: Int, window: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    // positional grams: pos is 0-based; md5-prefix-60 hash per gram
-    // (conv is fine here — per gram ROW, not per lambda element)
-    val grams = df
-      .select(id.as("_id"), split(text, TextStats.WsRegex).as("_toks"))
-      // sequence(0, n) DESCENDS for n < 0 (the q_bpe_pairs hazard) —
-      // docs with fewer than shingleN tokens have no grams anyway
-      .filter(size(col("_toks")) >= shingleN)
-      .select(col("_id"), posexplode(expr(
-        s"transform(sequence(0, size(_toks) - $shingleN), " +
-          s"i -> concat_ws(' ', slice(_toks, i + 1, $shingleN)))"))
-        .as(Seq("_pos", "_gram")))
-      .withColumn("_h",
-        conv(substring(md5(col("_gram")), 1, 15), 16, 10).cast("long"))
-    val wSpec = Window.partitionBy("_id").orderBy("_pos")
-      .rowsBetween(-(window - 1), 0)
-    grams
-      .withColumn("_fp", min(col("_h")).over(wSpec))
-      .filter(col("_pos") >= window - 1)
-      .select(col("_id"), col("_fp")).distinct()
+    df.select(id.as("_id"), split(text, TextStats.WsRegex).as("_toks"))
+      .select(col("_id"),
+        explode(Bridge.column(graft.functions.WinnowFps(
+          Bridge.expression(col("_toks")), shingleN, window))).as("_fp"))
   }
 
   def winnowPairs(df: DataFrame, id: Column, text: Column,

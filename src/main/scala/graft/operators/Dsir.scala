@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.CharGramBuckets
+import graft.functions.CharGramBucketCounts
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al.,
   * "Data Selection for Language Models via Importance Resampling",
@@ -47,14 +47,25 @@ object Dsir {
     * carried through — the single corpus scan every downstream stage
     * reuses. Docs shorter than `n` chars have no features and drop
     * here (same contract as [[Classifier]]).
+    *
+    * Round-17 shape: the whole per-document count vector comes out of
+    * the text scan as one row-local array
+    * ([[graft.functions.CharGramBucketCounts]]) and unpacks with a
+    * posexplode + cnt>0 filter — value-identical rows to the previous
+    * explode-per-gram → groupBy(doc, tgt, b) form, with NO aggregation
+    * exchange (the count never needed to leave the row; guide §2.4)
+    * and ≤`buckets` generated rows per doc instead of one per gram.
     */
   private def features(df: DataFrame, id: Column, text: Column,
       isTarget: Column, n: Int, buckets: Int): DataFrame =
     df.filter(text.isNotNull && length(text) >= n)
       .select(id.as("doc_id"), isTarget.as("_tgt"),
-        explode(Bridge.column(CharGramBuckets(
-          Bridge.expression(lower(text)), n, buckets))).as("b"))
-      .groupBy("doc_id", "_tgt", "b").agg(count(lit(1)).as("cnt"))
+        posexplode(Bridge.column(CharGramBucketCounts(
+          Bridge.expression(lower(text)), n, buckets)))
+          .as(Seq("_b", "cnt")))
+      .filter(col("cnt") > 0L)
+      .select(col("doc_id"), col("_tgt"),
+        col("_b").cast("long").as("b"), col("cnt"))
 
   /** The per-document DSIR importance weight relation:
     * (doc_id, n_feats, logw_bits) — logw_bits the quantized

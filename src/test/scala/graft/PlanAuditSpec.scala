@@ -509,8 +509,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val wn = plan("q_winnow")
     assert(!wn.contains("NestedLoop") && !wn.contains("CartesianProduct"),
       "winnow pairs must come from the fingerprint equi-join")
-    // the sliding-min window is partitioned by the doc id — an
-    // unpartitioned window over the gram relation would serialize.
+    // round-17: the fingerprint stage is ONE narrow kernel explode —
+    // the sliding-min window/sort/distinct moved inside WinnowFps, so
+    // the stage must have NO exchange, window, or sort at all.
     // q_winnow's executed plan hides it behind the persistRows
     // boundary (Scan ExistingRDD), so audit the exposed stage relation
     val fpPlan = graft.operators.Dedup.winnowFingerprints(
@@ -518,9 +519,11 @@ class PlanAuditSpec extends AnyFunSuite {
           .col("doc_id"), org.apache.spark.sql.functions.col("text"),
         3, 4)
       .queryExecution.executedPlan.toString
-    val winLine = fpPlan.linesIterator.find(_.contains("Window [min("))
-    assert(winLine.exists(_.contains("[_id")),
-      s"sliding-min window lost its doc partitioning: $winLine")
+    assert(fpPlan.contains("winnow_fps"),
+      "fingerprints must come from the WinnowFps kernel")
+    assert(!fpPlan.contains("Exchange") && !fpPlan.contains("Window") &&
+      !fpPlan.contains("Sort"),
+      s"winnow fingerprint stage must be exchange/window/sort-free:\n$fpPlan")
   }
 
   test("round-11 batch 2: TPC-H shapes push filters and broadcast " +
@@ -583,12 +586,13 @@ class PlanAuditSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       "Exchange hashpartitioning".r.findAllIn(p).size
     }
-    // every merge round's window partitions by the same (doc, word)
-    // key, so Catalyst must plan ONE exchange for the whole chain —
-    // and the count must NOT scale with the number of rounds (a
-    // Catalyst bump that re-shuffles per round fails both)
-    assert(exchanges(3) === 1,
-      "the 3-round merge chain must share one exchange")
+    // round-17: encoding applies the whole merge list as ONE per-word
+    // kernel (EncodeBpeWord) inside the scan projection — ZERO hash
+    // exchanges, strictly stronger than the round-12 pin (one shared
+    // exchange for the window chain). The count must still not scale
+    // with the number of rounds.
+    assert(exchanges(3) === 0,
+      "the kernel encoder must plan zero hash exchanges")
     assert(exchanges(1) === exchanges(3),
       "exchange count scaled with merge rounds")
   }
