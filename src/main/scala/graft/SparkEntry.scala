@@ -211,18 +211,17 @@ object SparkEntry {
     // so the serving query adds no shuffle beyond the pipeline's own.
     "q_dashboard_feed" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // rank-from-latest derived INSIDE the indicator pipeline's own
-      // (symbol, ts ASC) window family — rk_desc = |partition| − rn_asc
-      // + 1 (ts unique per symbol, so both formulations are the same
-      // permutation) — instead of a row_number over ts DESC, which
-      // re-sorted the whole enriched relation a second time (round-17;
-      // guide §2.4: operations keyed the same way share one sort).
-      val wAsc = Window.partitionBy(col("symbol")).orderBy(col("ts"))
-      val wAll = Window.partitionBy(col("symbol"))
+      // round-17 A/B note: deriving the rank inside the pipeline's own
+      // (symbol, ts ASC) sort as count(*) over symbol − row_number + 1
+      // showed NO reproducible win (rewrite 2.70/2.76 s vs original
+      // 1.93–2.96 s scatter at sf0.1, interleaved child benches — the
+      // unbounded-frame count buffers whole partitions in a second
+      // WindowExec, offsetting the ts DESC re-sort it saves), so the
+      // simpler descending row_number stays.
+      val w = Window.partitionBy(col("symbol")).orderBy(col("ts").desc)
       def at(i: Int, c: String) = max(when(col("rk") === i, col(c)))
       val last = enriched(s, dir)
-        .withColumn("rk",
-          count(lit(1)).over(wAll) - row_number().over(wAsc) + lit(1))
+        .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .groupBy("symbol")
         .agg(at(1, "ts").as("last_ts"),

@@ -61,14 +61,48 @@ private[graft] object BucketPairs {
     *         dedup across buckets as before
     */
   def boundedPairs(rows: DataFrame, keys: Seq[String], id: String,
-      payload: Seq[String], cap: Int = 1000): DataFrame = {
+      payload: Seq[String], cap: Int = 1000,
+      spreadInput: Boolean = false): DataFrame = {
     require(cap >= 1, "cap must be >= 1")
     val sizes = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_pm"))
-    val salted = rows.join(sizes, keys)
+    val salted0 = rows.join(sizes, keys)
       .withColumn("_ps",
         ceil(col("_pm").cast("double") / lit(cap.toDouble)).cast("int"))
       .withColumn("_pu", pmod(xxhash64(col(id)), col("_ps")).cast("int"))
       .drop("_pm")
+    // Pair ENUMERATION parallelism (round-17; guide §2.5 input skew +
+    // §8 "use what you know the planner does not"): the cell join's
+    // output is quadratic in cell sizes, but its INPUT bytes are tiny,
+    // so the planner gives the enumeration the probe side's partition
+    // count — and when the banded relation enters on fewer partitions
+    // than the session's parallelism (a single-row-group parquet scans
+    // as ONE task; an unsplittable gzip likewise), every candidate
+    // pair and its verifier run serially on those few cores no matter
+    // the join strategy (a broadcast join inherits probe parallelism;
+    // a shuffled join's tiny input coalesces to one partition — the
+    // expansion factor is invisible to AQE, which sizes by bytes).
+    // Known here by construction, so callers with LIGHT payloads opt
+    // in via `spreadInput`: when under-partitioned, the salted
+    // relation spreads round-robin across defaultParallelism tasks
+    // (retry-safe — sortBeforeRepartition is on; the pair SET is
+    // partitioning-invariant, pinned by BucketPairsProperties). Both
+    // join sides derive from the same spread frame, so the exchange is
+    // planned once and reused; at scale the scan side already carries
+    // >= parallelism partitions and the branch is a no-op. Measured
+    // q_fuzzy_join 3.6 -> 1.2 s at sf0.1 on local[32]. Callers whose
+    // payload is a per-doc ARRAY (shingle sets, signatures, quantized
+    // vectors) must NOT opt in: the spread would shuffle the heavy
+    // payload bytes that the broadcast cell join otherwise moves once
+    // (guide §2.3 — shuffle keys, not payloads; measured q_dedup_near_
+    // pairs 1.4 -> 2.3–15.9 s when spread). Light-payload callers
+    // whose A/B showed only noise (simhash chunks, PPJoin prefix,
+    // triplet LSH keys, media phashes) stay at the default — only
+    // measured wins opt in.
+    val salted = if (!spreadInput) salted0 else {
+      val par = rows.sparkSession.sparkContext.defaultParallelism
+      if (rows.rdd.getNumPartitions < par) salted0.repartition(par)
+      else salted0
+    }
 
     val aCols = (id +: payload).map(c => col(c).as(s"${c}_a"))
     val bCols = (id +: payload).map(c => col(c).as(s"${c}_b"))

@@ -324,7 +324,8 @@ object Dedup {
     val withN = fps.join(
       fps.groupBy("_id").agg(count(lit(1)).as("_nfp")), Seq("_id"))
     val pairs = BucketPairs
-      .boundedPairs(withN, Seq("_fp"), "_id", Seq("_nfp"), bucketCap)
+      .boundedPairs(withN, Seq("_fp"), "_id", Seq("_nfp"), bucketCap,
+        spreadInput = true) // payload = one long; enumeration-bound
       .groupBy(col("_id_a"), col("_id_b"))
       .agg(count(lit(1)).as("n_shared"),
         first(col("_nfp_a")).as("n_fp_a"), first(col("_nfp_b")).as("n_fp_b"))
