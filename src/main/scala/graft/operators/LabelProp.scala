@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bounded-round synchronous label propagation — community detection,
@@ -19,8 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Each round is one equi-join (neighbor label lookup), one
   * map-side-combinable count aggregation, and one per-node argmax —
-  * expressed as `row_number` over (cnt DESC, label ASC) so the oracle
-  * can spell the identical, engine-neutral tie-break. All shuffles
+  * a struct-min aggregate over (−cnt, label), the exact
+  * (cnt DESC, label ASC) tie-break the oracle spells with
+  * `row_number`, minus the window's per-node sort. All shuffles
   * key on the node id; per-round label iterates pass through the
   * RDD-persist bridge like [[PageRank]]'s ranks (without it Catalyst
   * re-derives round r−1 for every consumer of round r).
@@ -50,17 +50,22 @@ object LabelProp {
     var labels = edges.select(col("a").as("node"))
       .distinct()
       .withColumn("label", col("node"))
-    val w = Window.partitionBy(col("node"))
-      .orderBy(col("cnt").desc, col("label").asc)
     for (r <- 1 to rounds) {
       val votes = edges
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
+      // per-node argmax as ONE struct-min aggregate — same
+      // (cnt DESC, label ASC) order as the previous row_number
+      // window, without the window's per-node sort (round-17; the
+      // aggregate is map-side combinable and exact, so the winner is
+      // identical on any partitioning — the Classifier/triplets
+      // argmax pattern)
       val next = votes
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("label")))
+          .as("_b"))
+        .select(col("node"), col("_b.label").as("label"))
       // plan depth is already bounded (per-round persistRows), but
       // the RDD chain grows one hop per round — sever it at a fixed
       // cadence (Bridge.checkpointRows doc; round-12 verdict #3)

@@ -61,15 +61,20 @@ object PageRank {
     val tele = 3L * scale / 20L // ⌊0.15·S⌋, exact (3·S < 2⁶³ by require)
     var r = nodes.select(col("node"), lit(scale).as("rank"))
     for (i <- 1 to iters) {
+      // teleport-only nodes ride the SAME aggregate as the
+      // contributions — a zero row per node unioned into the rollup —
+      // instead of a per-round left join back to the node set
+      // (round-17, guide §2.4: the join re-keyed what the aggregate
+      // already keyed; sum is exact-integer either way, and nodes with
+      // no in-edges sum to the unioned 0, reproducing coalesce(_, 0)).
       val contrib = eDeg
         .join(r.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .union(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy("node").agg(sum(col("c")).as("csum"))
-      r = nodes.join(contrib, Seq("node"), "left")
+      r = contrib
         .select(col("node"),
-          (lit(tele) +
-            expr("(17 * coalesce(csum, CAST(0 AS BIGINT))) div 20"))
-            .as("rank"))
+          (lit(tele) + expr("(17 * csum) div 20")).as("rank"))
       // lineage truncation (round-12 verdict #3): unlike the BSP
       // loops, r is never wrapped per round, so without this the
       // FINAL plan nests all `iters` rounds — O(iters) Catalyst tree
