@@ -102,9 +102,17 @@ object Eval {
   def calibrationBins(df: DataFrame, score: Column, label: Column,
       bins: Int = 10): DataFrame = {
     require(bins >= 1, "bins must be >= 1")
-    val obs = df.select(score.cast("long").as("_s"),
-      when(label, 1L).otherwise(0L).as("_y"))
-      .filter(col("_s").isNotNull)
+    // persistRows: obs feeds BOTH the min/max scalar and the binned
+    // rows — without the boundary each consumer re-derives the whole
+    // upstream (round-17: the fused classifier scorer removed the
+    // aggregation exchange whose ReusedExchange used to dedup the two
+    // subtrees, so q_calibration silently re-ran the corpus scan +
+    // kernel twice; one materialized narrow (_s, _y) relation is the
+    // same two-phase shape the quantile sibling already uses)
+    val obs = org.apache.spark.sql.graft.Bridge.persistRows(
+      df.select(score.cast("long").as("_s"),
+        when(label, 1L).otherwise(0L).as("_y"))
+        .filter(col("_s").isNotNull))
     val mm = obs.agg(min(col("_s")).as("_mn"), max(col("_s")).as("_mx"))
     obs.crossJoin(broadcast(mm))
       .withColumn("bin", expr(s"(_s - _mn) * $bins DIV (_mx - _mn + 1)"))
